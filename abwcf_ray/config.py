@@ -1,0 +1,89 @@
+"""Configuration for the crawl engine.
+
+Mirrors the reference's HOCON tunables (`/root/reference/src/main/resources/
+reference.conf:8-251`) as a Python dataclass; keys keep the reference's
+meaning but are re-expressed for the wave model (see SURVEY.md §3.4): the
+wall-clock politeness window becomes a virtual per-wave budget, actor-pool
+sizes become Ray Data ``concurrency`` knobs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class NormalizationConfig:
+    """URL-normalizer switches (reference.conf:101-113 `abwcf.actors.url-normalizer`)."""
+
+    remove_userinfo: bool = True
+    remove_query: bool = False
+    remove_fragment: bool = True
+
+
+# The all-remove config used by the reference's conformance spec
+# (UrlNormalizationServiceSpec.scala:9).
+STRICT_NORMALIZATION = NormalizationConfig(
+    remove_userinfo=True, remove_query=True, remove_fragment=True
+)
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Full crawl configuration (wave model).
+
+    Reference key mapping (reference.conf):
+      - max_crawl_depth           <- abwcf.actors.crawl-depth-limiter.max-crawl-depth (:19)
+      - max_url_length            <- abwcf.actors.url-filter.max-url-length (:90)
+      - must_match/must_not_match <- abwcf.actors.url-filter.* (:96-99)
+      - normalization             <- abwcf.actors.url-normalizer.* (:101-113)
+      - user_agents               <- abwcf.robots.user-agents (:205)
+      - default/min/max_crawl_delay_ms <- abwcf.robots.*-crawl-delay (:211-219)
+      - valid/unavailable/unreachable_rules_lifetime_s <- abwcf.robots.*-rules-lifetime (:221-230)
+      - robots_max_redirects      <- abwcf.robots.fetching.max-redirects (:242)
+      - robots_max_bytes          <- abwcf.robots.fetching.max-content-length (:237)
+      - max_content_length        <- abwcf.fetching.max-content-length (:132)
+
+    Wave-model additions (SURVEY.md §2 D2, §3.4):
+      - wave_duration_s: the politeness window; per-wave per-host fetch budget
+        k_h = max(1, floor(wave_duration_s / crawl_delay_h)).
+      - seen_shards / corpus_buckets / salt_buckets: partitioning knobs.
+    """
+
+    # Scope / filtering
+    max_crawl_depth: int = 2**31 - 1
+    max_url_length: int = 2048
+    must_match: tuple[str, ...] = (".*",)
+    must_not_match: tuple[str, ...] = ()
+    normalization: NormalizationConfig = field(default_factory=NormalizationConfig)
+
+    # Robots / politeness
+    user_agents: tuple[str, ...] = ()
+    default_crawl_delay_ms: int = 1_000
+    min_crawl_delay_ms: int = 0
+    max_crawl_delay_ms: int = 20_000
+    valid_rules_lifetime_s: int = 24 * 3600
+    unavailable_rules_lifetime_s: int = 24 * 3600
+    unreachable_rules_lifetime_s: int = 3600
+    robots_max_redirects: int = 5
+    robots_max_bytes: int = 500 * 1024
+
+    # Fetching
+    max_content_length: int = 1_000_000  # 1 MB body cap (reference.conf:132)
+
+    # Wave model
+    wave_duration_s: float = 10.0
+    max_waves: int = 1_000_000
+    max_pages: int = 2**63 - 1  # total fetched-page budget
+
+    # Partitioning / parallelism (derive from cluster size where possible)
+    seen_shards: int = 8
+    corpus_buckets: int = 32
+    salt_buckets: int = 4  # sub-groups per host in phase-1 of the scheduler top-k
+    batch_size: int = 8192
+    fetch_concurrency: int | None = None  # None -> let Ray autoscale tasks
+
+    # Priority function: "breadth_first_hash" (deterministic default),
+    # "breadth_first", "depth_first", "random" (seeded).
+    priority_fn: str = "breadth_first_hash"
+    priority_seed: int = 42
