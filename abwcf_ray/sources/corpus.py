@@ -1,0 +1,302 @@
+"""Deterministic synthetic web corpus (FIXTURES.md).
+
+Generates the three fixture inputs the crawl engine consumes:
+
+- ``pages`` — Common-Crawl-style page table matching BASELINE.json's
+  ``input_hint`` columns ``(url, warc_ts, html: binary, text, lang)`` plus
+  simulation columns ``(status, content_type, location, x_robots_tag)`` and
+  the partition column ``bucket = hash64(url) % num_buckets``. Written as
+  hive-partitioned parquet (``bucket=N/part.parquet``) so the fetch
+  simulator reads only its key-range slice — the stand-in for network IO.
+- ``robots.parquet`` — per-host robots.txt fetch outcomes
+  ``(host, status, redirect_hops, body)``.
+- ``seeds.json`` — crawl entry points (canonical + non-canonical + one
+  invalid URL).
+
+Everything is a pure function of ``(seed, n_pages)``: the text is generated
+first and the HTML is rendered around it, so the extractor must reproduce
+the ``text`` column byte-for-byte (FIXTURES.md §1). Host sizes follow a
+power law so heavy-hitter domains exist (exercises scheduler salting), and
+links point "forward" within a host so crawl depth is layered from the
+rank-0 seed pages.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import json
+import random
+from dataclasses import asdict, dataclass
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from abwcf_ray.functions.hashing import hash64
+
+LANGS = ["en", "de", "fr", "es", "zz"]
+LANG_WEIGHTS = [0.55, 0.15, 0.12, 0.10, 0.08]
+_VOCAB = {
+    "en": "the quick brown fox jumps over lazy dog and runs through green fields with great speed".split(),
+    "de": "der schnelle braune fuchs springt über den faulen hund und rennt durch grüne felder".split(),
+    "fr": "le renard brun rapide saute par dessus le chien paresseux et court dans les champs".split(),
+    "es": "el zorro marrón rápido salta sobre el perro perezoso y corre por los campos verdes".split(),
+    "zz": "zorp blik thang wubble fren kplo vrash dinkle morv quux zibber nark".split(),
+}
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("status", pa.int32()),
+        ("content_type", pa.string()),
+        ("location", pa.string()),
+        ("x_robots_tag", pa.string()),
+    ]
+)
+
+_EPOCH_2025 = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in µs
+
+
+@dataclass
+class CorpusMeta:
+    n_pages: int
+    seed: int
+    num_buckets: int
+    n_hosts: int
+    out_dir: str
+
+    @property
+    def pages_dir(self) -> str:
+        return str(Path(self.out_dir) / "pages")
+
+    @property
+    def robots_path(self) -> str:
+        return str(Path(self.out_dir) / "robots.parquet")
+
+    @property
+    def seeds(self) -> list[str]:
+        return json.loads((Path(self.out_dir) / "seeds.json").read_text())
+
+
+def _host_layout(n_pages: int, n_hosts: int) -> np.ndarray:
+    """Power-law host sizes summing to n_pages; returns cumulative offsets
+    (len n_hosts+1): host h owns page indices [cum[h], cum[h+1])."""
+    weights = 1.0 / np.arange(1, n_hosts + 1) ** 1.1
+    sizes = np.maximum(1, np.floor(weights / weights.sum() * n_pages)).astype(np.int64)
+    # distribute the remainder over the biggest hosts
+    diff = n_pages - int(sizes.sum())
+    if diff > 0:
+        sizes[: diff % n_hosts] += diff // n_hosts + 1
+        if diff // n_hosts and n_hosts < diff:
+            sizes[diff % n_hosts :] += diff // n_hosts
+    elif diff < 0:
+        for h in range(n_hosts - 1, -1, -1):
+            take = min(sizes[h] - 1, -diff)
+            sizes[h] -= take
+            diff += take
+            if diff == 0:
+                break
+    cum = np.zeros(n_hosts + 1, dtype=np.int64)
+    np.cumsum(sizes, out=cum[1:])
+    return cum
+
+
+def _page_path(rank: int) -> str:
+    if rank % 7 == 3:
+        return f"/a/p{rank}"
+    if rank % 11 == 4:
+        return f"/a/b/p{rank}"
+    return f"/p{rank}"
+
+
+def _page_url(host_id: int, rank: int) -> str:
+    return f"https://h{host_id}.example{_page_path(rank)}"
+
+
+def _noncanonical_variant(host_id: int, rank: int, rng: random.Random) -> str:
+    """A URL that normalizes to _page_url(host_id, rank)."""
+    path = _page_path(rank)
+    choice = rng.randrange(3)
+    if choice == 0:
+        return f"HTTPS://H{host_id}.EXAMPLE{path}"
+    if choice == 1:
+        return f"https://h{host_id}.example:443{path}"
+    return f"https://h{host_id}.example/.{path}"
+
+
+def _make_text(rng: random.Random, lang: str, host_id: int, rank: int) -> tuple[str, str, list[str]]:
+    title = f"Page p{rank} on h{host_id}.example"
+    vocab = _VOCAB[lang]
+    paras = []
+    for _ in range(rng.randint(1, 4)):
+        n_words = rng.randint(8, 40)
+        paras.append(" ".join(rng.choice(vocab) for _ in range(n_words)))
+    text = title + "\n\n" + "\n\n".join(paras)
+    return text, title, paras
+
+
+def _gen_page(i: int, host_id: int, rank: int, host_size: int, n_hosts: int, cum: np.ndarray, seed: int):
+    rng = random.Random((seed << 32) ^ i)
+    url = _page_url(host_id, rank)
+
+    lang = rng.choices(LANGS, weights=LANG_WEIGHTS, k=1)[0]
+    text, title, paras = _make_text(rng, lang, host_id, rank)
+
+    # ~2% of pages are redirects to a same-host canonical target
+    if rng.random() < 0.02 and host_size > 1:
+        target_rank = rng.randrange(host_size)
+        location = _page_url(host_id, target_rank)
+        return url, b"", "", lang, 301, "text/html", location, None
+
+    x_robots = "noindex, nofollow" if rng.random() < 0.02 else None
+    content_type = "text/plain" if rng.random() < 0.03 else "text/html"
+    meta_nofollow = rng.random() < 0.03
+
+    # out-links (FIXTURES.md §3): 0-20 links, ~70% same-host forward,
+    # ~20% cross-host, ~5% non-http, ~5% non-canonical variants
+    links: list[str] = []
+    for _ in range(rng.randint(0, 20)):
+        r = rng.random()
+        if r < 0.70:
+            if rank + 1 < host_size:
+                t = rng.randint(rank + 1, min(host_size - 1, rank + 40))
+                links.append(_page_url(host_id, t))
+        elif r < 0.90:
+            h2 = rng.randrange(n_hosts)
+            t = rng.randrange(int(cum[h2 + 1] - cum[h2]))
+            links.append(_page_url(h2, t))
+        elif r < 0.95:
+            links.append(rng.choice(["mailto:someone@example.com", "ftp://files.example/f.zip"]))
+        else:
+            if rank + 1 < host_size:
+                t = rng.randint(rank + 1, min(host_size - 1, rank + 40))
+                links.append(_noncanonical_variant(host_id, t, rng))
+
+    meta = '<meta name="robots" content="noindex, nofollow">' if meta_nofollow else ""
+    body_parts = [f"<h1>{_html.escape(title)}</h1>"]
+    body_parts += [f"<p>{_html.escape(p)}</p>" for p in paras]
+    body_parts += [f'<a href="{_html.escape(a, quote=True)}">link {j}</a>' for j, a in enumerate(links)]
+    doc = (
+        f"<html><head><title>{_html.escape(title)}</title>{meta}</head>"
+        f"<body>{''.join(body_parts)}</body></html>"
+    )
+    return url, doc.encode("utf-8"), text, lang, 200, content_type, None, x_robots
+
+
+def _gen_robots(host_id: int, seed: int) -> tuple[str, int, int, bytes | None]:
+    rng = random.Random((seed << 33) ^ host_id)
+    host = f"https://h{host_id}.example"
+    p = rng.random()
+    if p < 0.80:
+        status, hops = 200, 0
+    elif p < 0.90:
+        return host, 404, 0, None
+    elif p < 0.95:
+        return host, 503, 0, None
+    else:
+        status, hops = 200, rng.randint(1, 7)  # redirect chain, then a 200 body
+
+    lines = ["User-agent: *"]
+    for _ in range(rng.randint(0, 5)):
+        kind = "Allow" if rng.random() < 0.3 else "Disallow"
+        prefix = rng.choice(["/a/", "/a/b/", f"/p{rng.randrange(20)}", "/*9$"])
+        lines.append(f"{kind}: {prefix}")
+    delay = rng.choice([None, 0, 1, 2, 30])
+    if delay is not None:
+        lines.append(f"Crawl-delay: {delay}")
+    return host, status, hops, "\n".join(lines).encode()
+
+
+def generate_corpus(
+    out_dir: str | Path,
+    n_pages: int = 2000,
+    seed: int = 42,
+    num_buckets: int = 32,
+    chunk_size: int = 20_000,
+) -> CorpusMeta:
+    """Generate (or reuse, if already present with identical parameters) the
+    fixture corpus under ``out_dir``."""
+    out = Path(out_dir)
+    n_hosts = max(4, n_pages // 50)
+    meta = CorpusMeta(n_pages=n_pages, seed=seed, num_buckets=num_buckets,
+                      n_hosts=n_hosts, out_dir=str(out))
+    meta_path = out / "meta.json"
+    if meta_path.exists():
+        existing = json.loads(meta_path.read_text())
+        if existing == asdict(meta):
+            return meta
+
+    out.mkdir(parents=True, exist_ok=True)
+    cum = _host_layout(n_pages, n_hosts)
+
+    # --- pages, chunked, bucketed by hash64(url) % num_buckets -----------
+    writers: dict[int, pq.ParquetWriter] = {}
+    pages_dir = Path(meta.pages_dir)
+    try:
+        for start in range(0, n_pages, chunk_size):
+            stop = min(start + chunk_size, n_pages)
+            host_ids = np.searchsorted(cum, np.arange(start, stop), side="right") - 1
+            rows = []
+            for i in range(start, stop):
+                h = int(host_ids[i - start])
+                rank = i - int(cum[h])
+                url, doc, text, lang, status, ctype, loc, xrt = _gen_page(
+                    i, h, rank, int(cum[h + 1] - cum[h]), n_hosts, cum, seed
+                )
+                rows.append((url, _EPOCH_2025 + i * 1_000_000, doc, text, lang,
+                             status, ctype, loc, xrt))
+            cols = list(zip(*rows))
+            table = pa.table(
+                {
+                    "url": pa.array(cols[0], pa.string()),
+                    "warc_ts": pa.array(cols[1], pa.timestamp("us")),
+                    "html": pa.array(cols[2], pa.binary()),
+                    "text": pa.array(cols[3], pa.string()),
+                    "lang": pa.array(cols[4], pa.string()),
+                    "status": pa.array(cols[5], pa.int32()),
+                    "content_type": pa.array(cols[6], pa.string()),
+                    "location": pa.array(cols[7], pa.string()),
+                    "x_robots_tag": pa.array(cols[8], pa.string()),
+                }
+            )
+            buckets = hash64(cols[0]) % num_buckets
+            for b in np.unique(buckets):
+                sub = table.filter(pa.array(buckets == b))
+                if int(b) not in writers:
+                    bdir = pages_dir / f"bucket={int(b)}"
+                    bdir.mkdir(parents=True, exist_ok=True)
+                    writers[int(b)] = pq.ParquetWriter(bdir / "part-0.parquet", PAGES_SCHEMA)
+                writers[int(b)].write_table(sub)
+    finally:
+        for w in writers.values():
+            w.close()
+
+    # --- robots ----------------------------------------------------------
+    robots_rows = [_gen_robots(h, seed) for h in range(n_hosts)]
+    rcols = list(zip(*robots_rows))
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array(rcols[0], pa.string()),
+                "status": pa.array(rcols[1], pa.int32()),
+                "redirect_hops": pa.array(rcols[2], pa.int32()),
+                "body": pa.array(rcols[3], pa.binary()),
+            }
+        ),
+        meta.robots_path,
+    )
+
+    # --- seeds (FIXTURES.md §3): 8 canonical rank-0 pages, one duplicate
+    # non-canonical variant, one invalid URL ------------------------------
+    seeds = [_page_url(h, 0) for h in range(min(8, n_hosts))]
+    seeds.append("HTTPS://H0.EXAMPLE:443/./p0")  # normalizes to seeds[0]
+    seeds.append("http://exa mple/")  # invalid -> dropped by the normalizer
+    (out / "seeds.json").write_text(json.dumps(seeds))
+
+    meta_path.write_text(json.dumps(asdict(meta)))
+    return meta

@@ -1,0 +1,100 @@
+"""robots.txt parser/matcher tests (RFC 9309 / crawler-commons semantics,
+HostManager.scala:112-136)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from abwcf_ray.functions.robots import (
+    ALLOW_ALL,
+    ALLOW_NONE,
+    ALLOW_SOME,
+    RobotRules,
+    clamp_delay_ms,
+    parse_robots_txt,
+)
+
+BODY = b"""
+# comment
+User-agent: *
+Disallow: /private/
+Allow: /private/public/
+Disallow: /tmp
+Crawl-delay: 2
+"""
+
+
+def test_parse_and_match_prefixes():
+    r = parse_robots_txt(BODY)
+    assert r.mode == ALLOW_SOME
+    assert r.crawl_delay_ms == 2000
+    assert r.is_allowed("https://x.example/ok")
+    assert not r.is_allowed("https://x.example/private/a")
+    # longest match wins: Allow /private/public/ beats Disallow /private/
+    assert r.is_allowed("https://x.example/private/public/a")
+    assert not r.is_allowed("https://x.example/tmpfile")  # prefix semantics
+    assert r.is_allowed("https://x.example/robots.txt")
+
+
+def test_batch_matches_scalar():
+    r = parse_robots_txt(BODY)
+    urls = pd.Series(
+        [
+            "https://x.example/ok",
+            "https://x.example/private/a",
+            "https://x.example/private/public/a",
+            "https://x.example/tmp",
+            "https://x.example/robots.txt",
+        ]
+    )
+    assert list(r.is_allowed_batch(urls)) == [r.is_allowed(u) for u in urls]
+
+
+def test_wildcard_and_anchor():
+    r = parse_robots_txt(b"User-agent: *\nDisallow: /*.pdf$\nDisallow: /x*y\n")
+    assert not r.is_allowed("https://h/doc.pdf")
+    assert r.is_allowed("https://h/doc.pdf?x")  # $ anchors end incl. query
+    assert not r.is_allowed("https://h/x123y")
+    assert r.is_allowed("https://h/x123z")
+
+
+def test_allow_beats_disallow_on_tie():
+    r = parse_robots_txt(b"User-agent: *\nDisallow: /dir/\nAllow: /dir2/\n")
+    assert r.is_allowed("https://h/dir2/a")
+    r2 = parse_robots_txt(b"User-agent: *\nDisallow: /a/\nAllow: /a/\n")
+    assert r2.is_allowed("https://h/a/x")  # equal length -> allow wins
+
+
+def test_specific_agent_group():
+    body = b"User-agent: mybot\nDisallow: /only-mybot/\n\nUser-agent: *\nDisallow: /all/\n"
+    r_star = parse_robots_txt(body, user_agents=())
+    assert not r_star.is_allowed("https://h/all/x")
+    assert r_star.is_allowed("https://h/only-mybot/x")
+    r_my = parse_robots_txt(body, user_agents=("MyBot",))
+    assert not r_my.is_allowed("https://h/only-mybot/x")
+    assert r_my.is_allowed("https://h/all/x")  # specific group overrides *
+
+
+def test_empty_disallow_allows_everything():
+    r = parse_robots_txt(b"User-agent: *\nDisallow:\n")
+    assert r.mode == ALLOW_ALL
+    assert r.is_allowed("https://h/anything")
+
+
+def test_delay_clamping():
+    # HostManager.scala:126-136 + reference.conf:211-219 defaults
+    assert clamp_delay_ms(None, 1000, 0, 20000) == 1000
+    assert clamp_delay_ms(-5, 1000, 0, 20000) == 1000
+    assert clamp_delay_ms(30000, 1000, 0, 20000) == 20000
+    assert clamp_delay_ms(0, 1000, 0, 20000) == 0
+    r = parse_robots_txt(b"User-agent: *\nDisallow: /x\nCrawl-delay: 30\n")
+    assert r.crawl_delay_ms == 20000
+
+
+def test_modes_and_serialization_roundtrip():
+    r = parse_robots_txt(BODY)
+    s = r.serialize_rules()
+    r2 = RobotRules.deserialize(r.mode, s, r.crawl_delay_ms)
+    assert r2 == RobotRules(mode=r.mode, rules=r.rules, crawl_delay_ms=r.crawl_delay_ms)
+    assert not RobotRules(mode=ALLOW_NONE).is_allowed("https://h/x")
+    assert RobotRules(mode=ALLOW_ALL).is_allowed("https://h/x")
