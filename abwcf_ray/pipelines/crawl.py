@@ -1,0 +1,479 @@
+"""The crawl wave driver (SURVEY.md §3.4).
+
+Each wave is one Ray Data round over the frontier:
+
+    eligible  = frontier.filter(status == 'Discovered')
+    host-prep : unknown/expired hosts -> robots fetch-sim -> hosts table
+    strict    : hosts join (C2, fail-close) -> allowed / Disallowed split
+    select    : groupby(host) salted top-k_h (politeness budget, D1/D2)
+    fetch     : bucketed url join vs the pages corpus (A2)
+    process   : extract text (A7) + links (B1-B3) in one html pass
+    cand'     : explode -> normalize (B4) -> scope (B5) -> lenient (C1)
+                -> wave-dedup (groupby url, min depth) -> seen probe (F1)
+                -> prioritize (B7)
+    frontier' = status updates ∪ new rows -> parquet checkpoint + manifest
+
+Control returns to the driver only at wave boundaries. All cross-wave state
+(frontier, hosts, seen shards) is parquet-checkpointed per wave with a
+manifest recording per-file row counts — the per-partition lineage that
+makes a killed run resumable from the last completed wave
+(:func:`run_crawl` with ``resume=True``; the reference's equivalent is the
+pages/hosts SQL tables, SURVEY.md §3.3).
+
+The virtual clock is ``now = wave_index * wave_duration`` (SURVEY.md §2 G):
+robots TTLs and the politeness window are functions of the wave index, never
+wall clock, so runs are reproducible.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from abwcf_ray.config import CrawlConfig
+from abwcf_ray.functions.hashing import hash64
+from abwcf_ray.functions.urlnorm import get_scheme_and_authority, normalize_url
+from abwcf_ray.sources.corpus import CorpusMeta
+from abwcf_ray.stages.fetch import add_bucket_column, make_fetch_group_fn
+from abwcf_ray.stages.schedule import rank_selected, select_wave
+from abwcf_ray.stages.transform import (
+    STATUS_DISCOVERED,
+    explode_links,
+    make_lenient_robots_filter,
+    make_normalize_stage,
+    make_process_fetched_stage,
+    make_prioritize_stage,
+    make_scope_filter_stage,
+    make_seen_add,
+    make_seen_filter,
+    make_strict_robots_filter,
+    make_update_status,
+)
+from abwcf_ray.state.hosts import HostsState, RobotsFetchSim
+from abwcf_ray.state.seen import SeenSet
+
+# Hosts fetched per wave below this threshold are resolved on the driver
+# (spinning a Ray stage costs more than the lookups); above it the robots
+# fetch-sim runs as a distributed map_batches stage.
+_DRIVER_ROBOTS_THRESHOLD = 512
+
+
+@dataclass
+class CrawlSummary:
+    out_dir: str
+    waves: int = 0
+    total_fetched: int = 0
+    final_frontier_rows: int = 0
+    seen_size: int = 0
+    per_wave: list[dict] = field(default_factory=list)
+
+    @property
+    def last_wave_dir(self) -> str:
+        return str(Path(self.out_dir) / f"wave_{self.waves - 1:04d}")
+
+
+def _wave_dir(out_dir: Path, n: int) -> Path:
+    return out_dir / f"wave_{n:04d}"
+
+
+def _file_lineage(directory: Path) -> list[dict]:
+    out = []
+    for f in sorted(directory.rglob("*.parquet")):
+        out.append({"file": str(f.relative_to(directory)), "rows": pq.read_metadata(f).num_rows})
+    return out
+
+
+def _parquet_rows(directory: Path) -> int:
+    return sum(pq.read_metadata(f).num_rows for f in directory.rglob("*.parquet"))
+
+
+def _seed_frontier(cfg: CrawlConfig, seeds: list[str], prioritize) -> pa.Table:
+    """Driver-side wave-0 seeding (Crawler.scala:156-160): seeds enter at the
+    normalizer (bypassing only the best-effort LRU dedup), then scope filter;
+    hosts are all unknown so the lenient filter passes everything; PageManager
+    dedup keeps the first of duplicate-normalizing seeds."""
+    norm = make_normalize_stage(cfg)
+    scope = make_scope_filter_stage(cfg)
+    t = pa.table(
+        {
+            "url": pa.array(seeds, pa.string()),
+            "depth": pa.array([0] * len(seeds), pa.int32()),
+        }
+    )
+    t = scope(norm(t))
+    # first-discovery-wins dedup, deterministic because seeds are ordered
+    seen: set[str] = set()
+    keep = []
+    for u in t.column("url").to_pylist():
+        keep.append(u not in seen)
+        seen.add(u)
+    t = t.filter(pa.array(keep))
+    t = prioritize(t)
+    status = pa.array([STATUS_DISCOVERED] * t.num_rows, pa.string())
+    return pa.table(
+        {
+            "url": t.column("url"),
+            "host": t.column("host"),
+            "status": status,
+            "depth": t.column("depth"),
+            "priority": t.column("priority"),
+        }
+    )
+
+
+def _host_prep(
+    cfg: CrawlConfig,
+    hosts_state: HostsState,
+    robots_path: str,
+    hosts_needed: list[str],
+    now_s: float,
+) -> int:
+    """C3/C4/A3: fetch robots for unknown/expired hosts of this wave."""
+    need = hosts_state.missing_or_expired(hosts_needed, now_s)
+    if not need:
+        return 0
+    if len(need) <= _DRIVER_ROBOTS_THRESHOLD:
+        sim = getattr(hosts_state, "_sim", None)
+        if sim is None:
+            sim = hosts_state._sim = RobotsFetchSim(robots_path, cfg)
+        batch = pa.table(
+            {
+                "host": pa.array(need, pa.string()),
+                "now_s": pa.array([now_s] * len(need), pa.float64()),
+            }
+        )
+        hosts_state.merge_fetched(sim(batch))
+    else:
+        ds = rd.from_items([{"host": h, "now_s": now_s} for h in need])
+        fetched = ds.map_batches(
+            RobotsFetchSim,
+            fn_constructor_args=(robots_path, cfg),
+            batch_format="pyarrow",
+            concurrency=4,  # reference gate: 5 concurrent robots fetches/node
+        )
+        hosts_state.merge_fetched(_collect_arrow(fetched))
+    return len(need)
+
+
+def _collect_arrow(ds: "rd.Dataset") -> pa.Table:
+    """Materialize a SMALL dataset to one arrow table on the driver."""
+    tables = [ray.get(ref) for ref in ds.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return None
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def run_crawl(
+    cfg: CrawlConfig,
+    corpus: CorpusMeta,
+    out_dir: str | Path,
+    *,
+    seeds: list[str] | None = None,
+    resume: bool = False,
+    log=print,
+) -> CrawlSummary:
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    prioritize = make_prioritize_stage(cfg)
+    seen = SeenSet(cfg.seen_shards)
+    hosts_state = HostsState(cfg)
+    summary = CrawlSummary(out_dir=str(out))
+    total_fetched = 0
+    start_wave = 0
+
+    if resume:
+        completed = sorted(
+            d
+            for d in out.glob("wave_*")
+            if (d / "manifest.json").exists()
+            and json.loads((d / "manifest.json").read_text()).get("completed")
+        )
+        if completed:
+            last = completed[-1]
+            manifest = json.loads((last / "manifest.json").read_text())
+            start_wave = manifest["wave"] + 1
+            total_fetched = manifest["total_fetched"]
+            seen.restore(last / "seen")
+            hosts_state.restore(last / "hosts.parquet")
+            summary.per_wave = [
+                json.loads((d / "manifest.json").read_text()) for d in completed
+            ]
+            prev_frontier = last / "frontier"
+            log(f"[crawl] resuming after wave {manifest['wave']}")
+        else:
+            resume = False
+
+    if not resume:
+        # ---- wave -1: seed the frontier (init checkpoint) ----------------
+        init_dir = _wave_dir(out, 0).parent / "init"
+        (init_dir / "frontier").mkdir(parents=True, exist_ok=True)
+        frontier0 = _seed_frontier(cfg, seeds if seeds is not None else corpus.seeds, prioritize)
+        pq.write_table(frontier0, init_dir / "frontier" / "part-0.parquet")
+        seen.add_urls(frontier0.column("url").to_pylist(), wave=-1)
+        seen.checkpoint(init_dir / "seen")
+        hosts_state.checkpoint(init_dir / "hosts.parquet")
+        (init_dir / "manifest.json").write_text(
+            json.dumps(
+                {
+                    "wave": -1,
+                    "completed": True,
+                    "total_fetched": 0,
+                    "n_frontier": frontier0.num_rows,
+                    "files": {"frontier": _file_lineage(init_dir / "frontier")},
+                }
+            )
+        )
+        prev_frontier = init_dir / "frontier"
+
+    process_fetched = make_process_fetched_stage(cfg)
+    normalize = make_normalize_stage(cfg)
+    scope = make_scope_filter_stage(cfg)
+    fetch_group = make_fetch_group_fn(corpus.pages_dir)
+
+    for wave in range(start_wave, cfg.max_waves):
+        t0 = time.perf_counter()
+        now_s = wave * cfg.wave_duration_s
+        wdir = _wave_dir(out, wave)
+        metrics: dict = {"wave": wave, "completed": False}
+
+        frontier = rd.read_parquet(str(prev_frontier))
+        eligible = frontier.map_batches(
+            lambda t: t.filter(pc.equal(t["status"], STATUS_DISCOVERED)),
+            batch_format="pyarrow",
+        )
+
+        # ---- host-prep (C3/C4/A3) ---------------------------------------
+        host_counts = eligible.groupby("host").count().to_pandas()
+        hosts_needed = host_counts["host"].tolist()
+        n_robots = _host_prep(cfg, hosts_state, corpus.robots_path, hosts_needed, now_s)
+        wdir.mkdir(parents=True, exist_ok=True)
+        hosts_state.checkpoint(wdir / "hosts.parquet")
+        hosts_ref = ray.put(hosts_state.broadcast_payload(now_s))
+        delay_ref = ray.put(hosts_state.delay_payload(now_s))
+        metrics.update(
+            n_eligible=int(host_counts["count()"].sum()),
+            n_hosts_eligible=len(hosts_needed),
+            n_robots_fetched=n_robots,
+        )
+
+        # ---- strict robots (C2) + politeness selection (D1/D2) ----------
+        strict = eligible.map_batches(
+            make_strict_robots_filter(hosts_ref), batch_format="pyarrow"
+        )
+        allowed = strict.map_batches(
+            lambda t: t.filter(t["allowed"]).drop_columns(["allowed"]),
+            batch_format="pyarrow",
+        )
+        disallowed_tbl = _collect_arrow(
+            strict.map_batches(
+                lambda t: pa.table(
+                    {"url": t.filter(pc.invert(t["allowed"])).column("url")}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        disallowed_hashes = (
+            hash64(disallowed_tbl.column("url").to_pylist())
+            if disallowed_tbl is not None
+            else np.array([], dtype=np.uint64)
+        )
+
+        selected_ds = select_wave(allowed, delay_ref, cfg)
+        selected_tbl = _collect_arrow(selected_ds)
+        n_selected = 0 if selected_tbl is None else selected_tbl.num_rows
+        budget_left = cfg.max_pages - total_fetched
+        metrics["n_disallowed"] = int(len(disallowed_hashes))
+
+        if n_selected == 0:
+            # terminal wave: write final frontier (status updates only)
+            processed_ref = ray.put(np.array([], dtype=np.uint64))
+            disallowed_ref = ray.put(disallowed_hashes)
+            frontier_next = frontier.map_batches(
+                make_update_status(processed_ref, disallowed_ref),
+                batch_format="pyarrow",
+            )
+            frontier_next.write_parquet(str(wdir / "frontier"))
+            (wdir / "extracted").mkdir(parents=True, exist_ok=True)
+            (wdir / "selected").mkdir(parents=True, exist_ok=True)
+            seen.checkpoint(wdir / "seen")
+            metrics.update(
+                n_selected=0,
+                n_new=0,
+                n_frontier=_parquet_rows(wdir / "frontier"),
+                total_fetched=total_fetched,
+                duration_s=round(time.perf_counter() - t0, 3),
+                completed=True,
+                files={"frontier": _file_lineage(wdir / "frontier")},
+            )
+            (wdir / "manifest.json").write_text(json.dumps(metrics))
+            summary.per_wave.append(metrics)
+            summary.waves = wave + 1
+            log(f"[crawl] wave {wave}: frontier drained, stopping")
+            break
+
+        # canonical ordering + budget trim (driver-side: the selected set is
+        # politeness-bounded; at 10^8-host scale this becomes a distributed
+        # sort by (priority desc, url asc) + limit)
+        sel_df = rank_selected(selected_tbl.to_pandas())
+        if len(sel_df) > budget_left:
+            sel_df = sel_df.iloc[: int(budget_left)].copy()
+        sel_df["wave"] = np.int32(wave)
+        (wdir / "selected").mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(
+                sel_df[["wave", "host", "rank_in_host", "global_rank", "url", "priority", "depth"]],
+                preserve_index=False,
+            ),
+            wdir / "selected" / "part-0.parquet",
+        )
+        n_selected = len(sel_df)
+
+        # ---- fetch-sim (A2) + process (A7, B1-B3) -----------------------
+        fetch_input = rd.from_pandas(sel_df[["url", "host", "depth", "priority"]])
+        fetch_input = fetch_input.map_batches(
+            lambda t: add_bucket_column(t, corpus.num_buckets), batch_format="pyarrow"
+        )
+        processed = (
+            fetch_input.groupby("bucket")
+            .map_groups(fetch_group, batch_format="pyarrow")
+            .map_batches(process_fetched, batch_format="pyarrow")
+            .materialize()  # politeness-bounded working set (html dropped)
+        )
+
+        status_hist = {
+            int(r["fetch_status"]): int(r["count()"])
+            for r in processed.groupby("fetch_status").count().take_all()
+        }
+        extracted = processed.map_batches(
+            lambda t: t.filter(t["is_html"]).select(["url", "text"]),
+            batch_format="pyarrow",
+        )
+        extracted.write_parquet(str(wdir / "extracted"))
+
+        # ---- candidate pipeline (B1 -> B4 -> B5 -> C1 -> F1 -> B7) ------
+        candidates = (
+            processed.map_batches(explode_links, batch_format="pyarrow")
+            .map_batches(normalize, batch_format="pyarrow")
+            .map_batches(scope, batch_format="pyarrow")
+            .map_batches(make_lenient_robots_filter(hosts_ref), batch_format="pyarrow")
+        )
+        # wave-dedup: one row per url, min depth wins (canonical first-discovery)
+        deduped = candidates.groupby("url").map_groups(
+            lambda g: g.nsmallest(1, "depth"), batch_format="pandas"
+        )
+        new_rows = (
+            deduped.map_batches(make_seen_filter(seen, wave), batch_format="pyarrow")
+            .map_batches(prioritize, batch_format="pyarrow")
+            .map_batches(
+                lambda t: t.append_column(
+                    "status", pa.array([STATUS_DISCOVERED] * t.num_rows, pa.string())
+                ).select(["url", "host", "status", "depth", "priority"]),
+                batch_format="pyarrow",
+            )
+            .map_batches(make_seen_add(seen, wave), batch_format="pyarrow")
+        )
+
+        # ---- frontier update + checkpoint -------------------------------
+        processed_ref = ray.put(hash64(sel_df["url"].tolist()))
+        disallowed_ref = ray.put(disallowed_hashes)
+        frontier_next = frontier.map_batches(
+            make_update_status(processed_ref, disallowed_ref), batch_format="pyarrow"
+        ).union(new_rows)
+        frontier_next.write_parquet(str(wdir / "frontier"))
+
+        seen.checkpoint(wdir / "seen")
+        total_fetched += n_selected
+        n_frontier = _parquet_rows(wdir / "frontier")
+        prev_rows = _parquet_rows(Path(prev_frontier))
+        metrics.update(
+            n_selected=n_selected,
+            fetch_status=status_hist,
+            n_extracted=_parquet_rows(wdir / "extracted"),
+            n_new=n_frontier - prev_rows,
+            n_frontier=n_frontier,
+            total_fetched=total_fetched,
+            seen_size=seen.size(),
+            duration_s=round(time.perf_counter() - t0, 3),
+            completed=True,
+            files={
+                "frontier": _file_lineage(wdir / "frontier"),
+                "extracted": _file_lineage(wdir / "extracted"),
+                "selected": _file_lineage(wdir / "selected"),
+            },
+        )
+        (wdir / "manifest.json").write_text(json.dumps(metrics))
+        summary.per_wave.append(metrics)
+        summary.waves = wave + 1
+        prev_frontier = wdir / "frontier"
+        log(
+            f"[crawl] wave {wave}: eligible={metrics['n_eligible']} "
+            f"selected={n_selected} new={metrics['n_new']} "
+            f"frontier={n_frontier} ({metrics['duration_s']}s)"
+        )
+        if total_fetched >= cfg.max_pages:
+            log(f"[crawl] page budget reached ({total_fetched})")
+            break
+
+    summary.total_fetched = total_fetched
+    summary.final_frontier_rows = _parquet_rows(Path(prev_frontier))
+    summary.seen_size = seen.size()
+    seen.shutdown()
+    return summary
+
+
+def main() -> None:  # pragma: no cover — CLI entry
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Run a simulated crawl.")
+    parser.add_argument("--n-pages", type=int, default=2000)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--out", default="/tmp/abwcf_crawl")
+    parser.add_argument("--corpus-dir", default=None)
+    parser.add_argument("--max-waves", type=int, default=50)
+    parser.add_argument("--max-depth", type=int, default=2**31 - 1)
+    parser.add_argument("--wave-duration", type=float, default=10.0)
+    parser.add_argument("--resume", action="store_true")
+    args = parser.parse_args()
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from abwcf_ray.sources.corpus import generate_corpus
+
+    corpus_dir = args.corpus_dir or f"/tmp/abwcf_corpus_{args.n_pages}_{args.seed}"
+    corpus = generate_corpus(corpus_dir, n_pages=args.n_pages, seed=args.seed)
+    cfg = CrawlConfig(
+        max_waves=args.max_waves,
+        max_crawl_depth=args.max_depth,
+        wave_duration_s=args.wave_duration,
+    )
+    summary = run_crawl(cfg, corpus, args.out, resume=args.resume)
+    print(
+        json.dumps(
+            {
+                "waves": summary.waves,
+                "total_fetched": summary.total_fetched,
+                "frontier_rows": summary.final_frontier_rows,
+                "seen_size": summary.seen_size,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,343 @@
+"""Per-record crawl stages as vectorized ``map_batches`` UDFs.
+
+The reference's candidate chain (Crawler.scala:93-115):
+``HtmlParser -> UrlDeduplicator -> UrlNormalizer -> UrlFilter ->
+LenientRobotsFilter -> PageManager.Discover``. Each per-node actor becomes a
+batch transform here; the approximate LRU pre-dedup (UrlDeduplicator.scala,
+best-effort only) is subsumed by the exact seen-set (state/seen.py).
+
+All stages take and return ``pyarrow.Table`` batches.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from abwcf_ray.config import CrawlConfig
+from abwcf_ray.functions.hashing import hash64
+from abwcf_ray.functions.htmlx import header_nofollow, parse_document
+from abwcf_ray.functions.robots import RobotRules
+from abwcf_ray.functions.urlnorm import get_scheme_and_authority, normalize_url
+from abwcf_ray.state.hosts import lookup_rules
+
+CANDIDATE_SCHEMA = pa.schema([("url", pa.string()), ("depth", pa.int32())])
+FRONTIER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("status", pa.string()),
+        ("depth", pa.int32()),
+        ("priority", pa.int64()),
+    ]
+)
+
+STATUS_DISCOVERED = "Discovered"
+STATUS_PROCESSED = "Processed"
+STATUS_DISALLOWED = "Disallowed"
+
+
+# --------------------------------------------------------------------------
+# B4 — URL normalizer (+ host extraction)
+# --------------------------------------------------------------------------
+def make_normalize_stage(cfg: CrawlConfig):
+    """candidates(url, depth) -> (url, host, depth); invalid urls dropped
+    (UrlNormalizer.scala:35-39: exception -> drop)."""
+    norm_cfg = cfg.normalization
+
+    def normalize_batch(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        depths = batch.column("depth").to_numpy(zero_copy_only=False)
+        out_urls: list[str] = []
+        out_hosts: list[str] = []
+        out_depths: list[int] = []
+        for u, d in zip(urls, depths):
+            n = normalize_url(u, norm_cfg)
+            if n is None:
+                continue
+            h = get_scheme_and_authority(n)
+            if h is None:
+                continue
+            out_urls.append(n)
+            out_hosts.append(h)
+            out_depths.append(int(d))
+        return pa.table(
+            {
+                "url": pa.array(out_urls, pa.string()),
+                "host": pa.array(out_hosts, pa.string()),
+                "depth": pa.array(out_depths, pa.int32()),
+            }
+        )
+
+    return normalize_batch
+
+
+# --------------------------------------------------------------------------
+# B5 — URL scope filter
+# --------------------------------------------------------------------------
+def make_scope_filter_stage(cfg: CrawlConfig):
+    """UrlFilter.scala:35-47: len <= max AND full-match >=1 must-match AND
+    full-match 0 must-not-match. Vectorized via pandas str.fullmatch (Java
+    ``Regex.matches`` is a full match)."""
+    must = [re.compile(p) for p in cfg.must_match]
+    must_not = [re.compile(p) for p in cfg.must_not_match]
+    max_len = cfg.max_url_length
+    trivial_must = cfg.must_match == (".*",)
+
+    def scope_filter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        urls = batch.column("url").to_pandas().astype("string")
+        keep = (urls.str.len() <= max_len).to_numpy(dtype=bool)
+        if not trivial_must:
+            any_must = np.zeros(len(urls), dtype=bool)
+            for rx in must:
+                any_must |= urls.str.fullmatch(rx).fillna(False).to_numpy(dtype=bool)
+            keep &= any_must
+        for rx in must_not:
+            keep &= ~urls.str.fullmatch(rx).fillna(False).to_numpy(dtype=bool)
+        return batch.filter(pa.array(keep))
+
+    return scope_filter
+
+
+# --------------------------------------------------------------------------
+# C1 / C2 — robots filters (broadcast hosts join)
+# --------------------------------------------------------------------------
+# Per-worker-process cache of broadcast hosts payloads + compiled per-host
+# rules — the rebuild of the per-node Caffeine caches (reference.conf:40-51,
+# 69-80). The filter stages are plain task functions (not actor pools): Ray
+# worker processes are long-lived, so the first batch in a process pays one
+# local-object-store ray.get and every later batch hits this cache. This
+# avoids per-wave actor-pool startup, which dominated wave latency.
+_RULES_STATE: dict = {}
+
+
+def _rules_state(hosts_ref):
+    state = _RULES_STATE.get(hosts_ref)
+    if state is None:
+        if len(_RULES_STATE) >= 8:  # keep only recent waves' payloads
+            _RULES_STATE.pop(next(iter(_RULES_STATE)))
+        state = (ray.get(hosts_ref), {})
+        _RULES_STATE[hosts_ref] = state
+    return state
+
+
+def _allowed_mask(hosts_ref, batch: pa.Table, unknown_allow: bool) -> np.ndarray:
+    payload, cache = _rules_state(hosts_ref)
+    urls = batch.column("url").to_pandas()
+    hosts = batch.column("host").to_pandas()
+    allowed = np.full(len(urls), unknown_allow, dtype=bool)
+    for host, idx in hosts.groupby(hosts, sort=False).groups.items():
+        rules = lookup_rules(payload, cache, host)
+        if rules is None:
+            continue  # unknown host -> default (fail-open / fail-close)
+        ix = np.asarray(idx)
+        allowed[ix] = rules.is_allowed_batch(urls.iloc[ix])
+    return allowed
+
+
+def make_lenient_robots_filter(hosts_ref):
+    """C1 (LenientRobotsFilter.scala:66-118): drop candidates disallowed by
+    known host rules; unknown hosts pass (fail-open, :82-86)."""
+
+    def lenient_robots(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return batch.filter(pa.array(_allowed_mask(hosts_ref, batch, True)))
+
+    return lenient_robots
+
+
+def make_strict_robots_filter(hosts_ref):
+    """C2 (StrictRobotsFilter.scala:72-133): evaluated just before fetch;
+    adds an ``allowed`` column (rejects become status=Disallowed in the
+    frontier, :128-131). After host-prep every eligible host is known; a
+    still-unknown host fails closed (:109-113)."""
+
+    def strict_robots(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("allowed", pa.array([], pa.bool_()))
+        mask = _allowed_mask(hosts_ref, batch, False)
+        return batch.append_column("allowed", pa.array(mask))
+
+    return strict_robots
+
+
+# --------------------------------------------------------------------------
+# B7 — prioritizer
+# --------------------------------------------------------------------------
+def make_prioritize_stage(cfg: CrawlConfig):
+    """Adds ``priority: int64`` (PrioritizationFunctions.scala:11-24).
+
+    Built-ins: ``breadth_first`` (-depth), ``depth_first`` (+depth),
+    ``random`` (seeded hash — the reference's default is irreproducible
+    ThreadLocalRandom, PrioritizationFunctions.scala:12), and the rebuild
+    default ``breadth_first_hash``: -depth in the high 32 bits with a seeded
+    url-hash tiebreak in the low 32, making crawl order fully deterministic
+    (SURVEY.md §2 B7/D3)."""
+    fn = cfg.priority_fn
+    seed = cfg.priority_seed
+
+    def prioritize(batch: pa.Table) -> pa.Table:
+        depths = batch.column("depth").to_numpy(zero_copy_only=False).astype(np.int64)
+        if fn == "breadth_first":
+            prio = -depths
+        elif fn == "depth_first":
+            prio = depths
+        elif fn == "random":
+            h = hash64(batch.column("url").to_pylist(), seed=seed)
+            prio = (h >> np.uint64(1)).astype(np.int64)
+        elif fn == "breadth_first_hash":
+            h = hash64(batch.column("url").to_pylist(), seed=seed)
+            tiebreak = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            prio = depths * np.int64(-(1 << 32)) + tiebreak
+        else:
+            raise ValueError(f"unknown priority_fn: {fn}")
+        return batch.append_column("priority", pa.array(prio, pa.int64()))
+
+    return prioritize
+
+
+# --------------------------------------------------------------------------
+# A7 + B1-B3 — process fetched pages: extract text + links in ONE html pass
+# --------------------------------------------------------------------------
+def make_process_fetched_stage(cfg: CrawlConfig):
+    """fetched -> (url, host, depth, fetch_status, is_html, text,
+    links: list<string>, child_depth).
+
+    Combines the reference's fan-out after fetch (Fetcher.scala:108-170):
+      - every response -> FetchResultConsumer (extraction, A7);
+      - 2xx text/html|application/xhtml+xml AND depth < max-crawl-depth
+        (CrawlDepthLimiter.scala:22-29, applied before parsing) AND no
+        X-Robots-Tag nofollow (RobotsHeaderFilter.scala:26-37) -> link
+        extraction with depth+1 (HtmlParser.scala:45);
+      - 3xx -> the Location URL re-enters as a candidate at the SAME depth
+        (Fetcher.scala:129);
+      - 4xx/5xx -> consumed only (logged; page ends Processed either way,
+        FetchResultConsumer.scala:29-50).
+    The html column is dropped here — binary payloads never cross a shuffle
+    (SURVEY.md §7 hard part d)."""
+    parseable = {"text/html", "application/xhtml+xml"}
+    max_depth = cfg.max_crawl_depth
+
+    def process(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        hosts = batch.column("host").to_pylist()
+        depths = batch.column("depth").to_pylist()
+        statuses = batch.column("status").to_pylist()
+        ctypes = batch.column("content_type").to_pylist()
+        locations = batch.column("location").to_pylist()
+        xrts = batch.column("x_robots_tag").to_pylist()
+        htmls = batch.column("html").to_pylist()
+
+        texts: list[str | None] = []
+        links_col: list[list[str]] = []
+        child_depths: list[int] = []
+        is_html: list[bool] = []
+        for url, depth, status, ctype, loc, xrt, html in zip(
+            urls, depths, statuses, ctypes, locations, xrts, htmls
+        ):
+            if status is not None and 300 <= status < 400 and loc:
+                texts.append(None)
+                links_col.append([loc])
+                child_depths.append(depth)  # redirects keep the depth
+                is_html.append(False)
+                continue
+            if status == 200 and ctype in parseable and html is not None:
+                follow = depth < max_depth and not header_nofollow(xrt)
+                links, text, _meta_nofollow = parse_document(html, url)
+                texts.append(text)
+                links_col.append(links if follow else [])
+                child_depths.append(depth + 1)
+                is_html.append(True)
+            else:
+                texts.append(None)
+                links_col.append([])
+                child_depths.append(depth + 1)
+                is_html.append(False)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "host": pa.array(hosts, pa.string()),
+                "depth": pa.array(depths, pa.int32()),
+                "fetch_status": pa.array(
+                    [s if s is not None else 404 for s in statuses], pa.int32()
+                ),
+                "is_html": pa.array(is_html, pa.bool_()),
+                "text": pa.array(texts, pa.string()),
+                "links": pa.array(links_col, pa.list_(pa.string())),
+                "child_depth": pa.array(child_depths, pa.int32()),
+            }
+        )
+
+    return process
+
+
+def explode_links(batch: pa.Table) -> pa.Table:
+    """(links: list<string>, child_depth) -> candidate rows (url, depth)."""
+    links = batch.column("links")
+    if isinstance(links, pa.ChunkedArray):
+        links = links.combine_chunks()
+    flat = pc.list_flatten(links)
+    parents = pc.list_parent_indices(links)
+    depths = pc.take(batch.column("child_depth"), parents)
+    return pa.table({"url": flat, "depth": depths.cast(pa.int32())})
+
+
+# --------------------------------------------------------------------------
+# Frontier status update (A4: batched UPDATE pages SET status)
+# --------------------------------------------------------------------------
+def make_update_status(processed_ref: "ray.ObjectRef", disallowed_ref: "ray.ObjectRef"):
+    """Rewrites frontier statuses from broadcast hash sets of this wave's
+    processed / disallowed urls (the politeness budget bounds both sets)."""
+
+    def update_status(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        processed = ray.get(processed_ref)
+        disallowed = ray.get(disallowed_ref)
+        h = hash64(batch.column("url").to_pylist())
+        status = np.asarray(batch.column("status").to_pylist(), dtype=object)
+        if len(processed):
+            status[np.isin(h, processed)] = STATUS_PROCESSED
+        if len(disallowed):
+            status[np.isin(h, disallowed)] = STATUS_DISALLOWED
+        return batch.set_column(
+            batch.schema.get_field_index("status"), "status", pa.array(status, pa.string())
+        )
+
+    return update_status
+
+
+# --------------------------------------------------------------------------
+# F1 — seen-set probe/add stages
+# --------------------------------------------------------------------------
+def make_seen_filter(seen_set, wave: int):
+    """Keeps only urls NOT seen before the given wave (read-only probe; see
+    state/seen.py for the wave-versioned retry-safety protocol)."""
+
+    def seen_filter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        mask = ~seen_set.contains_urls(batch.column("url").to_pylist(), wave)
+        return batch.filter(pa.array(mask))
+
+    return seen_filter
+
+
+def make_seen_add(seen_set, wave: int):
+    """Pass-through stage that registers urls as seen at the given wave
+    (idempotent setdefault), fused into the new-frontier checkpoint write."""
+
+    def seen_add(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            seen_set.add_urls(batch.column("url").to_pylist(), wave)
+        return batch
+
+    return seen_add

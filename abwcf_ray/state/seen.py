@@ -1,0 +1,153 @@
+"""Sharded exact URL-seen set.
+
+The reference guarantees exact dedup by cluster sharding: one ``PageManager``
+entity per URL swallows duplicate ``Discover`` messages
+(PageManager.scala:74-157, entity id = url at PageManager.scala:19,24). The
+rebuild holds the same state as a pool of ``SeenShard`` Ray actors routed by
+``hash64(url) % num_shards`` — the hash space replaces the entity-id hash
+ring, and shards store 64-bit url hashes, not strings (10^10 urls -> ~80 GB
+cluster-wide, ~300 MB/shard at 256 shards).
+
+Retry-safety: membership is **wave-versioned** (``hash -> wave_added``).
+The filter stage probes ``contains(hashes, before_wave=n)`` — only urls
+added in waves < n count as seen — and the add stage registers
+``add(hashes, wave=n)`` with setdefault semantics. A Ray task that is
+retried after its own adds took effect therefore reproduces its original
+output (its urls were added at wave n, which the probe ignores), and
+re-adding is a no-op. Within-wave duplicates are eliminated *before* this
+stage by the wave-dedup groupby (pipelines/crawl.py), mirroring
+PageManager.scala:107 where a Discover for a known url is swallowed.
+
+Checkpoint: each shard persists its own parquet file (parallel, one file per
+shard) so resume re-creates the pool without rescanning the frontier.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from abwcf_ray.functions.hashing import hash64
+
+
+@ray.remote(num_cpus=0)
+class SeenShard:
+    """One shard of the seen set. ``num_cpus=0``: membership ops are tiny and
+    must not starve the fetch/parse pools of scheduling slots."""
+
+    def __init__(self) -> None:
+        self._waves: dict[int, int] = {}
+
+    def contains(self, hashes: np.ndarray, before_wave: int) -> np.ndarray:
+        w = self._waves
+        return np.fromiter(
+            (w.get(int(h), before_wave) < before_wave for h in hashes),
+            dtype=bool,
+            count=len(hashes),
+        )
+
+    def add(self, hashes: np.ndarray, wave: int) -> int:
+        before = len(self._waves)
+        for h in hashes:
+            self._waves.setdefault(int(h), wave)
+        return len(self._waves) - before
+
+    def size(self) -> int:
+        return len(self._waves)
+
+    def checkpoint(self, path: str) -> int:
+        items = sorted(self._waves.items())  # deterministic checkpoint bytes
+        pq.write_table(
+            pa.table(
+                {
+                    "url_hash": pa.array([h for h, _ in items], pa.uint64()),
+                    "wave": pa.array([w for _, w in items], pa.int32()),
+                }
+            ),
+            path,
+        )
+        return len(items)
+
+    def restore(self, path: str) -> int:
+        t = pq.read_table(path)
+        self._waves = dict(
+            zip(t.column("url_hash").to_pylist(), t.column("wave").to_pylist())
+        )
+        return len(self._waves)
+
+
+class SeenSet:
+    """Driver-side handle over the shard pool. The handle (actor refs +
+    shard count) is cheap to serialize into ``map_batches`` closures."""
+
+    def __init__(self, num_shards: int):
+        self.num_shards = num_shards
+        self.shards = [SeenShard.remote() for _ in range(num_shards)]
+
+    # -- routing ----------------------------------------------------------
+    def _route(self, hashes: np.ndarray) -> list[np.ndarray]:
+        shard_ids = hashes % np.uint64(self.num_shards)
+        return [np.flatnonzero(shard_ids == s) for s in range(self.num_shards)]
+
+    def contains(self, hashes: np.ndarray, before_wave: int) -> np.ndarray:
+        """Membership mask (urls added in waves < before_wave); callable from
+        the driver or from inside a Ray task."""
+        out = np.zeros(len(hashes), dtype=bool)
+        idx = self._route(hashes)
+        refs = [
+            self.shards[s].contains.remote(hashes[ix], before_wave)
+            for s, ix in enumerate(idx)
+            if len(ix)
+        ]
+        live = [ix for ix in idx if len(ix)]
+        for ix, mask in zip(live, ray.get(refs)):
+            out[ix] = mask
+        return out
+
+    def add(self, hashes: np.ndarray, wave: int) -> None:
+        idx = self._route(hashes)
+        ray.get(
+            [
+                self.shards[s].add.remote(hashes[ix], wave)
+                for s, ix in enumerate(idx)
+                if len(ix)
+            ]
+        )
+
+    def add_urls(self, urls, wave: int) -> None:
+        self.add(hash64(urls), wave)
+
+    def contains_urls(self, urls, before_wave: int) -> np.ndarray:
+        return self.contains(hash64(urls), before_wave)
+
+    def size(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    # -- checkpoint / resume ---------------------------------------------
+    def checkpoint(self, ckpt_dir: str | Path) -> None:
+        d = Path(ckpt_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        ray.get(
+            [
+                shard.checkpoint.remote(str(d / f"shard_{s:04d}.parquet"))
+                for s, shard in enumerate(self.shards)
+            ]
+        )
+
+    def restore(self, ckpt_dir: str | Path) -> None:
+        d = Path(ckpt_dir)
+        ray.get(
+            [
+                shard.restore.remote(str(d / f"shard_{s:04d}.parquet"))
+                for s, shard in enumerate(self.shards)
+            ]
+        )
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

@@ -1,0 +1,143 @@
+"""End-to-end golden tests: the Ray Data wave pipeline must match the
+single-process oracle (pipelines/oracle.py) exactly — fetch order, final
+frontier, extracted text, seen set — and a killed run must resume to the
+identical final state (SURVEY.md §5 step 3)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pandas as pd
+import pyarrow.dataset as pads
+import pytest
+
+from abwcf_ray.config import CrawlConfig
+from abwcf_ray.pipelines.oracle import run_oracle
+from abwcf_ray.sources.corpus import generate_corpus
+
+N_PAGES = 600
+CFG = CrawlConfig(max_waves=5, wave_duration_s=10.0, seen_shards=4, corpus_buckets=8,
+                  salt_buckets=2, max_crawl_depth=6)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    return generate_corpus(tmp_path_factory.mktemp("c"), n_pages=N_PAGES, seed=42,
+                           num_buckets=8)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return run_oracle(CFG, corpus)
+
+
+@pytest.fixture(scope="module")
+def ray_run(ray_session, corpus, tmp_path_factory):
+    from abwcf_ray.pipelines.crawl import run_crawl
+
+    out = tmp_path_factory.mktemp("crawl")
+    summary = run_crawl(CFG, corpus, out, log=lambda *_: None)
+    return out, summary
+
+
+def _final_frontier(out: Path, summary) -> pd.DataFrame:
+    d = Path(summary.last_wave_dir) / "frontier"
+    return (
+        pads.dataset(str(d)).to_table().to_pandas().sort_values("url").reset_index(drop=True)
+    )
+
+
+def test_fetch_order_matches_oracle(ray_run, oracle):
+    out, summary = ray_run
+    for wave, expected in enumerate(oracle.order):
+        sel = pads.dataset(str(out / f"wave_{wave:04d}" / "selected")).to_table().to_pandas()
+        sel = sel.sort_values("global_rank")
+        got = list(zip(sel["host"], sel["rank_in_host"], sel["url"]))
+        assert got == expected, f"wave {wave} fetch order diverges"
+
+
+def test_final_frontier_matches_oracle(ray_run, oracle):
+    out, summary = ray_run
+    got = _final_frontier(out, summary)
+    exp = (
+        pd.DataFrame(
+            [(u, s, d, p) for u, (s, d, p) in oracle.frontier.items()],
+            columns=["url", "status", "depth", "priority"],
+        )
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["url", "status", "depth", "priority"]].astype({"depth": "int64"}),
+        exp.astype({"depth": "int64"}),
+    )
+
+
+def test_extracted_text_byte_identical(ray_run, oracle, corpus):
+    out, summary = ray_run
+    frames = []
+    for d in sorted(out.glob("wave_*/extracted")):
+        if any(d.glob("*.parquet")):
+            frames.append(pads.dataset(str(d)).to_table().to_pandas())
+    got = pd.concat(frames).sort_values("url").reset_index(drop=True)
+    exp = (
+        pd.DataFrame(sorted(oracle.extracted.items()), columns=["url", "text"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # and against the corpus ground truth (the north-rule per-row invariant)
+    pages = pads.dataset(corpus.pages_dir, partitioning="hive").to_table(
+        columns=["url", "text"]
+    ).to_pandas().set_index("url")
+    for url, text in oracle.extracted.items():
+        assert pages.loc[url, "text"] == text
+
+
+def test_seen_set_matches_oracle(ray_run, oracle):
+    out, summary = ray_run
+    assert summary.seen_size == len(oracle.seen)
+    got = _final_frontier(out, summary)
+    assert set(got["url"]) == oracle.seen  # frontier urls == seen set
+
+
+def test_statuses_cover_disallowed(ray_run):
+    out, summary = ray_run
+    got = _final_frontier(out, summary)
+    counts = got["status"].value_counts()
+    assert counts.get("Processed", 0) > 0
+    assert counts.get("Disallowed", 0) > 0  # 503-robots hosts fail closed
+
+
+def test_resume_equivalence(ray_session, corpus, tmp_path_factory, oracle):
+    """Kill after wave 1, resume, final state must equal the straight run."""
+    from abwcf_ray.pipelines.crawl import run_crawl
+
+    out = tmp_path_factory.mktemp("resume")
+    cfg_short = CrawlConfig(**{**CFG.__dict__, "max_waves": 2})
+    run_crawl(cfg_short, corpus, out, log=lambda *_: None)
+    # wave_0001 exists and is completed; resume to the end
+    summary = run_crawl(CFG, corpus, out, resume=True, log=lambda *_: None)
+    got = _final_frontier(out, summary)
+    exp = (
+        pd.DataFrame(
+            [(u, s, d, p) for u, (s, d, p) in oracle.frontier.items()],
+            columns=["url", "status", "depth", "priority"],
+        )
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["url", "status", "depth", "priority"]].astype({"depth": "int64"}),
+        exp.reset_index(drop=True).astype({"depth": "int64"}),
+    )
+
+
+def test_manifest_lineage(ray_run):
+    out, summary = ray_run
+    m = json.loads((out / "wave_0000" / "manifest.json").read_text())
+    assert m["completed"] and m["wave"] == 0
+    assert m["files"]["frontier"], "per-partition lineage missing"
+    assert all("rows" in f for f in m["files"]["frontier"])
