@@ -1,44 +1,466 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in abwcf_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Query families (SURVEY.md §2 + training-data extras):
+
+- crawl-derived operators run over a deterministic url/priority derivation
+  of the ``documents`` table so DuckDB can replicate the derivation inline
+  (frontier top-k politeness selection, scope filter, normalizer);
+- dedup / text / similarity operators run over ``documents`` /
+  ``embeddings`` directly;
+- the end-to-end crawl runs over the fixture corpus (sized from the sf's
+  documents count) — not SQL-expressible, rows-only check;
+- ``events_window`` / ``lineitem_pricing_agg`` cover windowed and grouped
+  aggregation against plain SQL.
 """
 
 from __future__ import annotations
 
+import shutil
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+# driver-side import guard: make `abwcf_ray` importable when this module is
+# loaded from outside the repo root (Ray workers inherit the driver's cwd,
+# which the grading driver sets to the repo root)
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_HOSTS = 97
+_WAVE_S = 10.0
+
+
+def _quiet():
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _derive_frontier_batch(batch: pa.Table) -> pa.Table:
+    """documents -> synthetic frontier rows. The EXACT same derivation is
+    written inline in the SQL oracles: url/host from doc_id, a Knuth
+    multiplicative-hash priority, delay class from host number."""
+    d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    host_num = d % _HOSTS
+    urls = [f"https://h{h}.example/p{i}" for h, i in zip(host_num, d)]
+    hosts = [f"https://h{h}.example" for h in host_num]
+    priority = (d * 2654435761) % 4294967296
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "host": pa.array(hosts, pa.string()),
+            "depth": pa.array(np.zeros(len(d), dtype=np.int32), pa.int32()),
+            "priority": pa.array(priority, pa.int64()),
+        }
+    )
+
+
+def _delay_ms_for_host_num(h: int) -> int:
+    return 500 * (1 + h % 4)
+
+
+_FRONTIER_SQL = (
+    "SELECT 'https://h' || (doc_id % 97) || '.example/p' || doc_id AS url, "
+    "'https://h' || (doc_id % 97) || '.example' AS host, "
+    "(doc_id * 2654435761) % 4294967296 AS priority "
+    "FROM documents"
+)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+def _q_frontier_topk(sf_dir: str):
+    """D1/D2: salted per-host politeness top-k over the derived frontier,
+    using the real scheduler stage."""
+    import ray
+
+    from abwcf_ray.config import CrawlConfig
+    from abwcf_ray.stages.schedule import select_wave
+
+    _quiet()
+    cfg = CrawlConfig(wave_duration_s=_WAVE_S, salt_buckets=2)
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(
+        _derive_frontier_batch, batch_format="pyarrow"
+    )
+    delays = {f"https://h{h}.example": _delay_ms_for_host_num(h) for h in range(_HOSTS)}
+    selected = select_wave(ds, ray.put(delays), cfg)
+    out = selected.to_pandas()
+    out = out.sort_values(["host", "priority", "url"], ascending=[True, False, True])
+    out["rank_in_host"] = out.groupby("host").cumcount().astype(np.int64)
+    return out[["host", "url", "priority", "rank_in_host"]].reset_index(drop=True)
+
+
+def _q_host_histogram(sf_dir: str):
+    _quiet()
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(
+        _derive_frontier_batch, batch_format="pyarrow"
+    )
+    out = ds.groupby("host").count().to_pandas()
+    return out.rename(columns={"count()": "n_pages"})[["host", "n_pages"]]
+
+
+def _q_scope_filter(sf_dir: str):
+    """B5: length + must/must-not regex scope filter via the real stage."""
+    from abwcf_ray.config import CrawlConfig
+    from abwcf_ray.stages.transform import make_scope_filter_stage
+
+    _quiet()
+    cfg = CrawlConfig(
+        must_match=(r"https://h[0-9]+\.example/p[0-9]+",),
+        must_not_match=(r".*[02468]",),
+    )
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(
+        _derive_frontier_batch, batch_format="pyarrow"
+    )
+    out = ds.map_batches(make_scope_filter_stage(cfg), batch_format="pyarrow")
+    return out.select_columns(["url"]).to_pandas()
+
+
+def _q_normalize_urls(sf_dir: str):
+    """B4: three classes of non-canonical variants all normalize to the
+    canonical url the SQL oracle constructs directly."""
+    from abwcf_ray.config import STRICT_NORMALIZATION
+    from abwcf_ray.functions.urlnorm import normalize_urls
+
+    _quiet()
+
+    def variants(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = []
+        for i in d:
+            h = i % _HOSTS
+            m = i % 3
+            if m == 0:
+                out.append(f"HTTPS://H{h}.EXAMPLE/p{i}")
+            elif m == 1:
+                out.append(f"https://h{h}.example:443/p{i}")
+            else:
+                out.append(f"https://h{h}.example/./p{i}")
+        return pa.table({"url_raw": pa.array(out, pa.string())})
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        normed = normalize_urls(batch.column("url_raw").to_pylist(), STRICT_NORMALIZATION)
+        return pa.table({"url_norm": pa.array(normed, pa.string())})
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(variants, batch_format="pyarrow")
+    return ds.map_batches(normalize, batch_format="pyarrow").to_pandas()
+
+
+def _q_exact_dedup(sf_dir: str):
+    from abwcf_ray.stages.dedup import exact_dedup
+
+    _quiet()
+    out = exact_dedup(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return out[["doc_id", "dup_count"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_token_counts(sf_dir: str):
+    from abwcf_ray.stages.text import add_token_counts
+
+    _quiet()
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_token_counts, batch_format="pyarrow"
+    )
+    return out.select_columns(["doc_id", "n_tokens"]).to_pandas()
+
+
+def _q_quality_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from abwcf_ray.stages.text import add_quality_signals
+
+    _quiet()
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        add_quality_signals, batch_format="pyarrow"
+    )
+    agg = (
+        ds.groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars_m", alias_name="sum_chars"),
+            Sum("n_words", alias_name="sum_words"),
+        )
+        .to_pandas()
+    )
+    agg["avg_chars"] = (agg["sum_chars"] / agg["n_docs"]).round(4)
+    return agg[["lang", "n_docs", "sum_chars", "sum_words", "avg_chars"]]
+
+
+def _q_events_window(sf_dir: str):
+    """Tumbling 1-hour windowed aggregate over the events stream (G:
+    windows via partial per-batch aggregation, then a small groupby)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    _quiet()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def window(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = us // 3_600_000_000
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "window_id": pa.array(w, pa.int64()),
+                "value": batch.column("value"),
+            }
+        )
+
+    out = (
+        ds.map_batches(window, batch_format="pyarrow")
+        .groupby(["user_id", "window_id"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(4)
+    return out
+
+
+def _q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate (general-aggregation coverage)."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    _quiet()
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def disc_price(batch: pa.Table) -> pa.Table:
+        dp = pc.multiply(
+            batch.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), batch.column("l_discount"))
+        )
+        return batch.append_column("disc_price", dp)
+
+    out = (
+        ds.map_batches(disc_price, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    for c in ["sum_qty", "sum_base_price", "sum_disc_price"]:
+        out[c] = out[c].round(2)
+    return out
+
+
+def _q_knn_top5(sf_dir: str):
+    """Brute-force cosine top-5 for the three lowest vec_ids (ints only in
+    the output so float representation differences can't affect the hash)."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.similarity import knn_bruteforce
+
+    _quiet()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = ds.to_pandas().sort_values("vec_id").head(3)
+    queries = np.array(list(qdf["embedding"]), dtype=np.float64)
+    out = knn_bruteforce(ds, queries, k=5, query_ids=qdf["vec_id"].to_numpy())
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+def _q_knn_ivf(sf_dir: str):
+    import ray.data as rd
+
+    from abwcf_ray.stages.similarity import knn_ivf
+
+    _quiet()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = ds.to_pandas().sort_values("vec_id").head(3)
+    queries = np.array(list(qdf["embedding"]), dtype=np.float64)
+    out = knn_ivf(ds, queries, k=5, nlist=16, nprobe=4, query_ids=qdf["vec_id"].to_numpy())
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from abwcf_ray.stages.dedup import minhash_lsh_dedup
+
+    _quiet()
+    return minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"]), threshold=0.9)
+
+
+def _q_simhash_dedup(sf_dir: str):
+    from abwcf_ray.stages.dedup import simhash_dedup
+
+    _quiet()
+    return simhash_dedup(_docs(sf_dir, ["doc_id", "text"]), max_hamming=0)
+
+
+def _q_embedding_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from abwcf_ray.stages.dedup import embedding_dedup
+
+    _quiet()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_dedup(ds, threshold=0.99, planes=8)
+
+
+def _q_langid_fingerprint(sf_dir: str):
+    from abwcf_ray.stages.text import add_fingerprint, add_lang_id
+
+    _quiet()
+    ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(add_lang_id, batch_format="pyarrow")
+        .map_batches(add_fingerprint, batch_format="pyarrow")
+    )
+    out = ds.select_columns(["doc_id", "lang_id", "fingerprint"]).to_pandas()
+    out["fingerprint"] = out["fingerprint"].astype("int64", errors="ignore")
+    return out
+
+
+def _crawl_corpus_for(sf_dir: str):
+    from abwcf_ray.sources.corpus import generate_corpus
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_pages = max(1000, n_docs * 4)
+    return generate_corpus(f"/tmp/abwcf_entry_corpus_{n_pages}", n_pages=n_pages, seed=42)
+
+
+def _q_crawl(sf_dir: str):
+    """End-to-end wave crawl over the fixture corpus (sized from sf);
+    returns the final frontier (url, status, depth, priority)."""
+    import pyarrow.dataset as pads
+
+    from abwcf_ray.config import CrawlConfig
+    from abwcf_ray.pipelines.crawl import run_crawl
+
+    _quiet()
+    corpus = _crawl_corpus_for(sf_dir)
+    out_dir = Path(f"/tmp/abwcf_entry_crawl_{corpus.n_pages}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = CrawlConfig(max_waves=3, wave_duration_s=10.0, seen_shards=4,
+                      corpus_buckets=corpus.num_buckets, max_crawl_depth=8)
+    summary = run_crawl(cfg, corpus, out_dir, log=lambda *_: None)
+    t = pads.dataset(summary.last_wave_dir + "/frontier").to_table()
+    return t.to_pandas().sort_values("url").reset_index(drop=True)
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: the end-to-end crawl."""
+    return _q_crawl("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "frontier_topk": _q_frontier_topk,
+        "host_histogram": _q_host_histogram,
+        "scope_filter": _q_scope_filter,
+        "normalize_urls": _q_normalize_urls,
+        "exact_dedup": _q_exact_dedup,
+        "token_counts": _q_token_counts,
+        "quality_by_lang": _q_quality_by_lang,
+        "events_window": _q_events_window,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "knn_top5": _q_knn_top5,
+        "knn_ivf": _q_knn_ivf,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "embedding_dedup": _q_embedding_dedup,
+        "langid_fingerprint": _q_langid_fingerprint,
+        "crawl_wave": _q_crawl,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "frontier_topk": f"""
+            WITH frontier AS ({_FRONTIER_SQL}),
+            ranked AS (
+                SELECT host, url, priority,
+                       ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, url ASC) - 1 AS rank_in_host,
+                       CAST(regexp_extract(host, 'h([0-9]+)\\.', 1) AS BIGINT) AS host_num
+                FROM frontier
+            )
+            SELECT host, url, priority, rank_in_host
+            FROM ranked
+            WHERE rank_in_host < GREATEST(1, 10000 // (500 * (1 + host_num % 4)))
+        """,
+        "host_histogram": f"""
+            WITH frontier AS ({_FRONTIER_SQL})
+            SELECT host, COUNT(*) AS n_pages FROM frontier GROUP BY host
+        """,
+        "scope_filter": f"""
+            WITH frontier AS ({_FRONTIER_SQL})
+            SELECT url FROM frontier
+            WHERE regexp_full_match(url, 'https://h[0-9]+\\.example/p[0-9]+')
+              AND NOT regexp_full_match(url, '.*[02468]')
+              AND length(url) <= 2048
+        """,
+        "normalize_urls": """
+            SELECT 'https://h' || (doc_id % 97) || '.example/p' || doc_id AS url_norm
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "token_counts": """
+            SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "quality_by_lang": """
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+                   CAST(SUM(length(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS sum_words,
+                   ROUND(SUM(length(text)) / COUNT(*), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "events_window": """
+            SELECT user_id,
+                   epoch_us(ts) // 3600000000 AS window_id,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY user_id, epoch_us(ts) // 3600000000
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "knn_top5": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding
+                FROM embeddings ORDER BY vec_id LIMIT 3
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding, e.embedding) AS cosine
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id != q.query_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) - 1 AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank < 5
+        """,
+    }

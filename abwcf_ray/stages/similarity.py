@@ -1,0 +1,180 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`knn_bruteforce` — exact cosine top-k: the query matrix is broadcast
+  once (``ray.put``), each ``map_batches`` task computes a partial top-k via
+  one numpy matmul, and partials (k rows per query per batch) are merged in
+  a final tiny reduce. No all-to-all; scales linearly in corpus size.
+- :func:`knn_ivf` — the scale path: a deterministic k-means (seeded sample
+  init + Lloyd iterations as map_batches partial-sum aggregates) builds an
+  inverted file; queries probe only the ``nprobe`` nearest lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    return m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+
+
+def _batch_vectors(batch: pa.Table, vec_col: str) -> np.ndarray:
+    return np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+
+
+def knn_bruteforce(
+    ds,
+    queries: np.ndarray,
+    k: int = 5,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+    query_ids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Exact cosine top-k -> (query_id, neighbor_id, rank, cosine)."""
+    q_unit = _unit(np.asarray(queries, dtype=np.float64))
+    q_ids = np.arange(len(q_unit)) if query_ids is None else np.asarray(query_ids)
+    q_ref = ray.put((q_unit, q_ids))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm, qi = ray.get(q_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        vecs = _unit(_batch_vectors(batch, vec_col))
+        cos = qm @ vecs.T  # (nq, nb)
+        if exclude_self:
+            mask = qi[:, None] == ids[None, :]
+            cos = np.where(mask, -np.inf, cos)
+        kk = min(k, cos.shape[1])
+        idx = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+        out_q, out_n, out_c = [], [], []
+        for r in range(len(qi)):
+            out_q += [int(qi[r])] * kk
+            out_n += ids[idx[r]].tolist()
+            out_c += cos[r, idx[r]].tolist()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    partials = partials[np.isfinite(partials["cosine"])]
+    # deterministic final top-k: cosine desc, neighbor_id asc tiebreak
+    partials = partials.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    top = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount().astype(np.int64)
+    return top[["query_id", "neighbor_id", "rank", "cosine"]]
+
+
+def kmeans_fit(
+    ds,
+    n_clusters: int,
+    *,
+    iters: int = 5,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic distributed k-means (init = seeded id-ordered sample;
+    Lloyd steps = per-batch partial sums reduced on the driver)."""
+    sample = ds.limit(max(n_clusters * 20, 256)).to_pandas()
+    vecs = np.array(list(sample[vec_col]), dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    centroids = vecs[rng.choice(len(vecs), size=n_clusters, replace=False)]
+    for _ in range(iters):
+        c_ref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            v = _batch_vectors(batch, vec_col)
+            assign = np.argmin(
+                ((v[:, None, :] - c[None, :, :]) ** 2).sum(-1), axis=1
+            )
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), dtype=np.int64)
+            np.add.at(sums, assign, v)
+            np.add.at(counts, assign, 1)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c)), pa.int64()),
+                    "sum": pa.array([s.tolist() for s in sums], pa.list_(pa.float64())),
+                    "count": pa.array(counts, pa.int64()),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for cl, s, n in zip(parts["cluster"], parts["sum"], parts["count"]):
+            sums[cl] += np.asarray(s)
+            counts[cl] += n
+        nonzero = counts > 0
+        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+    return centroids
+
+
+def knn_ivf(
+    ds,
+    queries: np.ndarray,
+    k: int = 5,
+    *,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+    query_ids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """IVF approximate top-k: assign vectors to the fitted centroids, search
+    only vectors whose list is among each query's ``nprobe`` nearest."""
+    centroids = kmeans_fit(ds, nlist, seed=seed, vec_col=vec_col)
+    q = np.asarray(queries, dtype=np.float64)
+    q_ids = np.arange(len(q)) if query_ids is None else np.asarray(query_ids)
+    qd = ((q[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+    probe_lists = np.argsort(qd, axis=1)[:, :nprobe]  # (nq, nprobe)
+    q_unit = _unit(q)
+    ref = ray.put((q_unit, q_ids, centroids, probe_lists))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm, qi, c, probes = ray.get(ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        v = _batch_vectors(batch, vec_col)
+        assign = np.argmin(((v[:, None, :] - c[None, :, :]) ** 2).sum(-1), axis=1)
+        vu = _unit(v)
+        out_q, out_n, out_c = [], [], []
+        for r in range(len(qi)):
+            sel = np.isin(assign, probes[r])
+            if exclude_self:
+                sel &= ids != qi[r]
+            if not sel.any():
+                continue
+            cos = vu[sel] @ qm[r]
+            sub_ids = ids[sel]
+            kk = min(k, len(cos))
+            idx = np.argpartition(-cos, kk - 1)[:kk]
+            out_q += [int(qi[r])] * kk
+            out_n += sub_ids[idx].tolist()
+            out_c += cos[idx].tolist()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    partials = partials.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    top = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount().astype(np.int64)
+    return top[["query_id", "neighbor_id", "rank", "cosine"]]

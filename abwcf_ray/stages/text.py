@@ -1,0 +1,107 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All stages are vectorized ``map_batches`` transforms over the ``documents``
+table ``(doc_id, text, lang, source, n_chars)``. Stateful pieces (compiled
+regexes, stopword tables) live in callable classes so an actor pool compiles
+them once per actor — but every stage also works as a plain task function
+because the state is module-level-cached per worker process.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from abwcf_ray.functions.hashing import hash64
+
+_WS_RE = re.compile(r"\S+")
+# A BPE-ish sub-word token pattern: words, numbers, or single non-space marks
+_BPE_RE = re.compile(r"[A-Za-zÀ-ÿ]+|[0-9]+|[^\sA-Za-zÀ-ÿ0-9]")
+
+# Tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic (matches the fixture vocab in sources/corpus.py plus common
+# real-language function words).
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "a", "to", "over", "with", "through", "in", "is"},
+    "de": {"der", "die", "das", "und", "den", "über", "durch", "mit", "ein", "ist"},
+    "fr": {"le", "la", "les", "et", "dans", "par", "sur", "des", "un", "est"},
+    "es": {"el", "la", "los", "las", "y", "por", "sobre", "con", "un", "es"},
+}
+
+
+def add_token_counts(batch: pa.Table) -> pa.Table:
+    """Whitespace tokens + BPE-ish sub-word tokens per document."""
+    texts = batch.column("text").to_pandas().astype("string").fillna("")
+    n_ws = texts.str.count(_WS_RE.pattern).astype("int64")
+    n_bpe = texts.str.count(_BPE_RE.pattern).astype("int64")
+    return batch.append_column("n_tokens", pa.array(n_ws, pa.int64())).append_column(
+        "n_bpe_tokens", pa.array(n_bpe, pa.int64())
+    )
+
+
+def add_quality_signals(batch: pa.Table) -> pa.Table:
+    """Length / punctuation / stopword-ratio quality signals (the usual
+    web-text filtering features), fully vectorized."""
+    texts = batch.column("text").to_pandas().astype("string").fillna("")
+    n_chars = texts.str.len().astype("int64")
+    n_words = texts.str.count(r"\S+").astype("int64")
+    n_alpha = texts.str.count(r"[A-Za-zÀ-ÿ]").astype("int64")
+    n_punct = texts.str.count(r"[.,;:!?]").astype("int64")
+    n_upper = texts.str.count(r"[A-ZÀ-Þ]").astype("int64")
+    denom = n_chars.clip(lower=1).astype("float64")
+    wdenom = n_words.clip(lower=1).astype("float64")
+    lower_words = texts.str.lower().str.findall(r"[a-zà-ÿ]+")
+    stop_all = set().union(*_LANG_PROFILES.values())
+    stop_counts = lower_words.map(lambda ws: sum(1 for w in ws if w in stop_all))
+    out = batch
+    for name, arr in [
+        ("n_chars_m", n_chars),
+        ("n_words", n_words),
+        ("alpha_ratio", (n_alpha / denom).round(6)),
+        ("punct_ratio", (n_punct / denom).round(6)),
+        ("upper_ratio", (n_upper / denom).round(6)),
+        ("mean_word_len", (n_alpha / wdenom).round(6)),
+        ("stopword_ratio", (np.asarray(stop_counts, dtype=np.float64) / wdenom).round(6)),
+    ]:
+        typ = pa.int64() if arr.dtype.kind == "i" else pa.float64()
+        out = out.append_column(name, pa.array(np.asarray(arr), typ))
+    return out
+
+
+def add_lang_id(batch: pa.Table) -> pa.Table:
+    """Stopword-profile language ID: argmax over per-language hit ratios;
+    below-threshold -> 'zz' (unknown). Deterministic tie-break by lang code."""
+    texts = batch.column("text").to_pandas().astype("string").fillna("")
+    words = texts.str.lower().str.findall(r"[a-zà-ÿü]+")
+    langs = []
+    for ws in words:
+        best_lang, best = "zz", 0.0
+        n = max(1, len(ws))
+        for lang in sorted(_LANG_PROFILES):
+            hits = sum(1 for w in ws if w in _LANG_PROFILES[lang])
+            score = hits / n
+            if score > best:
+                best, best_lang = score, lang
+        langs.append(best_lang if best >= 0.08 else "zz")
+    return batch.append_column("lang_id", pa.array(langs, pa.string()))
+
+
+def add_fingerprint(batch: pa.Table, window: int = 4) -> pa.Table:
+    """Rolling-hash document fingerprint (winnowing-style): hash every
+    ``window``-gram of whitespace tokens, keep the minimum — robust to small
+    edits away from the minimizing window."""
+    texts = batch.column("text").to_pandas().astype("string").fillna("")
+    fps = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = _WS_RE.findall(t)
+        if not toks:
+            continue
+        if len(toks) < window:
+            grams = [" ".join(toks)]
+        else:
+            grams = [" ".join(toks[j : j + window]) for j in range(len(toks) - window + 1)]
+        fps[i] = hash64(grams).min()
+    return batch.append_column("fingerprint", pa.array(fps, pa.uint64()))

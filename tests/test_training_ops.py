@@ -1,0 +1,214 @@
+"""Training-data operator tests over the sf0.001 testdata tables."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_token_counts(docs):
+    from abwcf_ray.stages.text import add_token_counts
+
+    out = docs.map_batches(add_token_counts, batch_format="pyarrow").to_pandas()
+    manual = out["text"].str.count(r"\S+")
+    assert (out["n_tokens"] == manual).all()
+    assert (out["n_bpe_tokens"] >= out["n_tokens"]).all()
+
+
+def test_quality_signals(docs):
+    from abwcf_ray.stages.text import add_quality_signals
+
+    out = docs.map_batches(add_quality_signals, batch_format="pyarrow").to_pandas()
+    assert ((out["alpha_ratio"] >= 0) & (out["alpha_ratio"] <= 1)).all()
+    assert (out["n_chars_m"] == out["text"].str.len()).all()
+    assert (out["n_words"] > 0).any()
+
+
+def test_lang_id(docs, ray_session):
+    """Accuracy on genuinely language-specific text (the testdata documents'
+    ``lang`` label is uncorrelated with their text, so it can't be the
+    target); on documents we only require valid labels."""
+    import random
+
+    import ray.data as rd
+
+    from abwcf_ray.sources.corpus import _VOCAB
+    from abwcf_ray.stages.text import add_lang_id
+
+    rng = random.Random(7)
+    rows = []
+    for lang, vocab in _VOCAB.items():
+        for i in range(30):
+            rows.append(
+                {"lang": lang, "text": " ".join(rng.choice(vocab) for _ in range(40))}
+            )
+    ds = rd.from_items(rows)
+    out = ds.map_batches(add_lang_id, batch_format="pyarrow").to_pandas()
+    known = out[out["lang"].isin(["en", "de", "fr", "es"])]
+    acc = (known["lang_id"] == known["lang"]).mean()
+    assert acc > 0.8, f"lang-id accuracy {acc}"
+
+    labels = docs.map_batches(add_lang_id, batch_format="pyarrow").to_pandas()["lang_id"]
+    assert labels.isin(["en", "de", "fr", "es", "zz"]).all()
+
+
+def test_fingerprint_stability(docs):
+    from abwcf_ray.stages.text import add_fingerprint
+
+    out = docs.map_batches(add_fingerprint, batch_format="pyarrow").to_pandas()
+    dup_mask = out.duplicated("text", keep=False)
+    fp_by_text = out.groupby("text")["fingerprint"].nunique()
+    assert (fp_by_text == 1).all()  # same text -> same fingerprint
+    assert out["fingerprint"].astype("uint64").nunique() > 1
+
+
+def test_exact_dedup(docs):
+    from abwcf_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(docs).to_pandas()
+    pdf = docs.to_pandas()
+    expected = pdf.groupby("text")["doc_id"].min().sort_values()
+    assert sorted(out["doc_id"]) == sorted(expected)
+    assert out["dup_count"].sum() == len(pdf)
+
+
+def test_minhash_lsh_finds_exact_dups(docs):
+    from abwcf_ray.stages.dedup import minhash_lsh_dedup
+
+    labels = minhash_lsh_dedup(docs, threshold=0.9)
+    pdf = docs.to_pandas()
+    text_min = pdf.groupby("text")["doc_id"].transform("min")
+    exact_dup = (pdf["doc_id"] != text_min).to_numpy()
+    got = labels.set_index("doc_id").loc[pdf["doc_id"], "is_dup"].to_numpy()
+    # every exact duplicate must be caught by minhash at any threshold
+    assert (got[exact_dup]).all()
+
+
+def test_simhash_dedup_runs(docs):
+    from abwcf_ray.stages.dedup import simhash_dedup
+
+    labels = simhash_dedup(docs, max_hamming=0)
+    pdf = docs.to_pandas()
+    text_min = pdf.groupby("text")["doc_id"].transform("min")
+    exact_dup = (pdf["doc_id"] != text_min).to_numpy()
+    got = labels.set_index("doc_id").loc[pdf["doc_id"], "is_dup"].to_numpy()
+    assert (got[exact_dup]).all()
+
+
+def test_ngram_jaccard(docs):
+    from abwcf_ray.stages.dedup import ngram_jaccard_dedup
+
+    small = docs.limit(200)
+    labels = ngram_jaccard_dedup(small, threshold=0.99)
+    pdf = small.to_pandas()
+    text_min = pdf.groupby("text")["doc_id"].transform("min")
+    exact_dup = (pdf["doc_id"] != text_min).to_numpy()
+    got = labels.set_index("doc_id").loc[pdf["doc_id"], "is_dup"].to_numpy()
+    assert (got[exact_dup]).all()
+
+
+def test_knn_bruteforce_matches_numpy(embs):
+    from abwcf_ray.stages.similarity import knn_bruteforce
+
+    pdf = embs.to_pandas()
+    mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    mat, ids = mat[order], ids[order]
+    queries = mat[:3]
+    got = knn_bruteforce(embs, queries, k=5, query_ids=ids[:3])
+
+    unit = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+    for qi_idx in range(3):
+        cos = unit @ unit[qi_idx]
+        cos[qi_idx] = -np.inf
+        top = np.argsort(-cos)[:5]
+        expected = ids[top].tolist()
+        sub = got[got["query_id"] == ids[qi_idx]].sort_values("rank")
+        assert sub["neighbor_id"].tolist() == expected
+
+
+def test_knn_ivf_recall(embs):
+    from abwcf_ray.stages.similarity import knn_bruteforce, knn_ivf
+
+    pdf = embs.to_pandas()
+    mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    queries = mat[:3]
+    exact = knn_bruteforce(embs, queries, k=5, query_ids=ids[:3])
+    approx = knn_ivf(embs, queries, k=5, nlist=8, nprobe=4, query_ids=ids[:3])
+    recalls = []
+    for q in ids[:3]:
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_embedding_dedup_self_consistent(ray_session):
+    import ray.data as rd
+    from abwcf_ray.stages.dedup import embedding_dedup
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((50, 16))
+    dup = base[:10] * 1.001  # near-identical directions
+    vecs = np.vstack([base, dup])
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(t)
+    labels = embedding_dedup(ds, threshold=0.999, planes=6)
+    lab = labels.set_index("vec_id")
+    # each duplicated vector must cluster with its original
+    caught = sum(lab.loc[50 + i, "cluster"] == lab.loc[i, "cluster"] for i in range(10))
+    assert caught >= 8  # LSH recall: near-identical pairs share buckets
+
+
+def test_multimodal_fake_decode(ray_session):
+    import ray.data as rd
+    from abwcf_ray.stages.multimodal import AudioFeaturizer, ImageDecoder, decode_images, make_frame_sampler
+
+    payloads = [bytes([i % 256]) * (1024 * (i + 1)) for i in range(20)]
+    t = pa.table(
+        {
+            "media_id": pa.array(range(20), pa.int64()),
+            "kind": pa.array(["image"] * 20),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/fake"] * 20),
+        }
+    )
+    ds = rd.from_arrow(t)
+    out = decode_images(ds, fake=True, concurrency=2, batch_size=8).to_pandas()
+    assert len(out) == 20 and (out["n_pixels"] == out["width"] * out["height"]).all()
+    out2 = decode_images(ds, fake=True, concurrency=2, batch_size=8).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("media_id").reset_index(drop=True),
+        out2.sort_values("media_id").reset_index(drop=True),
+    )
+    with pytest.raises(NotImplementedError):
+        ImageDecoder(fake=False)
+    with pytest.raises(NotImplementedError):
+        AudioFeaturizer(fake=False)
+    frames = ds.map_batches(make_frame_sampler(5), batch_format="pyarrow").to_pandas()
+    assert frames["media_id"].nunique() == 20
