@@ -99,8 +99,7 @@ def _q_frontier_topk(sf_dir: str):
         _derive_frontier_batch, batch_format="pyarrow"
     )
     delays = {f"https://h{h}.example": _delay_ms_for_host_num(h) for h in range(_HOSTS)}
-    selected = select_wave(ds, ray.put(delays), cfg)
-    out = selected.to_pandas()
+    out = select_wave(ds, ray.put(delays), cfg)
     out = out.sort_values(["host", "priority", "url"], ascending=[True, False, True])
     out["rank_in_host"] = out.groupby("host").cumcount().astype(np.int64)
     return out[["host", "url", "priority", "rank_in_host"]].reset_index(drop=True)

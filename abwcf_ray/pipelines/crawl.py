@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import json
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from pathlib import Path
 
 import numpy as np
@@ -59,8 +59,9 @@ from abwcf_ray.stages.transform import (
     make_strict_robots_filter,
     make_update_status,
 )
+from abwcf_ray.stages.transform import partial_host_counts
 from abwcf_ray.state.hosts import HostsState, RobotsFetchSim
-from abwcf_ray.state.seen import SeenSet
+from abwcf_ray.state.seen import HashAccumulator, SeenSet
 
 # Hosts fetched per wave below this threshold are resolved on the driver
 # (spinning a Ray stage costs more than the lookups); above it the robots
@@ -165,6 +166,21 @@ def _host_prep(
     return len(need)
 
 
+def _rebuild_dedup_columns(batch: pa.Table) -> pa.Table:
+    """(url, min(depth)) -> (url, host, depth): vectorized host extraction
+    from canonical urls (scheme://authority prefix)."""
+    urls = batch.column("url").to_pandas().astype("string")
+    hosts = urls.str.extract(r"^([A-Za-z0-9+.\-]+://[^/]+)", expand=False)
+    depth_col = "min(depth)" if "min(depth)" in batch.schema.names else "depth"
+    return pa.table(
+        {
+            "url": batch.column("url"),
+            "host": pa.array(hosts.fillna(""), pa.string()),
+            "depth": batch.column(depth_col).cast(pa.int32()),
+        }
+    )
+
+
 def _collect_arrow(ds: "rd.Dataset") -> pa.Table:
     """Materialize a SMALL dataset to one arrow table on the driver."""
     tables = [ray.get(ref) for ref in ds.to_arrow_refs()]
@@ -241,8 +257,17 @@ def run_crawl(
     scope = make_scope_filter_stage(cfg)
     fetch_group = make_fetch_group_fn(corpus.pages_dir)
 
+    reject_accum = HashAccumulator.remote()
+
     for wave in range(start_wave, cfg.max_waves):
         t0 = time.perf_counter()
+        step_t = {}
+
+        def _mark(name: str, _s=[t0]) -> None:
+            now = time.perf_counter()
+            step_t[name] = round(now - _s[0], 3)
+            _s[0] = now
+
         now_s = wave * cfg.wave_duration_s
         wdir = _wave_dir(out, wave)
         metrics: dict = {"wave": wave, "completed": False}
@@ -254,46 +279,44 @@ def run_crawl(
         )
 
         # ---- host-prep (C3/C4/A3) ---------------------------------------
-        host_counts = eligible.groupby("host").count().to_pandas()
-        hosts_needed = host_counts["host"].tolist()
+        # shuffle-free host histogram: per-batch partials merged on driver
+        partials = _collect_arrow(
+            eligible.map_batches(partial_host_counts, batch_format="pyarrow")
+        )
+        if partials is not None:
+            host_counts = (
+                partials.to_pandas().groupby("host", sort=False)["n"].sum()
+            )
+            hosts_needed = host_counts.index.tolist()
+        else:
+            host_counts = pd.Series(dtype="int64")
+            hosts_needed = []
+        _mark("host_histogram")
         n_robots = _host_prep(cfg, hosts_state, corpus.robots_path, hosts_needed, now_s)
         wdir.mkdir(parents=True, exist_ok=True)
         hosts_state.checkpoint(wdir / "hosts.parquet")
         hosts_ref = ray.put(hosts_state.broadcast_payload(now_s))
         delay_ref = ray.put(hosts_state.delay_payload(now_s))
         metrics.update(
-            n_eligible=int(host_counts["count()"].sum()),
+            n_eligible=int(host_counts.sum()),
             n_hosts_eligible=len(hosts_needed),
             n_robots_fetched=n_robots,
         )
+        _mark("host_prep")
 
         # ---- strict robots (C2) + politeness selection (D1/D2) ----------
-        strict = eligible.map_batches(
-            make_strict_robots_filter(hosts_ref), batch_format="pyarrow"
-        )
-        allowed = strict.map_batches(
-            lambda t: t.filter(t["allowed"]).drop_columns(["allowed"]),
+        # one pass: allowed rows stream into the shuffle-free partial top-k
+        # selection; rejects side-channel into the accumulator
+        allowed = eligible.map_batches(
+            make_strict_robots_filter(hosts_ref, reject_accum),
             batch_format="pyarrow",
         )
-        disallowed_tbl = _collect_arrow(
-            strict.map_batches(
-                lambda t: pa.table(
-                    {"url": t.filter(pc.invert(t["allowed"])).column("url")}
-                ),
-                batch_format="pyarrow",
-            )
-        )
-        disallowed_hashes = (
-            hash64(disallowed_tbl.column("url").to_pylist())
-            if disallowed_tbl is not None
-            else np.array([], dtype=np.uint64)
-        )
-
-        selected_ds = select_wave(allowed, delay_ref, cfg)
-        selected_tbl = _collect_arrow(selected_ds)
-        n_selected = 0 if selected_tbl is None else selected_tbl.num_rows
+        selected_raw = select_wave(allowed, delay_ref, cfg)
+        disallowed_hashes = ray.get(reject_accum.drain.remote())
+        n_selected = len(selected_raw)
         budget_left = cfg.max_pages - total_fetched
         metrics["n_disallowed"] = int(len(disallowed_hashes))
+        _mark("select")
 
         if n_selected == 0:
             # terminal wave: write final frontier (status updates only)
@@ -325,7 +348,7 @@ def run_crawl(
         # canonical ordering + budget trim (driver-side: the selected set is
         # politeness-bounded; at 10^8-host scale this becomes a distributed
         # sort by (priority desc, url asc) + limit)
-        sel_df = rank_selected(selected_tbl.to_pandas())
+        sel_df = rank_selected(selected_raw)
         if len(sel_df) > budget_left:
             sel_df = sel_df.iloc[: int(budget_left)].copy()
         sel_df["wave"] = np.int32(wave)
@@ -350,6 +373,7 @@ def run_crawl(
             .map_batches(process_fetched, batch_format="pyarrow")
             .materialize()  # politeness-bounded working set (html dropped)
         )
+        _mark("fetch_process")
 
         status_hist = {
             int(r["fetch_status"]): int(r["count()"])
@@ -360,6 +384,7 @@ def run_crawl(
             batch_format="pyarrow",
         )
         extracted.write_parquet(str(wdir / "extracted"))
+        _mark("extract_write")
 
         # ---- candidate pipeline (B1 -> B4 -> B5 -> C1 -> F1 -> B7) ------
         candidates = (
@@ -368,9 +393,14 @@ def run_crawl(
             .map_batches(scope, batch_format="pyarrow")
             .map_batches(make_lenient_robots_filter(hosts_ref), batch_format="pyarrow")
         )
-        # wave-dedup: one row per url, min depth wins (canonical first-discovery)
-        deduped = candidates.groupby("url").map_groups(
-            lambda g: g.nsmallest(1, "depth"), batch_format="pandas"
+        # wave-dedup: one row per url, min depth wins (canonical
+        # first-discovery). Native Min aggregate (vectorized) — a per-group
+        # Python callable here costs ~1 pandas call per URL. Host is
+        # re-derived from the canonical url afterwards (pure string slice).
+        deduped = (
+            candidates.groupby("url")
+            .min("depth")
+            .map_batches(_rebuild_dedup_columns, batch_format="pyarrow")
         )
         new_rows = (
             deduped.map_batches(make_seen_filter(seen, wave), batch_format="pyarrow")
@@ -391,8 +421,10 @@ def run_crawl(
             make_update_status(processed_ref, disallowed_ref), batch_format="pyarrow"
         ).union(new_rows)
         frontier_next.write_parquet(str(wdir / "frontier"))
+        _mark("frontier_write")
 
         seen.checkpoint(wdir / "seen")
+        _mark("seen_ckpt")
         total_fetched += n_selected
         n_frontier = _parquet_rows(wdir / "frontier")
         prev_rows = _parquet_rows(Path(prev_frontier))
@@ -405,6 +437,7 @@ def run_crawl(
             total_fetched=total_fetched,
             seen_size=seen.size(),
             duration_s=round(time.perf_counter() - t0, 3),
+            step_times=step_t,
             completed=True,
             files={
                 "frontier": _file_lineage(wdir / "frontier"),

@@ -212,6 +212,13 @@ def _gen_robots(host_id: int, seed: int) -> tuple[str, int, int, bytes | None]:
     return host, status, hops, "\n".join(lines).encode()
 
 
+def rank0_urls(meta: "CorpusMeta", k: int) -> list[str]:
+    """Rank-0 (layer-0) page urls of the first ``k`` hosts — wide seed lists
+    for throughput benchmarks where the ramp-up of frontier growth should
+    not dominate the measurement."""
+    return [_page_url(h, 0) for h in range(min(k, meta.n_hosts))]
+
+
 def generate_corpus(
     out_dir: str | Path,
     n_pages: int = 2000,

@@ -9,12 +9,19 @@ reference's nondeterministic arrival order; cross-host interleaving, random
 in the reference via HostQueueRouter.scala:13, is canonicalized to the same
 sort over the selected set).
 
-This is THE wide shuffle of the pipeline, keyed by host. Host skew (a
-heavy-hitter domain with millions of frontier rows) is handled by salting:
-phase 1 groups by ``(host, salt)`` with ``salt = hash64(url) % S`` and takes
-the per-salt top-k; phase 2 re-groups the ≤ S·k_h survivors by host and
-takes the exact top-k — selection after the re-merge is exact because every
-candidate that could be in the true top-k survives its salt group.
+Implementation: **shuffle-free partial top-k.** Each block independently
+keeps its local top-``k_h`` per host (one vectorized pandas
+sort+cumcount per block — no Python per host), which is a superset of that
+block's contribution to the global top-k; the partials (≤ k_h per host per
+block, bounded by the politeness budget) are then merged with one final
+top-k pass. No all-to-all shuffle, and a heavy-hitter host never
+materializes as a single group — every block prunes it to k_h rows first
+(this subsumes the salted-repartition design in SURVEY.md §4.2: pruning
+before the exchange is strictly stronger than salting the exchange).
+
+At multi-node scale the merge pass runs as a tree (partials are politeness-
+bounded: Σ_h k_h × #blocks rows worst case, k_h rows per host per block);
+in this sandbox the merge is a single driver-side vectorized pass.
 """
 
 from __future__ import annotations
@@ -24,9 +31,11 @@ import pandas as pd
 import ray
 
 from abwcf_ray.config import CrawlConfig
-from abwcf_ray.functions.hashing import hash64
 
-_SALT_SEED = 0x5A17
+_SELECT_COLS = ["url", "host", "depth", "priority"]
+
+# per-worker-process cache: delay_ref -> (k_by_host dict)
+_K_CACHE: dict = {}
 
 
 def budget_for_delay(delay_ms: int, wave_duration_s: float) -> int:
@@ -37,48 +46,44 @@ def budget_for_delay(delay_ms: int, wave_duration_s: float) -> int:
     return max(1, int(wave_duration_s * 1000) // delay_ms)
 
 
-def _add_salt(batch, salt_buckets: int):
-    import pyarrow as pa
-
-    salts = hash64(batch.column("url").to_pylist(), seed=_SALT_SEED) % np.uint64(
-        max(1, salt_buckets)
-    )
-    return batch.append_column("salt", pa.array(salts.astype(np.int32), pa.int32()))
-
-
-def _topk_fn(delay_ref, wave_duration_s: float):
-    """Per-group top-k: sort (priority desc, url asc), head(k_h)."""
-
-    def topk(group: pd.DataFrame) -> pd.DataFrame:
-        host = group["host"].iloc[0]
+def _k_by_host(delay_ref, wave_duration_s: float) -> dict[str, int]:
+    key = (delay_ref, wave_duration_s)
+    k = _K_CACHE.get(key)
+    if k is None:
+        if len(_K_CACHE) >= 8:
+            _K_CACHE.pop(next(iter(_K_CACHE)))
         delays = ray.get(delay_ref)
-        k = budget_for_delay(delays.get(host, 1000), wave_duration_s)
-        out = group.sort_values(
-            ["priority", "url"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        return out
-
-    return topk
+        k = {h: budget_for_delay(d, wave_duration_s) for h, d in delays.items()}
+        _K_CACHE[key] = k
+    return k
 
 
-def select_wave(
-    eligible,
-    delay_ref: "ray.ObjectRef",
-    cfg: CrawlConfig,
-):
+def topk_per_host(df: pd.DataFrame, k_by_host: dict[str, int], default_k: int = 1) -> pd.DataFrame:
+    """Vectorized exact per-host top-k by (priority desc, url asc)."""
+    if df.empty:
+        return df
+    df = df.sort_values(["host", "priority", "url"], ascending=[True, False, True],
+                        kind="mergesort")
+    rank = df.groupby("host", sort=False).cumcount()
+    k = df["host"].map(k_by_host).fillna(default_k).to_numpy(dtype=np.int64)
+    return df[rank.to_numpy() < k]
+
+
+def select_wave(eligible, delay_ref: "ray.ObjectRef", cfg: CrawlConfig) -> pd.DataFrame:
     """eligible frontier rows (url, host, depth, priority, ...) -> the wave's
-    fetch set with exact per-host top-k under the politeness budget."""
-    cols = ["url", "host", "depth", "priority"]
-    ds = eligible.select_columns(cols)
-    topk = _topk_fn(delay_ref, cfg.wave_duration_s)
-    if cfg.salt_buckets > 1:
-        ds = ds.map_batches(
-            lambda b: _add_salt(b, cfg.salt_buckets), batch_format="pyarrow"
-        )
-        ds = ds.groupby(["host", "salt"]).map_groups(topk, batch_format="pandas")
-        ds = ds.drop_columns(["salt"])
-    selected = ds.groupby("host").map_groups(topk, batch_format="pandas")
-    return selected
+    fetch set (pandas) with exact per-host top-k under the politeness
+    budget."""
+    wave_s = cfg.wave_duration_s
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return topk_per_host(batch[_SELECT_COLS], _k_by_host(delay_ref, wave_s))
+
+    partials = (
+        eligible.select_columns(_SELECT_COLS)
+        .map_batches(partial_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return topk_per_host(partials, _k_by_host(delay_ref, wave_s)).reset_index(drop=True)
 
 
 def rank_selected(selected_df: pd.DataFrame) -> pd.DataFrame:

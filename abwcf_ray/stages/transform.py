@@ -154,17 +154,27 @@ def make_lenient_robots_filter(hosts_ref):
     return lenient_robots
 
 
-def make_strict_robots_filter(hosts_ref):
+def make_strict_robots_filter(hosts_ref, reject_accum=None):
     """C2 (StrictRobotsFilter.scala:72-133): evaluated just before fetch;
-    adds an ``allowed`` column (rejects become status=Disallowed in the
-    frontier, :128-131). After host-prep every eligible host is known; a
+    passes allowed rows downstream. Rejected urls (-> status=Disallowed in
+    the frontier, :128-131) are side-channeled to ``reject_accum`` (a
+    HashAccumulator actor) in the SAME pass — one scan of the eligible set
+    instead of two. After host-prep every eligible host is known; a
     still-unknown host fails closed (:109-113)."""
 
     def strict_robots(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch.append_column("allowed", pa.array([], pa.bool_()))
+            return batch
         mask = _allowed_mask(hosts_ref, batch, False)
-        return batch.append_column("allowed", pa.array(mask))
+        if reject_accum is not None and not mask.all():
+            rejected = hash64(
+                pa.compute.filter(batch.column("url"), pa.array(~mask)).to_pylist()
+            )
+            # synchronous add: guarantees the accumulator has applied this
+            # batch's rejects before the pass is considered complete (set
+            # union, so task retries are idempotent)
+            ray.get(reject_accum.add.remote(rejected))
+        return batch.filter(pa.array(mask))
 
     return strict_robots
 
@@ -293,6 +303,20 @@ def explode_links(batch: pa.Table) -> pa.Table:
 # --------------------------------------------------------------------------
 # Frontier status update (A4: batched UPDATE pages SET status)
 # --------------------------------------------------------------------------
+def partial_host_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch (host, n) partials — the shuffle-free replacement for
+    ``groupby(host).count()``: hosts ≪ rows, so partials collected on the
+    driver and merged in pandas cost O(#hosts), not an all-to-all sort
+    (SURVEY.md 'pre-aggregate inside map_batches before a groupby')."""
+    vc = batch.column("host").to_pandas().value_counts()
+    return pa.table(
+        {
+            "host": pa.array(vc.index.astype(str), pa.string()),
+            "n": pa.array(vc.to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )
+
+
 def make_update_status(processed_ref: "ray.ObjectRef", disallowed_ref: "ray.ObjectRef"):
     """Rewrites frontier statuses from broadcast hash sets of this wave's
     processed / disallowed urls (the politeness budget bounds both sets)."""

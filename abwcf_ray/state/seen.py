@@ -80,6 +80,25 @@ class SeenShard:
         return len(self._waves)
 
 
+@ray.remote(num_cpus=0)
+class HashAccumulator:
+    """Side-channel collector for per-wave reject sets (strict robots):
+    map tasks add hashes synchronously during their pass; the driver drains
+    once the pass completes. Set union -> idempotent under task retries."""
+
+    def __init__(self) -> None:
+        self._set: set[int] = set()
+
+    def add(self, hashes: np.ndarray) -> None:
+        self._set.update(int(h) for h in hashes)
+
+    def drain(self) -> np.ndarray:
+        arr = np.fromiter(self._set, dtype=np.uint64, count=len(self._set))
+        arr.sort()
+        self._set = set()
+        return arr
+
+
 class SeenSet:
     """Driver-side handle over the shard pool. The handle (actor refs +
     shard count) is cheap to serialize into ``map_batches`` closures."""

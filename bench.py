@@ -1,0 +1,184 @@
+"""Benchmark harness.
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline seconds>, "unit": "sec",
+     "queries": {...per-pipeline seconds...}, "sf": ..., "num_cpus": N,
+     "pages_per_sec": ...}
+
+Headline = the end-to-end wave crawl (fetch-sim + parse + extract + dedup +
+schedule) over a fixture corpus sized from the sf's documents table; corpus
+generation is cached in /tmp and excluded from timing (it stands in for the
+existing web, not for work the engine does).
+
+``--scaling`` runs the same bench twice in FRESH processes at num_cpus=8 and
+num_cpus=32 (the sandbox substitute for N vs 4N Ray nodes) and reports both
+throughputs plus scaling efficiency = (pages/s at 32) / (4 x pages/s at 8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+CRAWL_WAVES = 5
+CRAWL_WAVE_S = 30.0
+
+
+def _corpus():
+    import pyarrow.parquet as pq
+
+    from abwcf_ray.sources.corpus import generate_corpus
+
+    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    n_pages = max(20_000, min(200_000, n_docs * 20))
+    return generate_corpus(
+        f"/tmp/abwcf_bench_corpus_{n_pages}", n_pages=n_pages, seed=42, num_buckets=64
+    )
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+
+    from abwcf_ray.config import CrawlConfig
+    from abwcf_ray.pipelines.crawl import run_crawl
+    from abwcf_ray.stages.dedup import exact_dedup, minhash_lsh_dedup
+    from abwcf_ray.stages.similarity import knn_bruteforce
+    from abwcf_ray.stages.text import add_lang_id, add_quality_signals, add_token_counts
+
+    corpus = _corpus()  # cached; generation excluded from timing
+
+    # warm the OS page cache so we measure compute + shuffle, not cold reads
+    rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
+    rd.read_parquet(f"{SF_DIR}/embeddings.parquet").count()
+
+    queries: dict[str, float] = {}
+    import numpy as np
+
+    # ---- headline: end-to-end crawl ------------------------------------
+    out_dir = Path(f"/tmp/abwcf_bench_crawl_{NUM_CPUS}")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = CrawlConfig(
+        max_waves=CRAWL_WAVES,
+        wave_duration_s=CRAWL_WAVE_S,
+        seen_shards=8,
+        corpus_buckets=corpus.num_buckets,
+        max_crawl_depth=16,
+    )
+    # wide seeding: half the hosts start non-empty so the measurement covers
+    # steady-state waves, not the frontier ramp-up from a handful of seeds
+    from abwcf_ray.sources.corpus import rank0_urls
+
+    seeds = rank0_urls(corpus, corpus.n_hosts // 2)
+    t0 = time.perf_counter()
+    summary = run_crawl(cfg, corpus, out_dir, seeds=seeds, log=lambda *_: None)
+    crawl_s = time.perf_counter() - t0
+    queries["crawl"] = round(crawl_s, 3)
+    pages_per_sec = summary.total_fetched / crawl_s
+
+    # ---- secondary pipelines over the sf tables ------------------------
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+    t0 = time.perf_counter()
+    exact_dedup(docs).count()
+    queries["exact_dedup"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    minhash_lsh_dedup(docs, threshold=0.9)
+    queries["minhash_dedup"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    (
+        docs.map_batches(add_token_counts, batch_format="pyarrow")
+        .map_batches(add_quality_signals, batch_format="pyarrow")
+        .map_batches(add_lang_id, batch_format="pyarrow")
+        .count()
+    )
+    queries["text_analysis"] = round(time.perf_counter() - t0, 3)
+
+    embs = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    qdf = embs.to_pandas().sort_values("vec_id").head(8)
+    t0 = time.perf_counter()
+    knn_bruteforce(
+        embs,
+        np.array(list(qdf["embedding"]), dtype=np.float64),
+        k=10,
+        query_ids=qdf["vec_id"].to_numpy(),
+    )
+    queries["knn"] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "crawl pages/s + frontier-wave wall-time (fixture corpus "
+        f"n_pages={corpus.n_pages}, {CRAWL_WAVES} waves) + training-data ops over {SF_DIR}",
+        "value": round(crawl_s, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages_per_sec": round(pages_per_sec, 1),
+        "pages_fetched": summary.total_fetched,
+        "waves": summary.waves,
+        "frontier_rows": summary.final_frontier_rows,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Two fresh processes at 8 and 32 CPUs on the same input."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True,
+            check=True, cwd=str(Path(__file__).parent),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (hi["pages_per_sec"] / lo["pages_per_sec"]) / (32 / 8)
+    return {
+        "metric": "scaling efficiency pages/s @8cpu -> @32cpu",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "pages_per_sec_8": lo["pages_per_sec"],
+        "pages_per_sec_32": hi["pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "queries_8": lo["queries"],
+        "queries_32": hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))
