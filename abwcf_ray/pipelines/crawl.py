@@ -61,7 +61,7 @@ from abwcf_ray.stages.transform import (
 )
 from abwcf_ray.stages.transform import partial_host_counts
 from abwcf_ray.state.hosts import HostsState, RobotsFetchSim
-from abwcf_ray.state.seen import HashAccumulator, SeenSet
+from abwcf_ray.state.seen import HashAccumulator, HostSetAccumulator, SeenSet
 
 # Hosts fetched per wave below this threshold are resolved on the driver
 # (spinning a Ray stage costs more than the lookups); above it the robots
@@ -258,6 +258,12 @@ def run_crawl(
     fetch_group = make_fetch_group_fn(corpus.pages_dir)
 
     reject_accum = HashAccumulator.remote()
+    host_accum = HostSetAccumulator.remote()
+    # hosts of next wave's Discovered rows, carried over from the previous
+    # wave's frontier-write side-channel (None -> fall back to a scan, e.g.
+    # on the first wave of this process or after resume)
+    carried_hosts: list[str] | None = None
+    n_discovered_est: int | None = None
 
     for wave in range(start_wave, cfg.max_waves):
         t0 = time.perf_counter()
@@ -279,18 +285,22 @@ def run_crawl(
         )
 
         # ---- host-prep (C3/C4/A3) ---------------------------------------
-        # shuffle-free host histogram: per-batch partials merged on driver
-        partials = _collect_arrow(
-            eligible.map_batches(partial_host_counts, batch_format="pyarrow")
-        )
-        if partials is not None:
-            host_counts = (
-                partials.to_pandas().groupby("host", sort=False)["n"].sum()
-            )
-            hosts_needed = host_counts.index.tolist()
+        if carried_hosts is not None:
+            # host set carried from the previous frontier-write pass
+            hosts_needed = carried_hosts
+            n_eligible = int(n_discovered_est or 0)
         else:
-            host_counts = pd.Series(dtype="int64")
-            hosts_needed = []
+            # shuffle-free host histogram: per-batch partials, driver merge
+            partials = _collect_arrow(
+                eligible.map_batches(partial_host_counts, batch_format="pyarrow")
+            )
+            if partials is not None:
+                host_counts = partials.to_pandas().groupby("host", sort=False)["n"].sum()
+                hosts_needed = host_counts.index.tolist()
+                n_eligible = int(host_counts.sum())
+            else:
+                hosts_needed = []
+                n_eligible = 0
         _mark("host_histogram")
         n_robots = _host_prep(cfg, hosts_state, corpus.robots_path, hosts_needed, now_s)
         wdir.mkdir(parents=True, exist_ok=True)
@@ -298,7 +308,7 @@ def run_crawl(
         hosts_ref = ray.put(hosts_state.broadcast_payload(now_s))
         delay_ref = ray.put(hosts_state.delay_payload(now_s))
         metrics.update(
-            n_eligible=int(host_counts.sum()),
+            n_eligible=n_eligible,
             n_hosts_eligible=len(hosts_needed),
             n_robots_fetched=n_robots,
         )
@@ -327,7 +337,7 @@ def run_crawl(
                 batch_format="pyarrow",
             )
             frontier_next.write_parquet(str(wdir / "frontier"))
-            (wdir / "extracted").mkdir(parents=True, exist_ok=True)
+            (wdir / "processed").mkdir(parents=True, exist_ok=True)
             (wdir / "selected").mkdir(parents=True, exist_ok=True)
             seen.checkpoint(wdir / "seen")
             metrics.update(
@@ -363,27 +373,31 @@ def run_crawl(
         n_selected = len(sel_df)
 
         # ---- fetch-sim (A2) + process (A7, B1-B3) -----------------------
+        # ONE Ray execution: fetch-join -> html parse (text+links) ->
+        # processed parquet. The checkpoint doubles as (a) the extracted-
+        # text artifact (rows with is_html), (b) the candidate source, and
+        # (c) the metrics source — read back cheaply, never recomputed.
         fetch_input = rd.from_pandas(sel_df[["url", "host", "depth", "priority"]])
         fetch_input = fetch_input.map_batches(
             lambda t: add_bucket_column(t, corpus.num_buckets), batch_format="pyarrow"
         )
-        processed = (
+        (
             fetch_input.groupby("bucket")
             .map_groups(fetch_group, batch_format="pyarrow")
             .map_batches(process_fetched, batch_format="pyarrow")
-            .materialize()  # politeness-bounded working set (html dropped)
+            .write_parquet(str(wdir / "processed"))
         )
         _mark("fetch_process")
 
-        status_hist = {
-            int(r["fetch_status"]): int(r["count()"])
-            for r in processed.groupby("fetch_status").count().take_all()
-        }
-        extracted = processed.map_batches(
-            lambda t: t.filter(t["is_html"]).select(["url", "text"]),
-            batch_format="pyarrow",
+        processed = rd.read_parquet(str(wdir / "processed"))
+        import pyarrow.dataset as pads
+
+        flags = pads.dataset(str(wdir / "processed")).to_table(
+            columns=["fetch_status", "is_html"]
         )
-        extracted.write_parquet(str(wdir / "extracted"))
+        hist = pd.Series(flags.column("fetch_status").to_pylist()).value_counts()
+        status_hist = {int(k): int(v) for k, v in hist.items()}
+        n_extracted = int(pc.sum(flags.column("is_html")).as_py() or 0)
         _mark("extract_write")
 
         # ---- candidate pipeline (B1 -> B4 -> B5 -> C1 -> F1 -> B7) ------
@@ -411,16 +425,18 @@ def run_crawl(
                 ).select(["url", "host", "status", "depth", "priority"]),
                 batch_format="pyarrow",
             )
-            .map_batches(make_seen_add(seen, wave), batch_format="pyarrow")
+            .map_batches(make_seen_add(seen, wave, host_accum), batch_format="pyarrow")
         )
 
         # ---- frontier update + checkpoint -------------------------------
         processed_ref = ray.put(hash64(sel_df["url"].tolist()))
         disallowed_ref = ray.put(disallowed_hashes)
         frontier_next = frontier.map_batches(
-            make_update_status(processed_ref, disallowed_ref), batch_format="pyarrow"
+            make_update_status(processed_ref, disallowed_ref, host_accum),
+            batch_format="pyarrow",
         ).union(new_rows)
         frontier_next.write_parquet(str(wdir / "frontier"))
+        carried_hosts = ray.get(host_accum.drain.remote())
         _mark("frontier_write")
 
         seen.checkpoint(wdir / "seen")
@@ -431,7 +447,7 @@ def run_crawl(
         metrics.update(
             n_selected=n_selected,
             fetch_status=status_hist,
-            n_extracted=_parquet_rows(wdir / "extracted"),
+            n_extracted=n_extracted,
             n_new=n_frontier - prev_rows,
             n_frontier=n_frontier,
             total_fetched=total_fetched,
@@ -441,7 +457,7 @@ def run_crawl(
             completed=True,
             files={
                 "frontier": _file_lineage(wdir / "frontier"),
-                "extracted": _file_lineage(wdir / "extracted"),
+                "processed": _file_lineage(wdir / "processed"),
                 "selected": _file_lineage(wdir / "selected"),
             },
         )
@@ -449,6 +465,10 @@ def run_crawl(
         summary.per_wave.append(metrics)
         summary.waves = wave + 1
         prev_frontier = wdir / "frontier"
+        # exact arithmetic for the next wave's eligible-count metric
+        n_discovered_est = (
+            n_eligible - n_selected - int(len(disallowed_hashes)) + metrics["n_new"]
+        )
         log(
             f"[crawl] wave {wave}: eligible={metrics['n_eligible']} "
             f"selected={n_selected} new={metrics['n_new']} "

@@ -62,6 +62,16 @@ PAGES_SCHEMA = pa.schema(
 _EPOCH_2025 = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in µs
 
 
+# page-weight profiles: (paras_lo, paras_hi, words_lo, words_hi, links_lo,
+# links_hi). "light" keeps unit-test corpora small and fast; "heavy"
+# approximates real web pages (8-15 KB html, tens of links) for throughput
+# benchmarks.
+PROFILES = {
+    "light": (1, 4, 8, 40, 0, 20),
+    "heavy": (6, 14, 30, 90, 10, 50),
+}
+
+
 @dataclass
 class CorpusMeta:
     n_pages: int
@@ -69,6 +79,7 @@ class CorpusMeta:
     num_buckets: int
     n_hosts: int
     out_dir: str
+    profile: str = "light"
 
     @property
     def pages_dir(self) -> str:
@@ -129,23 +140,27 @@ def _noncanonical_variant(host_id: int, rank: int, rng: random.Random) -> str:
     return f"https://h{host_id}.example/.{path}"
 
 
-def _make_text(rng: random.Random, lang: str, host_id: int, rank: int) -> tuple[str, str, list[str]]:
+def _make_text(
+    rng: random.Random, lang: str, host_id: int, rank: int, profile: tuple
+) -> tuple[str, str, list[str]]:
+    p_lo, p_hi, w_lo, w_hi, _, _ = profile
     title = f"Page p{rank} on h{host_id}.example"
     vocab = _VOCAB[lang]
     paras = []
-    for _ in range(rng.randint(1, 4)):
-        n_words = rng.randint(8, 40)
+    for _ in range(rng.randint(p_lo, p_hi)):
+        n_words = rng.randint(w_lo, w_hi)
         paras.append(" ".join(rng.choice(vocab) for _ in range(n_words)))
     text = title + "\n\n" + "\n\n".join(paras)
     return text, title, paras
 
 
-def _gen_page(i: int, host_id: int, rank: int, host_size: int, n_hosts: int, cum: np.ndarray, seed: int):
+def _gen_page(i: int, host_id: int, rank: int, host_size: int, n_hosts: int,
+              cum: np.ndarray, seed: int, profile: tuple = PROFILES["light"]):
     rng = random.Random((seed << 32) ^ i)
     url = _page_url(host_id, rank)
 
     lang = rng.choices(LANGS, weights=LANG_WEIGHTS, k=1)[0]
-    text, title, paras = _make_text(rng, lang, host_id, rank)
+    text, title, paras = _make_text(rng, lang, host_id, rank, profile)
 
     # ~2% of pages are redirects to a same-host canonical target
     if rng.random() < 0.02 and host_size > 1:
@@ -157,10 +172,10 @@ def _gen_page(i: int, host_id: int, rank: int, host_size: int, n_hosts: int, cum
     content_type = "text/plain" if rng.random() < 0.03 else "text/html"
     meta_nofollow = rng.random() < 0.03
 
-    # out-links (FIXTURES.md §3): 0-20 links, ~70% same-host forward,
-    # ~20% cross-host, ~5% non-http, ~5% non-canonical variants
+    # out-links (FIXTURES.md §3): ~70% same-host forward, ~20% cross-host,
+    # ~5% non-http, ~5% non-canonical variants
     links: list[str] = []
-    for _ in range(rng.randint(0, 20)):
+    for _ in range(rng.randint(profile[4], profile[5])):
         r = rng.random()
         if r < 0.70:
             if rank + 1 < host_size:
@@ -225,13 +240,14 @@ def generate_corpus(
     seed: int = 42,
     num_buckets: int = 32,
     chunk_size: int = 20_000,
+    profile: str = "light",
 ) -> CorpusMeta:
     """Generate (or reuse, if already present with identical parameters) the
     fixture corpus under ``out_dir``."""
     out = Path(out_dir)
     n_hosts = max(4, n_pages // 50)
     meta = CorpusMeta(n_pages=n_pages, seed=seed, num_buckets=num_buckets,
-                      n_hosts=n_hosts, out_dir=str(out))
+                      n_hosts=n_hosts, out_dir=str(out), profile=profile)
     meta_path = out / "meta.json"
     if meta_path.exists():
         existing = json.loads(meta_path.read_text())
@@ -253,7 +269,8 @@ def generate_corpus(
                 h = int(host_ids[i - start])
                 rank = i - int(cum[h])
                 url, doc, text, lang, status, ctype, loc, xrt = _gen_page(
-                    i, h, rank, int(cum[h + 1] - cum[h]), n_hosts, cum, seed
+                    i, h, rank, int(cum[h + 1] - cum[h]), n_hosts, cum, seed,
+                    PROFILES[profile],
                 )
                 rows.append((url, _EPOCH_2025 + i * 1_000_000, doc, text, lang,
                              status, ctype, loc, xrt))

@@ -317,9 +317,17 @@ def partial_host_counts(batch: pa.Table) -> pa.Table:
     )
 
 
-def make_update_status(processed_ref: "ray.ObjectRef", disallowed_ref: "ray.ObjectRef"):
+def make_update_status(
+    processed_ref: "ray.ObjectRef",
+    disallowed_ref: "ray.ObjectRef",
+    host_accum=None,
+):
     """Rewrites frontier statuses from broadcast hash sets of this wave's
-    processed / disallowed urls (the politeness budget bounds both sets)."""
+    processed / disallowed urls (the politeness budget bounds both sets).
+    When ``host_accum`` is given, the distinct hosts of rows that REMAIN
+    Discovered are side-channeled to it in the same pass (the next wave's
+    host histogram, no extra frontier scan; set union -> retry-idempotent).
+    """
 
     def update_status(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -332,6 +340,11 @@ def make_update_status(processed_ref: "ray.ObjectRef", disallowed_ref: "ray.Obje
             status[np.isin(h, processed)] = STATUS_PROCESSED
         if len(disallowed):
             status[np.isin(h, disallowed)] = STATUS_DISALLOWED
+        if host_accum is not None:
+            discovered = status == STATUS_DISCOVERED
+            if discovered.any():
+                hosts = pd.Series(batch.column("host").to_pylist())[discovered]
+                ray.get(host_accum.add.remote(hosts.unique().tolist()))
         return batch.set_column(
             batch.schema.get_field_index("status"), "status", pa.array(status, pa.string())
         )
@@ -355,13 +368,18 @@ def make_seen_filter(seen_set, wave: int):
     return seen_filter
 
 
-def make_seen_add(seen_set, wave: int):
+def make_seen_add(seen_set, wave: int, host_accum=None):
     """Pass-through stage that registers urls as seen at the given wave
-    (idempotent setdefault), fused into the new-frontier checkpoint write."""
+    (idempotent setdefault), fused into the new-frontier checkpoint write.
+    New rows are Discovered by construction, so their hosts also feed the
+    next wave's host-set side-channel."""
 
     def seen_add(batch: pa.Table) -> pa.Table:
         if batch.num_rows:
             seen_set.add_urls(batch.column("url").to_pylist(), wave)
+            if host_accum is not None:
+                hosts = pd.unique(np.asarray(batch.column("host").to_pylist(), dtype=object))
+                ray.get(host_accum.add.remote(list(hosts)))
         return batch
 
     return seen_add

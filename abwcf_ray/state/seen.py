@@ -99,6 +99,25 @@ class HashAccumulator:
         return arr
 
 
+@ray.remote(num_cpus=0)
+class HostSetAccumulator:
+    """Collects the distinct hosts of rows that will be Discovered in the
+    NEXT wave's frontier, as a side-channel of the frontier-write pass —
+    saving the next wave a full frontier scan for its host histogram.
+    Set union -> idempotent under task retries."""
+
+    def __init__(self) -> None:
+        self._hosts: set[str] = set()
+
+    def add(self, hosts: list[str]) -> None:
+        self._hosts.update(hosts)
+
+    def drain(self) -> list[str]:
+        out = sorted(self._hosts)
+        self._hosts = set()
+        return out
+
+
 class SeenSet:
     """Driver-side handle over the shard pool. The handle (actor refs +
     shard count) is cheap to serialize into ``map_batches`` closures."""

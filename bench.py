@@ -32,8 +32,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-CRAWL_WAVES = 5
-CRAWL_WAVE_S = 30.0
+CRAWL_WAVES = 4
+# politeness window per wave: large budget so steady-state waves are big
+# (k_h = 300 at the default 1 s crawl delay)
+CRAWL_WAVE_S = 300.0
 
 
 def _corpus():
@@ -42,9 +44,16 @@ def _corpus():
     from abwcf_ray.sources.corpus import generate_corpus
 
     n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
-    n_pages = max(20_000, min(200_000, n_docs * 20))
+    # "heavy" profile: ~8-15 KB html, 10-50 links/page — Common-Crawl-
+    # realistic page weights so the measurement is parse/compute-bound,
+    # not driver-bound
+    n_pages = max(20_000, min(200_000, n_docs * 40))
     return generate_corpus(
-        f"/tmp/abwcf_bench_corpus_{n_pages}", n_pages=n_pages, seed=42, num_buckets=64
+        f"/tmp/abwcf_bench_corpus_{n_pages}_heavy",
+        n_pages=n_pages,
+        seed=42,
+        num_buckets=64,
+        profile="heavy",
     )
 
 
@@ -93,11 +102,11 @@ def run_bench() -> dict:
         corpus_buckets=corpus.num_buckets,
         max_crawl_depth=16,
     )
-    # wide seeding: half the hosts start non-empty so the measurement covers
+    # wide seeding: every host starts non-empty so the measurement covers
     # steady-state waves, not the frontier ramp-up from a handful of seeds
     from abwcf_ray.sources.corpus import rank0_urls
 
-    seeds = rank0_urls(corpus, corpus.n_hosts // 2)
+    seeds = rank0_urls(corpus, corpus.n_hosts)
     t0 = time.perf_counter()
     summary = run_crawl(cfg, corpus, out_dir, seeds=seeds, log=lambda *_: None)
     crawl_s = time.perf_counter() - t0

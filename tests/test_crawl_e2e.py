@@ -78,9 +78,12 @@ def test_final_frontier_matches_oracle(ray_run, oracle):
 def test_extracted_text_byte_identical(ray_run, oracle, corpus):
     out, summary = ray_run
     frames = []
-    for d in sorted(out.glob("wave_*/extracted")):
+    for d in sorted(out.glob("wave_*/processed")):
         if any(d.glob("*.parquet")):
-            frames.append(pads.dataset(str(d)).to_table().to_pandas())
+            t = pads.dataset(str(d)).to_table(columns=["url", "text", "is_html"])
+            frames.append(
+                t.filter(t.column("is_html")).select(["url", "text"]).to_pandas()
+            )
     got = pd.concat(frames).sort_values("url").reset_index(drop=True)
     exp = (
         pd.DataFrame(sorted(oracle.extracted.items()), columns=["url", "text"])
