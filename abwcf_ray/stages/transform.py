@@ -45,32 +45,66 @@ STATUS_DISALLOWED = "Disallowed"
 # --------------------------------------------------------------------------
 # B4 — URL normalizer (+ host extraction)
 # --------------------------------------------------------------------------
+# Fast path: urls that PROVABLY normalize to themselves — lowercase scheme +
+# host, no port/userinfo/query/fragment/whitespace, absolute path whose
+# segments contain no dots or empty segments (so dot-segment removal is the
+# identity). Everything else takes the full per-url normalizer. The
+# predicate is conservative: any url it accepts satisfies
+# ``normalize_url(u) == u`` for EVERY NormalizationConfig (query/fragment
+# absence makes the config switches moot), verified by
+# tests/test_transform_stages.py::test_normalize_fast_path_agrees.
+_CANONICAL_RE = re.compile(
+    r"https?://[a-z0-9.\-]+/(?:[A-Za-z0-9_\-]+(?:/[A-Za-z0-9_\-]+)*/?)?"
+)
+_HOST_RE = re.compile(r"^([A-Za-z0-9+.\-]+://[^/]+)")
+
+
 def make_normalize_stage(cfg: CrawlConfig):
     """candidates(url, depth) -> (url, host, depth); invalid urls dropped
-    (UrlNormalizer.scala:35-39: exception -> drop)."""
+    (UrlNormalizer.scala:35-39: exception -> drop). Vectorized canonical
+    fast path + per-url slow path."""
     norm_cfg = cfg.normalization
 
     def normalize_batch(batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "host": pa.array([], pa.string()),
+                    "depth": pa.array([], pa.int32()),
+                }
+            )
+        urls = batch.column("url").to_pandas().astype("string")
         depths = batch.column("depth").to_numpy(zero_copy_only=False)
+        fast = urls.str.fullmatch(_CANONICAL_RE).fillna(False).to_numpy(dtype=bool)
+
         out_urls: list[str] = []
-        out_hosts: list[str] = []
         out_depths: list[int] = []
-        for u, d in zip(urls, depths):
+        # fast rows pass through untouched
+        for u, d in zip(urls[fast], depths[fast]):
+            out_urls.append(u)
+            out_depths.append(int(d))
+        # slow rows: full RFC-3986 normalization
+        for u, d in zip(urls[~fast], depths[~fast]):
             n = normalize_url(u, norm_cfg)
             if n is None:
                 continue
-            h = get_scheme_and_authority(n)
-            if h is None:
-                continue
             out_urls.append(n)
-            out_hosts.append(h)
             out_depths.append(int(d))
+        hosts = (
+            pd.Series(out_urls, dtype="string")
+            .str.extract(_HOST_RE, expand=False)
+            .fillna("")
+            .tolist()
+        )
+        keep = [h != "" for h in hosts]
         return pa.table(
             {
-                "url": pa.array(out_urls, pa.string()),
-                "host": pa.array(out_hosts, pa.string()),
-                "depth": pa.array(out_depths, pa.int32()),
+                "url": pa.array([u for u, k in zip(out_urls, keep) if k], pa.string()),
+                "host": pa.array([h for h in hosts if h != ""], pa.string()),
+                "depth": pa.array(
+                    [d for d, k in zip(out_depths, keep) if k], pa.int32()
+                ),
             }
         )
 

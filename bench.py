@@ -32,7 +32,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-CRAWL_WAVES = 4
+CRAWL_WAVES = 3
 # politeness window per wave: large budget so steady-state waves are big
 # (k_h = 300 at the default 1 s crawl delay)
 CRAWL_WAVE_S = 300.0
@@ -47,7 +47,7 @@ def _corpus():
     # "heavy" profile: ~8-15 KB html, 10-50 links/page — Common-Crawl-
     # realistic page weights so the measurement is parse/compute-bound,
     # not driver-bound
-    n_pages = max(20_000, min(200_000, n_docs * 40))
+    n_pages = max(20_000, min(100_000, n_docs * 20))
     return generate_corpus(
         f"/tmp/abwcf_bench_corpus_{n_pages}_heavy",
         n_pages=n_pages,

@@ -1,0 +1,114 @@
+"""Unit tests for the batch-transform stages, incl. the normalize fast-path
+equivalence property."""
+
+from __future__ import annotations
+
+import string
+
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from abwcf_ray.config import (
+    STRICT_NORMALIZATION,
+    CrawlConfig,
+    NormalizationConfig,
+)
+from abwcf_ray.functions.urlnorm import normalize_url
+from abwcf_ray.stages.transform import (
+    _CANONICAL_RE,
+    make_normalize_stage,
+    make_prioritize_stage,
+    make_scope_filter_stage,
+)
+
+
+def _norm_batch(urls, cfg=None):
+    stage = make_normalize_stage(cfg or CrawlConfig())
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "depth": pa.array([1] * len(urls), pa.int32()),
+        }
+    )
+    return stage(t)
+
+
+def test_normalize_stage_matches_scalar_kernel():
+    urls = [
+        "https://h1.example/p3",  # fast path
+        "HTTPS://H1.EXAMPLE:443/./p3",  # slow path, same canonical
+        "https://h2.example/a/b/p7/",  # fast path w/ trailing slash
+        "http://exa mple/",  # dropped
+        "mailto:x@example.com",  # dropped
+        "https://user@h3.example/x?q=1#f",  # slow path
+    ]
+    out = _norm_batch(urls)
+    got = dict(zip(out.column("url").to_pylist(), out.column("host").to_pylist()))
+    assert got == {
+        "https://h1.example/p3": "https://h1.example",
+        "https://h2.example/a/b/p7/": "https://h2.example",
+        "https://h3.example/x?q=1": "https://h3.example",
+    }
+
+
+@given(
+    st.text(
+        alphabet=string.ascii_letters + string.digits + ":/.?#@%-_~[]",
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=300)
+def test_normalize_fast_path_agrees(s):
+    """Anything the canonical fast-path regex accepts must be a fixed point
+    of the full normalizer under EVERY config."""
+    url = "https://" + s if not s.startswith("http") else s
+    if _CANONICAL_RE.fullmatch(url):
+        for cfg in (
+            NormalizationConfig(),
+            STRICT_NORMALIZATION,
+            NormalizationConfig(False, False, False),
+        ):
+            assert normalize_url(url, cfg) == url
+
+
+def test_scope_filter_full_match_semantics():
+    cfg = CrawlConfig(must_match=(r"https://ok\.example/.*",), must_not_match=(r".*/private/.*",))
+    stage = make_scope_filter_stage(cfg)
+    t = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "https://ok.example/a",
+                    "https://ok.example/private/x",
+                    "https://other.example/a",
+                    "prefix https://ok.example/a",  # fullmatch, not search
+                ]
+            ),
+            "depth": pa.array([0] * 4, pa.int32()),
+        }
+    )
+    assert stage(t).column("url").to_pylist() == ["https://ok.example/a"]
+
+
+def test_priority_functions_deterministic():
+    t = pa.table(
+        {
+            "url": pa.array(["https://a/1", "https://a/2"]),
+            "depth": pa.array([0, 3], pa.int32()),
+        }
+    )
+    bf = make_prioritize_stage(CrawlConfig(priority_fn="breadth_first"))(t)
+    assert bf.column("priority").to_pylist() == [0, -3]
+    df_ = make_prioritize_stage(CrawlConfig(priority_fn="depth_first"))(t)
+    assert df_.column("priority").to_pylist() == [0, 3]
+    h1 = make_prioritize_stage(CrawlConfig(priority_fn="breadth_first_hash"))(t)
+    h2 = make_prioritize_stage(CrawlConfig(priority_fn="breadth_first_hash"))(t)
+    assert h1.column("priority").to_pylist() == h2.column("priority").to_pylist()
+    # depth dominates the hash tiebreak
+    p = h1.column("priority").to_pylist()
+    assert p[0] > p[1]
+    with pytest.raises(ValueError):
+        make_prioritize_stage(CrawlConfig(priority_fn="nope"))(t)
