@@ -160,7 +160,10 @@ def _host_prep(
             RobotsFetchSim,
             fn_constructor_args=(robots_path, cfg),
             batch_format="pyarrow",
-            concurrency=4,  # reference gate: 5 concurrent robots fetches/node
+            batch_size=256,
+            # the reference's gate of 5 concurrent robots fetches is PER NODE
+            # (reference.conf:245); an elastic pool is the multi-node analog
+            concurrency=(2, 16),
         )
         hosts_state.merge_fetched(_collect_arrow(fetched))
     return len(need)
@@ -377,8 +380,13 @@ def run_crawl(
         # processed parquet. The checkpoint doubles as (a) the extracted-
         # text artifact (rows with is_html), (b) the candidate source, and
         # (c) the metrics source — read back cheaply, never recomputed.
+        # from_pandas yields ONE block; repartition so the bucket groupby and
+        # the downstream fetch+parse fan out across the cluster instead of
+        # running as a single serial task
         fetch_input = rd.from_pandas(sel_df[["url", "host", "depth", "priority"]])
-        fetch_input = fetch_input.map_batches(
+        fetch_input = fetch_input.repartition(
+            min(corpus.num_buckets, max(8, n_selected // 2000))
+        ).map_batches(
             lambda t: add_bucket_column(t, corpus.num_buckets), batch_format="pyarrow"
         )
         (
