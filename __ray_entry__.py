@@ -105,6 +105,30 @@ def _q_frontier_topk(sf_dir: str):
     return out[["host", "url", "priority", "rank_in_host"]].reset_index(drop=True)
 
 
+def _q_restore_topk(sf_dir: str):
+    """A6/D4: bounded restore — Discovered rows, global top-k by
+    (priority desc, url asc), via the real restore_topk function over a
+    written frontier parquet."""
+    import pyarrow.compute as _pc
+
+    from abwcf_ray.pipelines.crawl import restore_topk
+
+    _quiet()
+
+    def with_status(batch: pa.Table) -> pa.Table:
+        t = _derive_frontier_batch(batch)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        status = np.where(d % 5 == 0, "Processed", "Discovered")
+        return t.append_column("status", pa.array(status, pa.string()))
+
+    out_dir = Path("/tmp/abwcf_restore_frontier")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(with_status, batch_format="pyarrow")
+    ds.write_parquet(str(out_dir))
+    top = restore_topk(out_dir, 100).to_pandas()
+    return top[["url", "priority"]]
+
+
 def _q_host_histogram(sf_dir: str):
     _quiet()
     ds = _docs(sf_dir, ["doc_id"]).map_batches(
@@ -366,6 +390,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "frontier_topk": _q_frontier_topk,
+        "restore_topk": _q_restore_topk,
         "host_histogram": _q_host_histogram,
         "scope_filter": _q_scope_filter,
         "normalize_urls": _q_normalize_urls,
@@ -397,6 +422,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, url, priority, rank_in_host
             FROM ranked
             WHERE rank_in_host < GREATEST(1, 10000 // (500 * (1 + host_num % 4)))
+        """,
+        "restore_topk": f"""
+            WITH frontier AS (
+                SELECT 'https://h' || (doc_id % 97) || '.example/p' || doc_id AS url,
+                       (doc_id * 2654435761) % 4294967296 AS priority,
+                       CASE WHEN doc_id % 5 = 0 THEN 'Processed' ELSE 'Discovered' END AS status
+                FROM documents
+            )
+            SELECT url, priority FROM frontier
+            WHERE status = 'Discovered'
+            ORDER BY priority DESC, url ASC LIMIT 100
         """,
         "host_histogram": f"""
             WITH frontier AS ({_FRONTIER_SQL})

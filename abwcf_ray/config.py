@@ -84,6 +84,13 @@ class CrawlConfig:
     fetch_concurrency: int | None = None  # None -> let Ray autoscale tasks
 
     # Priority function: "breadth_first_hash" (deterministic default),
-    # "breadth_first", "depth_first", "random" (seeded).
-    priority_fn: str = "breadth_first_hash"
+    # "breadth_first", "depth_first", "random" (seeded) — or a CALLABLE
+    # ``batch(pa.Table[url, host, depth]) -> int64 ndarray`` (the rebuild of
+    # UserCode.createPrioritizer, UserCode.scala:34-35).
+    priority_fn: object = "breadth_first_hash"
     priority_seed: int = 42
+
+    # Fetch-result consumer hook (UserCode.createFetchResultConsumer,
+    # UserCode.scala:68-69): a callable ``(url, html_bytes) -> str`` that
+    # replaces the default h1/p text extraction. None -> default extractor.
+    consume_fn: object = None

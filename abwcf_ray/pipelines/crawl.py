@@ -493,6 +493,37 @@ def run_crawl(
     return summary
 
 
+def restore_topk(frontier_dir: str | Path, k: int):
+    """A6/D4 bounded-restore scan: ``SELECT ... WHERE status='Discovered'
+    ORDER BY crawl_priority DESC LIMIT k`` (SlickPageRepository.scala:58-61,
+    PageRestorer.scala:37-53). The wave model restores everything by default;
+    this is the bounded variant for driving a partial re-injection."""
+    ds = rd.read_parquet(str(frontier_dir)).map_batches(
+        lambda t: t.filter(pc.equal(t["status"], STATUS_DISCOVERED)),
+        batch_format="pyarrow",
+    )
+    return ds.sort(["priority", "url"], descending=[True, False]).limit(k)
+
+
+def load_config_toml(path: str | Path) -> CrawlConfig:
+    """CrawlConfig from a TOML file (the rebuild of the reference's HOCON
+    surface, reference.conf:8-251 / CrawlerSettings.scala:5-14). Keys match
+    the dataclass field names; unknown keys raise."""
+    import tomllib
+
+    data = tomllib.loads(Path(path).read_text())
+    norm = data.pop("normalization", None)
+    kwargs = dict(data)
+    for tuple_key in ("must_match", "must_not_match", "user_agents"):
+        if tuple_key in kwargs:
+            kwargs[tuple_key] = tuple(kwargs[tuple_key])
+    if norm is not None:
+        from abwcf_ray.config import NormalizationConfig
+
+        kwargs["normalization"] = NormalizationConfig(**norm)
+    return CrawlConfig(**kwargs)
+
+
 def main() -> None:  # pragma: no cover — CLI entry
     import argparse
 
@@ -501,6 +532,7 @@ def main() -> None:  # pragma: no cover — CLI entry
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--out", default="/tmp/abwcf_crawl")
     parser.add_argument("--corpus-dir", default=None)
+    parser.add_argument("--config", default=None, help="TOML CrawlConfig file")
     parser.add_argument("--max-waves", type=int, default=50)
     parser.add_argument("--max-depth", type=int, default=2**31 - 1)
     parser.add_argument("--wave-duration", type=float, default=10.0)
@@ -517,11 +549,14 @@ def main() -> None:  # pragma: no cover — CLI entry
 
     corpus_dir = args.corpus_dir or f"/tmp/abwcf_corpus_{args.n_pages}_{args.seed}"
     corpus = generate_corpus(corpus_dir, n_pages=args.n_pages, seed=args.seed)
-    cfg = CrawlConfig(
-        max_waves=args.max_waves,
-        max_crawl_depth=args.max_depth,
-        wave_duration_s=args.wave_duration,
-    )
+    if args.config:
+        cfg = load_config_toml(args.config)
+    else:
+        cfg = CrawlConfig(
+            max_waves=args.max_waves,
+            max_crawl_depth=args.max_depth,
+            wave_duration_s=args.wave_duration,
+        )
     summary = run_crawl(cfg, corpus, args.out, resume=args.resume)
     print(
         json.dumps(

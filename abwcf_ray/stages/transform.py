@@ -230,7 +230,9 @@ def make_prioritize_stage(cfg: CrawlConfig):
 
     def prioritize(batch: pa.Table) -> pa.Table:
         depths = batch.column("depth").to_numpy(zero_copy_only=False).astype(np.int64)
-        if fn == "breadth_first":
+        if callable(fn):  # user hook (H, UserCode.scala:34-35)
+            prio = np.asarray(fn(batch), dtype=np.int64)
+        elif fn == "breadth_first":
             prio = -depths
         elif fn == "depth_first":
             prio = depths
@@ -269,6 +271,7 @@ def make_process_fetched_stage(cfg: CrawlConfig):
     (SURVEY.md §7 hard part d)."""
     parseable = {"text/html", "application/xhtml+xml"}
     max_depth = cfg.max_crawl_depth
+    consume = cfg.consume_fn  # user hook (H, UserCode.scala:68-69)
 
     def process(batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -296,6 +299,8 @@ def make_process_fetched_stage(cfg: CrawlConfig):
             if status == 200 and ctype in parseable and html is not None:
                 follow = depth < max_depth and not header_nofollow(xrt)
                 links, text, _meta_nofollow = parse_document(html, url)
+                if consume is not None:
+                    text = consume(url, html)
                 texts.append(text)
                 links_col.append(links if follow else [])
                 child_depths.append(depth + 1)

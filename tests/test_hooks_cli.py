@@ -1,0 +1,99 @@
+"""User-extension surface (SURVEY.md §2 H) + restore (D4) + TOML config."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+from abwcf_ray.config import CrawlConfig
+from abwcf_ray.functions.hashing import hash64
+from abwcf_ray.stages.transform import make_prioritize_stage, make_process_fetched_stage
+
+
+def test_custom_priority_callable():
+    def my_priority(batch: pa.Table) -> np.ndarray:
+        # pages on even-numbered hosts first (arbitrary user logic)
+        return (hash64(batch.column("url").to_pylist()) % np.uint64(1000)).astype(np.int64)
+
+    cfg = CrawlConfig(priority_fn=my_priority)
+    t = pa.table(
+        {"url": pa.array(["https://a/1", "https://b/2"]), "depth": pa.array([0, 1], pa.int32())}
+    )
+    out = make_prioritize_stage(cfg)(t)
+    expected = (hash64(["https://a/1", "https://b/2"]) % np.uint64(1000)).astype(np.int64)
+    assert out.column("priority").to_pylist() == expected.tolist()
+
+
+def test_custom_consumer_callable():
+    cfg = CrawlConfig(consume_fn=lambda url, html: f"CUSTOM:{url}")
+    stage = make_process_fetched_stage(cfg)
+    batch = pa.table(
+        {
+            "url": pa.array(["https://h/x"]),
+            "host": pa.array(["https://h"]),
+            "depth": pa.array([0], pa.int32()),
+            "priority": pa.array([1], pa.int64()),
+            "status": pa.array([200], pa.int32()),
+            "content_type": pa.array(["text/html"]),
+            "location": pa.array([None], pa.string()),
+            "x_robots_tag": pa.array([None], pa.string()),
+            "html": pa.array([b"<html><body><h1>T</h1></body></html>"], pa.binary()),
+        }
+    )
+    out = stage(batch)
+    assert out.column("text").to_pylist() == ["CUSTOM:https://h/x"]
+
+
+def test_restore_topk(ray_session, tmp_path):
+    import ray.data as rd
+
+    from abwcf_ray.pipelines.crawl import restore_topk
+
+    rng = np.random.default_rng(3)
+    n = 500
+    prio = rng.permutation(n).astype(np.int64)
+    status = np.where(np.arange(n) % 4 == 0, "Processed", "Discovered")
+    t = pa.table(
+        {
+            "url": pa.array([f"https://h/p{i}" for i in range(n)]),
+            "host": pa.array(["https://h"] * n),
+            "status": pa.array(status, pa.string()),
+            "depth": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+            "priority": pa.array(prio, pa.int64()),
+        }
+    )
+    rd.from_arrow(t).write_parquet(str(tmp_path / "frontier"))
+    top = restore_topk(tmp_path / "frontier", 10).to_pandas()
+    df = t.to_pandas()
+    expected = (
+        df[df["status"] == "Discovered"]
+        .sort_values(["priority", "url"], ascending=[False, True])
+        .head(10)["url"]
+        .tolist()
+    )
+    assert top["url"].tolist() == expected
+
+
+def test_load_config_toml(tmp_path):
+    from abwcf_ray.pipelines.crawl import load_config_toml
+
+    p = tmp_path / "crawl.toml"
+    p.write_text(
+        """
+max_crawl_depth = 5
+wave_duration_s = 60.0
+must_match = ["https://.*"]
+default_crawl_delay_ms = 2000
+
+[normalization]
+remove_query = true
+"""
+    )
+    cfg = load_config_toml(p)
+    assert cfg.max_crawl_depth == 5
+    assert cfg.wave_duration_s == 60.0
+    assert cfg.must_match == ("https://.*",)
+    assert cfg.default_crawl_delay_ms == 2000
+    assert cfg.normalization.remove_query is True
+    assert cfg.normalization.remove_fragment is True  # defaults intact
