@@ -279,6 +279,16 @@ def run_crawl(
 
         now_s = wave * cfg.wave_duration_s
         wdir = _wave_dir(out, wave)
+        # a crash mid-wave leaves a dir without a completed manifest; wipe it
+        # so re-written parquet dirs don't accumulate stale part files
+        manifest_path = wdir / "manifest.json"
+        if wdir.exists() and not (
+            manifest_path.exists()
+            and json.loads(manifest_path.read_text()).get("completed")
+        ):
+            import shutil
+
+            shutil.rmtree(wdir)
         metrics: dict = {"wave": wave, "completed": False}
 
         frontier = rd.read_parquet(str(prev_frontier))
@@ -445,6 +455,10 @@ def run_crawl(
         ).union(new_rows)
         frontier_next.write_parquet(str(wdir / "frontier"))
         carried_hosts = ray.get(host_accum.drain.remote())
+        try:  # per-stage Ray Data stats for the wave's heaviest execution
+            metrics["ray_stats"] = frontier_next.stats()[:4000]
+        except Exception:
+            pass
         _mark("frontier_write")
 
         seen.checkpoint(wdir / "seen")

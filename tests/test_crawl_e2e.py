@@ -138,6 +138,25 @@ def test_resume_equivalence(ray_session, corpus, tmp_path_factory, oracle):
     )
 
 
+def test_resume_after_midwave_crash(ray_session, corpus, tmp_path_factory, oracle):
+    """A wave dir without a completed manifest (crash mid-wave) is wiped and
+    re-run; the final state still matches the oracle."""
+    import shutil
+
+    from abwcf_ray.pipelines.crawl import run_crawl
+
+    out = tmp_path_factory.mktemp("crash")
+    cfg_short = CrawlConfig(**{**CFG.__dict__, "max_waves": 2})
+    run_crawl(cfg_short, corpus, out, log=lambda *_: None)
+    # simulate a crash during wave 1: manifest gone, partial files remain
+    (out / "wave_0001" / "manifest.json").unlink()
+    shutil.rmtree(out / "wave_0001" / "selected")
+    summary = run_crawl(CFG, corpus, out, resume=True, log=lambda *_: None)
+    got = _final_frontier(out, summary)
+    assert len(got) == len(oracle.frontier)
+    assert set(got["url"]) == oracle.seen
+
+
 def test_manifest_lineage(ray_run):
     out, summary = ray_run
     m = json.loads((out / "wave_0000" / "manifest.json").read_text())

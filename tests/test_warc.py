@@ -1,0 +1,60 @@
+"""WARC source/sink roundtrip tests."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+from abwcf_ray.sources.warc import parse_warc_bytes, read_warc, write_warc, write_warc_shard
+
+
+def test_shard_roundtrip(tmp_path):
+    rows = [
+        {"url": "https://a.example/1", "warc_ts": 1_700_000_000_000_000, "html": b"<html>1</html>"},
+        {"url": "https://a.example/2", "warc_ts": 1_700_000_001_000_000, "html": b""},
+        {"url": "https://b.example/x", "warc_ts": 1_700_000_002_000_000, "html": b"bin\r\n\r\ndata"},
+    ]
+    p = tmp_path / "t.warc"
+    write_warc_shard(p, rows)
+    got = parse_warc_bytes(p.read_bytes())
+    assert got == rows
+
+
+def test_skips_non_response_records(tmp_path):
+    p = tmp_path / "t.warc"
+    payload = b"junk"
+    content = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\njunk\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x/\r\n"
+        b"WARC-Date: 2025-01-01T00:00:00Z\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    p.write_bytes(content)
+    got = parse_warc_bytes(p.read_bytes())
+    assert len(got) == 1 and got[0]["url"] == "https://x/" and got[0]["html"] == b"hi"
+
+
+def test_dataset_roundtrip_via_corpus(ray_session, tmp_path):
+    """pages corpus -> WARC shards -> Dataset: byte-identical html per url."""
+    import ray.data as rd
+
+    from abwcf_ray.sources.corpus import generate_corpus
+
+    meta = generate_corpus(tmp_path / "c", n_pages=300, seed=42, num_buckets=4)
+    pages = rd.read_parquet(meta.pages_dir, columns=["url", "warc_ts", "html"])
+    paths = write_warc(pages, tmp_path / "warc", rows_per_shard=100)
+    assert len(paths) >= 3
+    back = read_warc(paths).to_pandas().sort_values("url").reset_index(drop=True)
+    orig = (
+        pads.dataset(meta.pages_dir, partitioning="hive")
+        .to_table(columns=["url", "warc_ts", "html"])
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert back["url"].tolist() == orig["url"].tolist()
+    assert (back["html"] == orig["html"]).all()
+    # WARC-Date is second-granular; timestamps agree at second resolution
+    assert (
+        back["warc_ts"].astype("int64") // 10**6
+        == orig["warc_ts"].astype("int64") // 10**6
+    ).all()
