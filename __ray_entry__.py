@@ -255,6 +255,42 @@ def _q_events_window(sf_dir: str):
     return out
 
 
+_SESSION_GAP_US = 4 * 3600 * 1_000_000  # 4 h
+_SLIDE_US = 3_600_000_000  # 1 h slide
+_WIDTH_US = 7_200_000_000  # 2 h width
+
+
+def _q_session_windows(sf_dir: str):
+    """Gap-based session windows per user over the events stream."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.windows import session_windows
+
+    _quiet()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    out = session_windows(
+        ds, key="user_id", ts_col="ts", value_col="value", gap_us=_SESSION_GAP_US
+    ).to_pandas()
+    out["session_id"] = out["session_id"].astype(np.int64)
+    return out
+
+
+def _q_sliding_windows(sf_dir: str):
+    """2-hour windows sliding by 1 hour over the events stream."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.windows import sliding_windows
+
+    _quiet()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    out = sliding_windows(
+        ds, key="user_id", ts_col="ts", value_col="value",
+        width_us=_WIDTH_US, slide_us=_SLIDE_US,
+    ).to_pandas()
+    out["sum_value"] = out["sum_value"].round(4)
+    return out
+
+
 def _q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-style grouped aggregate (general-aggregation coverage)."""
     import ray.data as rd
@@ -398,6 +434,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "quality_by_lang": _q_quality_by_lang,
         "events_window": _q_events_window,
+        "session_windows": _q_session_windows,
+        "sliding_windows": _q_sliding_windows,
         "lineitem_pricing": _q_lineitem_pricing,
         "knn_top5": _q_knn_top5,
         "knn_ivf": _q_knn_ivf,
@@ -471,6 +509,49 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY user_id, epoch_us(ts) // 3600000000
+        """,
+        "session_windows": f"""
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+            ),
+            b AS (
+                SELECT user_id, ts_us, value,
+                       CASE WHEN ts_us - LAG(ts_us) OVER
+                            (PARTITION BY user_id ORDER BY ts_us, value)
+                            > {_SESSION_GAP_US}
+                            OR LAG(ts_us) OVER
+                            (PARTITION BY user_id ORDER BY ts_us, value) IS NULL
+                       THEN 1 ELSE 0 END AS brk
+                FROM e
+            ),
+            s AS (
+                SELECT user_id, ts_us, value,
+                       CAST(SUM(brk) OVER (PARTITION BY user_id
+                            ORDER BY ts_us, value ROWS UNBOUNDED PRECEDING)
+                            - 1 AS BIGINT) AS session_id
+                FROM b
+            )
+            SELECT user_id, session_id,
+                   MIN(ts_us) AS session_start,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM s GROUP BY user_id, session_id
+        """,
+        "sliding_windows": f"""
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+            ),
+            w AS (
+                SELECT user_id,
+                       ((ts_us // {_SLIDE_US}) - j) * {_SLIDE_US} AS window_start,
+                       value
+                FROM e, (VALUES (0), (1)) AS t(j)
+                WHERE ((ts_us // {_SLIDE_US}) - j) >= 0
+            )
+            SELECT user_id, window_start,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM w GROUP BY user_id, window_start
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
