@@ -56,11 +56,11 @@ def session_windows(ds, *, key: str, ts_col: str, value_col: str, gap_us: int):
     def to_us(batch):
         import pyarrow as pa
 
-        return batch.set_column(
-            batch.schema.get_field_index(ts_col),
-            ts_col,
-            batch.column(ts_col).cast(pa.int64()),
-        )
+        # normalize the unit BEFORE the int cast — a timestamp[ns] column
+        # cast straight to int64 would yield nanoseconds and break every
+        # µs-denominated gap comparison
+        col = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        return batch.set_column(batch.schema.get_field_index(ts_col), ts_col, col)
 
     return (
         ds.map_batches(to_us, batch_format="pyarrow")
@@ -81,7 +81,12 @@ def sliding_windows(ds, *, key: str, ts_col: str, value_col: str,
     n_windows = int(np.ceil(width_us / slide_us))
 
     def assign(batch: pa.Table) -> pa.Table:
-        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = (
+            batch.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
         keys = batch.column(key).to_numpy(zero_copy_only=False)
         vals = batch.column(value_col).to_numpy(zero_copy_only=False)
         last = (ts // slide_us) * slide_us  # last window containing the event

@@ -97,3 +97,31 @@ remove_query = true
     assert cfg.default_crawl_delay_ms == 2000
     assert cfg.normalization.remove_query is True
     assert cfg.normalization.remove_fragment is True  # defaults intact
+
+
+def test_window_ts_unit_independent(ray_session):
+    """timestamp[ns] inputs must window identically to timestamp[us]."""
+    import pandas as pd
+    import ray.data as rd
+
+    from abwcf_ray.stages.windows import session_windows
+
+    base = pd.Timestamp("2025-01-01")
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": [base, base + pd.Timedelta("1h"), base + pd.Timedelta("10h"), base],
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    gap = 4 * 3600 * 1_000_000
+    out_ns = session_windows(
+        rd.from_pandas(df), key="user_id", ts_col="ts", value_col="value", gap_us=gap
+    ).to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    df_us = df.copy()
+    df_us["ts"] = df_us["ts"].astype("datetime64[us]")
+    out_us = session_windows(
+        rd.from_pandas(df_us), key="user_id", ts_col="ts", value_col="value", gap_us=gap
+    ).to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out_ns, out_us)
+    assert out_ns[out_ns["user_id"] == 1]["session_id"].tolist() == [0, 1]
