@@ -197,6 +197,23 @@ def connected_components_labels(edges: pd.DataFrame, all_ids: np.ndarray) -> pd.
     return pd.DataFrame({"doc_id": all_ids.astype(np.int64), "cluster": np.asarray(labels, dtype=np.int64)})
 
 
+def _pairs_from_buckets(bucket_keys: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """(bucket_key, id) rows -> unique candidate (src < dst) pairs via a
+    vectorized self-merge per bucket. Per-bucket Python callables cost ~1 ms
+    per bucket, which dominates when buckets are tiny (most are singletons);
+    the merge is one hash join. At 10^10-doc scale this becomes a
+    distributed join keyed by bucket_key — same shape, sharded."""
+    multi = bucket_keys.groupby("bucket_key")[id_col].nunique()
+    live = multi[multi > 1].index
+    b = bucket_keys[bucket_keys["bucket_key"].isin(live)]
+    joined = b.merge(b, on="bucket_key", suffixes=("_a", "_b"))
+    joined = joined[joined[f"{id_col}_a"] < joined[f"{id_col}_b"]]
+    out = joined.rename(columns={f"{id_col}_a": "src", f"{id_col}_b": "dst"})[
+        ["src", "dst"]
+    ].drop_duplicates()
+    return out.reset_index(drop=True)
+
+
 def minhash_lsh_dedup(
     ds,
     *,
@@ -208,23 +225,43 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> pd.DataFrame:
-    """Full near-dup pipeline -> (doc_id, cluster, is_dup) pandas frame."""
-    sigs = ds.map_batches(
+    """Full near-dup pipeline -> (doc_id, cluster, is_dup) pandas frame.
+
+    Signatures are computed distributed (``map_batches``); the banded
+    bucket keys + signature table come back to the driver for vectorized
+    candidate generation and verification (they are num_perm·8 bytes per
+    doc — the scale path shards the self-join and verification by
+    bucket_key, same dataflow)."""
+    rows_per_band = num_perm // bands
+    sig_df = ds.map_batches(
         make_minhash_stage(num_perm, shingle_k, seed, text_col, id_col),
         batch_format="pyarrow",
-    )
-    exploded = sigs.map_batches(
-        make_band_explode(bands, num_perm, id_col), batch_format="pyarrow"
-    )
-    pairs = (
-        exploded.groupby(["band", "band_hash"])
-        .map_groups(make_bucket_pairs(threshold, id_col), batch_format="pandas")
-        .to_pandas()
-    )
-    pairs = normalize_pairs(pairs)
-    all_ids = np.sort(np.asarray(ds.select_columns([id_col]).to_pandas()[id_col]))
-    labels = connected_components_labels(pairs, all_ids)
+    ).to_pandas()
+    sig_df = sig_df.sort_values(id_col).reset_index(drop=True)
+    sig_mat = np.stack([np.asarray(s, dtype=np.uint64) for s in sig_df["sig"]])
+    ids = sig_df[id_col].to_numpy()
+    pos_by_id = pd.Series(np.arange(len(ids)), index=ids)
+
+    # banded bucket keys, vectorized: hash each band's contiguous slice
+    buckets = []
+    for bd in range(bands):
+        chunk = sig_mat[:, bd * rows_per_band : (bd + 1) * rows_per_band]
+        key = hash64(
+            [f"{bd}|" + " ".join(map(str, row)) for row in chunk]
+        ).astype(np.uint64)
+        buckets.append(pd.DataFrame({"bucket_key": key, id_col: ids}))
+    pairs = _pairs_from_buckets(pd.concat(buckets, ignore_index=True), id_col)
+
+    # vectorized signature-similarity verification
+    if len(pairs):
+        a = sig_mat[pos_by_id[pairs["src"]].to_numpy()]
+        b = sig_mat[pos_by_id[pairs["dst"]].to_numpy()]
+        sim = (a == b).mean(axis=1)
+        pairs = pairs[sim >= threshold]
+    labels = connected_components_labels(pairs, np.sort(ids))
     labels["is_dup"] = labels["doc_id"] != labels["cluster"]
+    if id_col != "doc_id":
+        labels = labels.rename(columns={"doc_id": id_col})
     return labels
 
 
@@ -251,54 +288,34 @@ def make_simhash_stage(text_col: str = "text", id_col: str = "doc_id"):
 def simhash_dedup(ds, *, max_hamming: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> pd.DataFrame:
     """Near-dup by simhash: band the 64 bits into 4 chunks of 16 (any pair
-    within Hamming<=3 must agree on >=1 chunk), bucket-groupby, verify."""
-    sigs = ds.map_batches(make_simhash_stage(text_col, id_col), batch_format="pyarrow")
-
-    def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        sh = np.asarray(batch.column("simhash").to_pylist(), dtype=np.uint64)
-        out_id, out_chunk, out_key, out_sh = [], [], [], []
-        for c in range(4):
-            key = (sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)
-            out_id += ids
-            out_chunk += [c] * len(ids)
-            out_key += key.tolist()
-            out_sh += sh.tolist()
-        return pa.table(
-            {
-                id_col: pa.array(out_id),
-                "chunk": pa.array(out_chunk, pa.int32()),
-                "chunk_key": pa.array(out_key, pa.uint64()),
-                "simhash": pa.array(out_sh, pa.uint64()),
-            }
-        )
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"src": pd.Series([], dtype="int64"),
-                                 "dst": pd.Series([], dtype="int64")})
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sh = g["simhash"].to_numpy(dtype=np.uint64)
-        src, dst = [], []
-        for i in range(len(ids)):
-            x = sh[i + 1 :] ^ sh[i]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            for j_off in np.flatnonzero(ham <= max_hamming):
-                src.append(int(ids[i]))
-                dst.append(int(ids[i + 1 + j_off]))
-        return pd.DataFrame({"src": src, "dst": dst})
-
-    pairs = (
-        sigs.map_batches(explode, batch_format="pyarrow")
-        .groupby(["chunk", "chunk_key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    within Hamming<=3 must agree on >=1 chunk), vectorized bucket self-merge,
+    vectorized popcount verification."""
+    sig_df = (
+        ds.map_batches(make_simhash_stage(text_col, id_col), batch_format="pyarrow")
         .to_pandas()
+        .sort_values(id_col)
+        .reset_index(drop=True)
     )
-    pairs = normalize_pairs(pairs)
-    all_ids = np.sort(np.asarray(ds.select_columns([id_col]).to_pandas()[id_col]))
-    labels = connected_components_labels(pairs, all_ids)
+    ids = sig_df[id_col].to_numpy()
+    sh = sig_df["simhash"].to_numpy(dtype=np.uint64)
+    pos_by_id = pd.Series(np.arange(len(ids)), index=ids)
+
+    buckets = []
+    for c in range(4):
+        key = (((sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)) << np.uint64(2)) | np.uint64(c)
+        buckets.append(pd.DataFrame({"bucket_key": key, id_col: ids}))
+    pairs = _pairs_from_buckets(pd.concat(buckets, ignore_index=True), id_col)
+
+    if len(pairs):
+        a = sh[pos_by_id[pairs["src"]].to_numpy()]
+        b = sh[pos_by_id[pairs["dst"]].to_numpy()]
+        x = (a ^ b).view(np.uint64)
+        ham = np.unpackbits((x[:, None]).view(np.uint8), axis=1).sum(axis=1)
+        pairs = pairs[ham <= max_hamming]
+    labels = connected_components_labels(pairs, np.sort(ids))
     labels["is_dup"] = labels["doc_id"] != labels["cluster"]
+    if id_col != "doc_id":
+        labels = labels.rename(columns={"doc_id": id_col})
     return labels
 
 
@@ -404,31 +421,24 @@ def embedding_dedup(
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"src": pd.Series([], dtype="int64"),
-                                 "dst": pd.Series([], dtype="int64")})
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        u = np.stack([np.asarray(v) for v in g["unit"]])
-        cos = u @ u.T
-        src, dst = [], []
-        ii, jj = np.triu_indices(len(ids), k=1)
-        hit = cos[ii, jj] >= threshold
-        for i, j in zip(ii[hit], jj[hit]):
-            src.append(int(ids[i]))
-            dst.append(int(ids[j]))
-        return pd.DataFrame({"src": src, "dst": dst})
-
-    pairs = (
+    bdf = (
         ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket_key")
-        .map_groups(bucket_pairs, batch_format="pandas")
         .to_pandas()
+        .sort_values(id_col)
+        .reset_index(drop=True)
     )
-    pairs = normalize_pairs(pairs)
-    all_ids = np.sort(np.asarray(ds.select_columns([id_col]).to_pandas()[id_col]))
-    labels = connected_components_labels(pairs, all_ids)
+    ids = bdf[id_col].to_numpy()
+    unit = np.stack([np.asarray(v) for v in bdf["unit"]])
+    pos_by_id = pd.Series(np.arange(len(ids)), index=ids)
+    pairs = _pairs_from_buckets(
+        bdf[["bucket_key", id_col]].copy(), id_col
+    )
+    if len(pairs):
+        a = unit[pos_by_id[pairs["src"]].to_numpy()]
+        b = unit[pos_by_id[pairs["dst"]].to_numpy()]
+        cos = (a * b).sum(axis=1)
+        pairs = pairs[cos >= threshold]
+    labels = connected_components_labels(pairs, np.sort(ids))
     labels = labels.rename(columns={"doc_id": id_col})
     labels["is_dup"] = labels[id_col] != labels["cluster"]
     return labels
