@@ -44,7 +44,7 @@ from abwcf_ray.config import CrawlConfig
 from abwcf_ray.functions.hashing import hash64
 from abwcf_ray.functions.urlnorm import get_scheme_and_authority, normalize_url
 from abwcf_ray.sources.corpus import CorpusMeta
-from abwcf_ray.stages.fetch import add_bucket_column, make_fetch_group_fn
+from abwcf_ray.stages.fetch import FETCH_COLUMNS, make_fetch_scan, make_selection_ref
 from abwcf_ray.stages.schedule import rank_selected, select_wave
 from abwcf_ray.stages.transform import (
     STATUS_DISCOVERED,
@@ -64,9 +64,10 @@ from abwcf_ray.state.hosts import HostsState, RobotsFetchSim
 from abwcf_ray.state.seen import HashAccumulator, HostSetAccumulator, SeenSet
 
 # Hosts fetched per wave below this threshold are resolved on the driver
-# (spinning a Ray stage costs more than the lookups); above it the robots
-# fetch-sim runs as a distributed map_batches stage.
-_DRIVER_ROBOTS_THRESHOLD = 512
+# (measured: 20k sim-lookups+parses take ~0.5 s, while spinning the Ray
+# actor-pool stage costs ~3 s); above it the robots fetch-sim runs as a
+# distributed map_batches stage (the multi-node path).
+_DRIVER_ROBOTS_THRESHOLD = 50_000
 
 
 @dataclass
@@ -258,7 +259,6 @@ def run_crawl(
     process_fetched = make_process_fetched_stage(cfg)
     normalize = make_normalize_stage(cfg)
     scope = make_scope_filter_stage(cfg)
-    fetch_group = make_fetch_group_fn(corpus.pages_dir)
 
     reject_accum = HashAccumulator.remote()
     host_accum = HostSetAccumulator.remote()
@@ -386,22 +386,16 @@ def run_crawl(
         n_selected = len(sel_df)
 
         # ---- fetch-sim (A2) + process (A7, B1-B3) -----------------------
-        # ONE Ray execution: fetch-join -> html parse (text+links) ->
-        # processed parquet. The checkpoint doubles as (a) the extracted-
-        # text artifact (rows with is_html), (b) the candidate source, and
-        # (c) the metrics source — read back cheaply, never recomputed.
-        # from_pandas yields ONE block; repartition so the bucket groupby and
-        # the downstream fetch+parse fan out across the cluster instead of
-        # running as a single serial task
-        fetch_input = rd.from_pandas(sel_df[["url", "host", "depth", "priority"]])
-        fetch_input = fetch_input.repartition(
-            min(corpus.num_buckets, max(8, n_selected // 2000))
-        ).map_batches(
-            lambda t: add_bucket_column(t, corpus.num_buckets), batch_format="pyarrow"
-        )
+        # ONE Ray execution, shuffle-free: the wave's (url_hash, depth)
+        # pairs are broadcast and the corpus is scanned in parallel with a
+        # vectorized semi-join -> html parse (text+links) -> processed
+        # parquet. The checkpoint doubles as (a) the extracted-text artifact
+        # (rows with is_html), (b) the candidate source, and (c) the metrics
+        # source — read back cheaply, never recomputed.
+        sel_ref = make_selection_ref(sel_df["url"].tolist(), sel_df["depth"].to_numpy())
+        corpus_ds = rd.read_parquet(corpus.pages_dir, columns=FETCH_COLUMNS)
         (
-            fetch_input.groupby("bucket")
-            .map_groups(fetch_group, batch_format="pyarrow")
+            corpus_ds.map_batches(make_fetch_scan(sel_ref), batch_format="pyarrow")
             .map_batches(process_fetched, batch_format="pyarrow")
             .write_parquet(str(wdir / "processed"))
         )
@@ -415,6 +409,11 @@ def run_crawl(
         )
         hist = pd.Series(flags.column("fetch_status").to_pylist()).value_counts()
         status_hist = {int(k): int(v) for k, v in hist.items()}
+        # selected urls absent from the corpus are 404s (they produce no
+        # processed row; the page still ends Processed in the frontier)
+        n_matched = int(flags.num_rows)
+        if n_selected > n_matched:
+            status_hist[404] = status_hist.get(404, 0) + (n_selected - n_matched)
         n_extracted = int(pc.sum(flags.column("is_html")).as_py() or 0)
         _mark("extract_write")
 

@@ -361,7 +361,6 @@ def make_process_fetched_stage(cfg: CrawlConfig):
 
     def process(batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
-        hosts = batch.column("host").to_pylist()
         depths = batch.column("depth").to_pylist()
         statuses = batch.column("status").to_pylist()
         ctypes = batch.column("content_type").to_pylist()
@@ -399,7 +398,6 @@ def make_process_fetched_stage(cfg: CrawlConfig):
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
-                "host": pa.array(hosts, pa.string()),
                 "depth": pa.array(depths, pa.int32()),
                 "fetch_status": pa.array(
                     [s if s is not None else 404 for s in statuses], pa.int32()

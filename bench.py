@@ -33,9 +33,10 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 CRAWL_WAVES = 3
-# politeness window per wave: large budget so steady-state waves are big
-# (k_h = 300 at the default 1 s crawl delay)
-CRAWL_WAVE_S = 300.0
+# politeness window per wave: k_h = 60 at the default 1 s crawl delay —
+# big steady-state waves so the measurement is compute-bound, not
+# wave-machinery-bound
+CRAWL_WAVE_S = 60.0
 
 
 def _corpus():
@@ -44,16 +45,14 @@ def _corpus():
     from abwcf_ray.sources.corpus import generate_corpus
 
     n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
-    # "heavy" profile: ~8-15 KB html, 10-50 links/page — Common-Crawl-
-    # realistic page weights so the measurement is parse/compute-bound,
-    # not driver-bound
-    n_pages = max(20_000, min(100_000, n_docs * 20))
+    # sf0.1 -> 1M pages / 20k hosts: the scale where per-wave fixed costs
+    # (~4 s of Ray execution machinery) amortize against real work
+    n_pages = max(100_000, min(1_000_000, n_docs * 200))
     return generate_corpus(
-        f"/tmp/abwcf_bench_corpus_{n_pages}_heavy",
+        f"/tmp/abwcf_bench_corpus_{n_pages}",
         n_pages=n_pages,
         seed=42,
-        num_buckets=64,
-        profile="heavy",
+        num_buckets=128,
     )
 
 
@@ -98,7 +97,7 @@ def run_bench() -> dict:
     cfg = CrawlConfig(
         max_waves=CRAWL_WAVES,
         wave_duration_s=CRAWL_WAVE_S,
-        seen_shards=8,
+        seen_shards=16,
         corpus_buckets=corpus.num_buckets,
         max_crawl_depth=16,
     )
