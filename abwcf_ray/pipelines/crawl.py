@@ -262,6 +262,9 @@ def run_crawl(
 
     reject_accum = HashAccumulator.remote()
     host_accum = HostSetAccumulator.remote()
+    # created ONCE: read-op creation lists files + resolves metadata on the
+    # driver (~1.7 s at 1M pages) — re-creating it per wave is pure overhead
+    corpus_ds = rd.read_parquet(corpus.pages_dir, columns=FETCH_COLUMNS)
     # hosts of next wave's Discovered rows, carried over from the previous
     # wave's frontier-write side-channel (None -> fall back to a scan, e.g.
     # on the first wave of this process or after resume)
@@ -393,7 +396,6 @@ def run_crawl(
         # (rows with is_html), (b) the candidate source, and (c) the metrics
         # source — read back cheaply, never recomputed.
         sel_ref = make_selection_ref(sel_df["url"].tolist(), sel_df["depth"].to_numpy())
-        corpus_ds = rd.read_parquet(corpus.pages_dir, columns=FETCH_COLUMNS)
         (
             corpus_ds.map_batches(make_fetch_scan(sel_ref), batch_format="pyarrow")
             .map_batches(process_fetched, batch_format="pyarrow")

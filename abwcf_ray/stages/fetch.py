@@ -64,7 +64,7 @@ def make_fetch_scan(sel_ref):
 
     def fetch_scan(batch: pa.Table) -> pa.Table:
         hashes, depths = _selection(sel_ref)
-        h = hash64(batch.column("url").to_pylist())
+        h = hash64(batch.column("url"))
         pos = np.searchsorted(hashes, h)
         pos_c = np.minimum(pos, len(hashes) - 1) if len(hashes) else pos
         hit = (
