@@ -49,13 +49,13 @@ from abwcf_ray.stages.schedule import rank_selected, select_wave
 from abwcf_ray.stages.transform import (
     STATUS_DISCOVERED,
     explode_links,
+    make_claim,
     make_lenient_robots_filter,
     make_normalize_stage,
     make_process_fetched_stage,
     make_prioritize_stage,
+    make_propose,
     make_scope_filter_stage,
-    make_seen_add,
-    make_seen_filter,
     make_strict_robots_filter,
     make_update_status,
 )
@@ -420,23 +420,23 @@ def run_crawl(
         _mark("extract_write")
 
         # ---- candidate pipeline (B1 -> B4 -> B5 -> C1 -> F1 -> B7) ------
-        candidates = (
+        # Wave-dedup + seen-filter run as a TWO-PHASE shard-actor protocol
+        # instead of a groupby(url) all-to-all: the materialize() barrier
+        # completes every `propose` (min-depth per url) before any `claim`
+        # (first-wins arbitration + seen registration) runs — the same
+        # single-writer-per-url mechanism as the reference's sharded
+        # PageManager entities. The materialized set is politeness-bounded
+        # (links of this wave's fetches, html long since dropped).
+        cand_m = (
             processed.map_batches(explode_links, batch_format="pyarrow")
             .map_batches(normalize, batch_format="pyarrow")
             .map_batches(scope, batch_format="pyarrow")
             .map_batches(make_lenient_robots_filter(hosts_ref), batch_format="pyarrow")
-        )
-        # wave-dedup: one row per url, min depth wins (canonical
-        # first-discovery). Native Min aggregate (vectorized) — a per-group
-        # Python callable here costs ~1 pandas call per URL. Host is
-        # re-derived from the canonical url afterwards (pure string slice).
-        deduped = (
-            candidates.groupby("url")
-            .min("depth")
-            .map_batches(_rebuild_dedup_columns, batch_format="pyarrow")
+            .map_batches(make_propose(seen, wave), batch_format="pyarrow")
+            .materialize()
         )
         new_rows = (
-            deduped.map_batches(make_seen_filter(seen, wave), batch_format="pyarrow")
+            cand_m.map_batches(make_claim(seen, wave, host_accum), batch_format="pyarrow")
             .map_batches(prioritize, batch_format="pyarrow")
             .map_batches(
                 lambda t: t.append_column(
@@ -444,7 +444,6 @@ def run_crawl(
                 ).select(["url", "host", "status", "depth", "priority"]),
                 batch_format="pyarrow",
             )
-            .map_batches(make_seen_add(seen, wave, host_accum), batch_format="pyarrow")
         )
 
         # ---- frontier update + checkpoint -------------------------------

@@ -478,6 +478,44 @@ def make_update_status(
 # --------------------------------------------------------------------------
 # F1 — seen-set probe/add stages
 # --------------------------------------------------------------------------
+def make_propose(seen_set, wave: int):
+    """Pass-through stage: register each candidate's (url_hash, depth) with
+    its seen shard's wave-min table (phase 1 of the shuffle-free wave-dedup;
+    see state/seen.SeenShard.propose)."""
+
+    def propose(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            h = hash64(batch.column("url"))
+            d = batch.column("depth").to_numpy(zero_copy_only=False)
+            seen_set.propose(h, d, wave)
+        return batch
+
+    return propose
+
+
+def make_claim(seen_set, wave: int, host_accum=None):
+    """Filter stage: keep only rows this batch WINS — unseen urls at their
+    wave-minimum depth, first claim wins (phase 2; the claim token is a
+    deterministic digest of the batch's urls so retries reproduce their
+    original mask). Winners are registered as seen by the shard. Hosts of
+    winners feed the next wave's host-set side-channel."""
+
+    def claim(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        h = hash64(batch.column("url"))
+        d = batch.column("depth").to_numpy(zero_copy_only=False)
+        token = int(np.bitwise_xor.reduce(h) ^ np.uint64(len(h)))
+        mask = seen_set.claim(h, d, wave, token)
+        out = batch.filter(pa.array(mask))
+        if host_accum is not None and out.num_rows:
+            hosts = pd.unique(np.asarray(out.column("host").to_pylist(), dtype=object))
+            ray.get(host_accum.add.remote(list(hosts)))
+        return out
+
+    return claim
+
+
 def make_seen_filter(seen_set, wave: int):
     """Keeps only urls NOT seen before the given wave (read-only probe; see
     state/seen.py for the wave-versioned retry-safety protocol)."""

@@ -37,10 +37,21 @@ from abwcf_ray.functions.hashing import hash64
 @ray.remote(num_cpus=0)
 class SeenShard:
     """One shard of the seen set. ``num_cpus=0``: membership ops are tiny and
-    must not starve the fetch/parse pools of scheduling slots."""
+    must not starve the fetch/parse pools of scheduling slots.
+
+    Beyond membership, shards arbitrate within-wave duplicate discoveries —
+    the rebuild of the reference's per-URL PageManager entity swallowing
+    duplicate Discover messages (PageManager.scala:107): a two-phase
+    ``propose`` (min-depth merge; commutative+idempotent) then ``claim``
+    (first-token-wins per url; deterministic because competing claimants
+    carry identical rows) replaces a ``groupby(url)`` all-to-all shuffle of
+    the candidate stream."""
 
     def __init__(self) -> None:
         self._waves: dict[int, int] = {}
+        self._cur_wave: int | None = None
+        self._wave_min: dict[int, int] = {}
+        self._claims: dict[int, int] = {}
 
     def contains(self, hashes: np.ndarray, before_wave: int) -> np.ndarray:
         w = self._waves
@@ -55,6 +66,50 @@ class SeenShard:
         for h in hashes:
             self._waves.setdefault(int(h), wave)
         return len(self._waves) - before
+
+    # -- two-phase within-wave dedup (F1) ---------------------------------
+    def _begin_wave(self, wave: int) -> None:
+        if self._cur_wave != wave:
+            self._cur_wave = wave
+            self._wave_min = {}
+            self._claims = {}
+
+    def propose(self, wave: int, hashes: np.ndarray, depths: np.ndarray) -> None:
+        """Min-depth merge per url hash (canonical first-discovery = lowest
+        depth). Commutative and idempotent -> retry-safe in any order."""
+        self._begin_wave(wave)
+        wm = self._wave_min
+        for h, d in zip(hashes, depths):
+            h, d = int(h), int(d)
+            m = wm.get(h)
+            if m is None or d < m:
+                wm[h] = d
+
+    def claim(
+        self, wave: int, hashes: np.ndarray, depths: np.ndarray, token: int
+    ) -> np.ndarray:
+        """Mask of rows this claimant wins: not seen before this wave, depth
+        equals the proposed minimum, and first claim token wins (a retried
+        task re-presents the same token, so its mask is reproduced; two
+        claimants of the same url carry identical rows, so which token wins
+        does not affect the output set). Winners are registered as seen."""
+        self._begin_wave(wave)
+        out = np.zeros(len(hashes), dtype=bool)
+        waves, wm, claims = self._waves, self._wave_min, self._claims
+        taken_this_call: set[int] = set()  # within-batch duplicate guard
+        for i, (h, d) in enumerate(zip(hashes, depths)):
+            h, d = int(h), int(d)
+            if h in taken_this_call:
+                continue
+            if waves.get(h, wave) < wave:
+                continue  # seen in an earlier wave
+            if wm.get(h) != d:
+                continue  # a lower-depth discovery wins this wave
+            if claims.setdefault(h, token) == token:
+                waves.setdefault(h, wave)
+                taken_this_call.add(h)
+                out[i] = True
+        return out
 
     def size(self) -> int:
         return len(self._waves)
@@ -161,6 +216,31 @@ class SeenSet:
 
     def contains_urls(self, urls, before_wave: int) -> np.ndarray:
         return self.contains(hash64(urls), before_wave)
+
+    def propose(self, hashes: np.ndarray, depths: np.ndarray, wave: int) -> None:
+        idx = self._route(hashes)
+        ray.get(
+            [
+                self.shards[s].propose.remote(wave, hashes[ix], depths[ix])
+                for s, ix in enumerate(idx)
+                if len(ix)
+            ]
+        )
+
+    def claim(
+        self, hashes: np.ndarray, depths: np.ndarray, wave: int, token: int
+    ) -> np.ndarray:
+        out = np.zeros(len(hashes), dtype=bool)
+        idx = self._route(hashes)
+        refs = [
+            self.shards[s].claim.remote(wave, hashes[ix], depths[ix], token)
+            for s, ix in enumerate(idx)
+            if len(ix)
+        ]
+        live = [ix for ix in idx if len(ix)]
+        for ix, mask in zip(live, ray.get(refs)):
+            out[ix] = mask
+        return out
 
     def size(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))
