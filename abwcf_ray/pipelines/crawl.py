@@ -4,14 +4,18 @@ Each wave is one Ray Data round over the frontier:
 
     eligible  = frontier.filter(status == 'Discovered')
     host-prep : unknown/expired hosts -> robots fetch-sim -> hosts table
-    strict    : hosts join (C2, fail-close) -> allowed / Disallowed split
-    select    : groupby(host) salted top-k_h (politeness budget, D1/D2)
-    fetch     : bucketed url join vs the pages corpus (A2)
+    strict    : broadcast hosts join (C2, fail-close) + reject side-channel
+    select    : shuffle-free partial top-k_h per host (politeness, D1/D2)
+    fetch     : broadcast semi-join — wave url-hashes ray.put once, the
+                corpus scanned in parallel (A2)
     process   : extract text (A7) + links (B1-B3) in one html pass
     cand'     : explode -> normalize (B4) -> scope (B5) -> lenient (C1)
-                -> wave-dedup (groupby url, min depth) -> seen probe (F1)
+                -> sharded propose/claim = wave-dedup + seen set (F1)
                 -> prioritize (B7)
     frontier' = status updates ∪ new rows -> parquet checkpoint + manifest
+
+The steady-state wave contains NO all-to-all exchange (see stages/schedule,
+stages/fetch, state/seen docstrings for each replacement).
 
 Control returns to the driver only at wave boundaries. All cross-wave state
 (frontier, hosts, seen shards) is parquet-checkpointed per wave with a
@@ -29,7 +33,7 @@ from __future__ import annotations
 
 import json
 import time
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 from pathlib import Path
 
 import numpy as np
@@ -170,21 +174,6 @@ def _host_prep(
     return len(need)
 
 
-def _rebuild_dedup_columns(batch: pa.Table) -> pa.Table:
-    """(url, min(depth)) -> (url, host, depth): vectorized host extraction
-    from canonical urls (scheme://authority prefix)."""
-    urls = batch.column("url").to_pandas().astype("string")
-    hosts = urls.str.extract(r"^([A-Za-z0-9+.\-]+://[^/]+)", expand=False)
-    depth_col = "min(depth)" if "min(depth)" in batch.schema.names else "depth"
-    return pa.table(
-        {
-            "url": batch.column("url"),
-            "host": pa.array(hosts.fillna(""), pa.string()),
-            "depth": batch.column(depth_col).cast(pa.int32()),
-        }
-    )
-
-
 def _collect_arrow(ds: "rd.Dataset") -> pa.Table:
     """Materialize a SMALL dataset to one arrow table on the driver."""
     tables = [ray.get(ref) for ref in ds.to_arrow_refs()]
@@ -265,6 +254,14 @@ def run_crawl(
     # created ONCE: read-op creation lists files + resolves metadata on the
     # driver (~1.7 s at 1M pages) — re-creating it per wave is pure overhead
     corpus_ds = rd.read_parquet(corpus.pages_dir, columns=FETCH_COLUMNS)
+    # pin the corpus in the object store when it fits: every wave's fetch
+    # scan then reads shared-memory blocks (zero-copy) instead of re-reading
+    # and re-decompressing parquet from ONE disk — the single-node analog of
+    # bucket-local caching on a multi-node cluster, where each node holds
+    # its corpus slice in memory/page cache
+    corpus_bytes = sum(f.stat().st_size for f in Path(corpus.pages_dir).rglob("*.parquet"))
+    if corpus_bytes < 6 * 1024**3:
+        corpus_ds = corpus_ds.materialize()
     # hosts of next wave's Discovered rows, carried over from the previous
     # wave's frontier-write side-channel (None -> fall back to a scan, e.g.
     # on the first wave of this process or after resume)

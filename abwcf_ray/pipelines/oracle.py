@@ -47,7 +47,7 @@ def _priority(cfg: CrawlConfig, url: str, depth: int) -> int:
 
 
 def run_oracle(cfg: CrawlConfig, corpus: CorpusMeta, seeds: list[str] | None = None) -> OracleResult:
-    pages = pads.dataset(corpus.pages_dir, partitioning="hive").to_table(
+    pages = pads.dataset(corpus.pages_dir).to_table(
         columns=["url", "html", "text", "status", "content_type", "location", "x_robots_tag"]
     )
     web = {r["url"]: r for r in pages.to_pylist()}

@@ -4,10 +4,10 @@ Generates the three fixture inputs the crawl engine consumes:
 
 - ``pages`` — Common-Crawl-style page table matching BASELINE.json's
   ``input_hint`` columns ``(url, warc_ts, html: binary, text, lang)`` plus
-  simulation columns ``(status, content_type, location, x_robots_tag)`` and
-  the partition column ``bucket = hash64(url) % num_buckets``. Written as
-  hive-partitioned parquet (``bucket=N/part.parquet``) so the fetch
-  simulator reads only its key-range slice — the stand-in for network IO.
+  simulation columns ``(status, content_type, location, x_robots_tag)``.
+  Written as one parquet part per generation chunk (deterministic content;
+  the fetch stage is a broadcast semi-join over a parallel scan, so no
+  bucketed layout is required).
 - ``robots.parquet`` — per-host robots.txt fetch outcomes
   ``(host, status, redirect_hops, body)``.
 - ``seeds.json`` — crawl entry points (canonical + non-canonical + one
@@ -68,6 +68,7 @@ _EPOCH_2025 = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in µs
 # benchmarks.
 PROFILES = {
     "light": (1, 4, 8, 40, 0, 20),
+    "bench": (4, 8, 24, 60, 8, 30),
     "heavy": (6, 14, 30, 90, 10, 50),
 }
 
@@ -234,12 +235,52 @@ def rank0_urls(meta: "CorpusMeta", k: int) -> list[str]:
     return [_page_url(h, 0) for h in range(min(k, meta.n_hosts))]
 
 
+def _generate_chunk(
+    pages_dir: str,
+    start: int,
+    stop: int,
+    cum: np.ndarray,
+    n_hosts: int,
+    seed: int,
+    profile: str,
+    num_buckets: int,
+) -> int:
+    """Generate pages [start, stop) and write one part file per bucket."""
+    prof = PROFILES[profile]
+    host_ids = np.searchsorted(cum, np.arange(start, stop), side="right") - 1
+    rows = []
+    for i in range(start, stop):
+        h = int(host_ids[i - start])
+        rank = i - int(cum[h])
+        url, doc, text, lang, status, ctype, loc, xrt = _gen_page(
+            i, h, rank, int(cum[h + 1] - cum[h]), n_hosts, cum, seed, prof
+        )
+        rows.append((url, _EPOCH_2025 + i * 1_000_000, doc, text, lang,
+                     status, ctype, loc, xrt))
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "url": pa.array(cols[0], pa.string()),
+            "warc_ts": pa.array(cols[1], pa.timestamp("us")),
+            "html": pa.array(cols[2], pa.binary()),
+            "text": pa.array(cols[3], pa.string()),
+            "lang": pa.array(cols[4], pa.string()),
+            "status": pa.array(cols[5], pa.int32()),
+            "content_type": pa.array(cols[6], pa.string()),
+            "location": pa.array(cols[7], pa.string()),
+            "x_robots_tag": pa.array(cols[8], pa.string()),
+        }
+    )
+    pq.write_table(table, Path(pages_dir) / f"part-{start:09d}.parquet")
+    return stop - start
+
+
 def generate_corpus(
     out_dir: str | Path,
     n_pages: int = 2000,
     seed: int = 42,
     num_buckets: int = 32,
-    chunk_size: int = 20_000,
+    chunk_size: int = 10_000,
     profile: str = "light",
 ) -> CorpusMeta:
     """Generate (or reuse, if already present with identical parameters) the
@@ -256,49 +297,44 @@ def generate_corpus(
 
     out.mkdir(parents=True, exist_ok=True)
     cum = _host_layout(n_pages, n_hosts)
-
-    # --- pages, chunked, bucketed by hash64(url) % num_buckets -----------
-    writers: dict[int, pq.ParquetWriter] = {}
     pages_dir = Path(meta.pages_dir)
-    try:
-        for start in range(0, n_pages, chunk_size):
-            stop = min(start + chunk_size, n_pages)
-            host_ids = np.searchsorted(cum, np.arange(start, stop), side="right") - 1
-            rows = []
-            for i in range(start, stop):
-                h = int(host_ids[i - start])
-                rank = i - int(cum[h])
-                url, doc, text, lang, status, ctype, loc, xrt = _gen_page(
-                    i, h, rank, int(cum[h + 1] - cum[h]), n_hosts, cum, seed,
-                    PROFILES[profile],
+    pages_dir.mkdir(parents=True, exist_ok=True)
+
+    chunks = [
+        (start, min(start + chunk_size, n_pages))
+        for start in range(0, n_pages, chunk_size)
+    ]
+    # page content is a pure function of (seed, page index), so chunks can
+    # generate in parallel Ray tasks (used for bench-scale corpora); each
+    # chunk writes its own part file per bucket — content is identical to
+    # the sequential path, only the file split differs
+    use_ray = n_pages >= 100_000
+    if use_ray:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized()
+        except ImportError:  # pragma: no cover
+            use_ray = False
+    if use_ray:
+        import ray
+
+        gen_task = ray.remote(_generate_chunk)
+        cum_ref = ray.put(cum)
+        ray.get(
+            [
+                gen_task.remote(
+                    str(pages_dir), start, stop, cum_ref, n_hosts, seed,
+                    profile, num_buckets
                 )
-                rows.append((url, _EPOCH_2025 + i * 1_000_000, doc, text, lang,
-                             status, ctype, loc, xrt))
-            cols = list(zip(*rows))
-            table = pa.table(
-                {
-                    "url": pa.array(cols[0], pa.string()),
-                    "warc_ts": pa.array(cols[1], pa.timestamp("us")),
-                    "html": pa.array(cols[2], pa.binary()),
-                    "text": pa.array(cols[3], pa.string()),
-                    "lang": pa.array(cols[4], pa.string()),
-                    "status": pa.array(cols[5], pa.int32()),
-                    "content_type": pa.array(cols[6], pa.string()),
-                    "location": pa.array(cols[7], pa.string()),
-                    "x_robots_tag": pa.array(cols[8], pa.string()),
-                }
+                for start, stop in chunks
+            ]
+        )
+    else:
+        for start, stop in chunks:
+            _generate_chunk(
+                str(pages_dir), start, stop, cum, n_hosts, seed, profile, num_buckets
             )
-            buckets = hash64(cols[0]) % num_buckets
-            for b in np.unique(buckets):
-                sub = table.filter(pa.array(buckets == b))
-                if int(b) not in writers:
-                    bdir = pages_dir / f"bucket={int(b)}"
-                    bdir.mkdir(parents=True, exist_ok=True)
-                    writers[int(b)] = pq.ParquetWriter(bdir / "part-0.parquet", PAGES_SCHEMA)
-                writers[int(b)].write_table(sub)
-    finally:
-        for w in writers.values():
-            w.close()
 
     # --- robots ----------------------------------------------------------
     robots_rows = [_gen_robots(h, seed) for h in range(n_hosts)]

@@ -33,10 +33,10 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 CRAWL_WAVES = 3
-# politeness window per wave: k_h = 60 at the default 1 s crawl delay —
-# big steady-state waves so the measurement is compute-bound, not
+# politeness window per wave: k_h = 600 at the default 1 s crawl delay —
+# few, big waves so the measurement is compute-bound, not
 # wave-machinery-bound
-CRAWL_WAVE_S = 60.0
+CRAWL_WAVE_S = 600.0
 
 
 def _corpus():
@@ -45,14 +45,17 @@ def _corpus():
     from abwcf_ray.sources.corpus import generate_corpus
 
     n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
-    # sf0.1 -> 1M pages / 20k hosts: the scale where per-wave fixed costs
-    # (~4 s of Ray execution machinery) amortize against real work
-    n_pages = max(100_000, min(1_000_000, n_docs * 200))
+    # sf0.1 -> 300k "heavy"-profile pages (~8-15 KB html, 10-50 links —
+    # Common-Crawl-realistic page weights) / 6k hosts: html parse is the
+    # dominant cost, as in a real extraction pipeline, so the measurement
+    # is CPU-bound and scales with cores
+    n_pages = max(60_000, min(300_000, n_docs * 60))
     return generate_corpus(
-        f"/tmp/abwcf_bench_corpus_{n_pages}",
+        f"/tmp/abwcf_bench_corpus_{n_pages}_heavy",
         n_pages=n_pages,
         seed=42,
         num_buckets=128,
+        profile="heavy",
     )
 
 
@@ -82,7 +85,9 @@ def run_bench() -> dict:
 
     corpus = _corpus()  # cached; generation excluded from timing
 
-    # warm the OS page cache so we measure compute + shuffle, not cold reads
+    # warm Ray's worker pool + the OS page cache so we measure compute +
+    # shuffle, not worker spawn and cold reads
+    rd.range(10_000).map_batches(lambda b: b, batch_format="pyarrow").count()
     rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
     rd.read_parquet(f"{SF_DIR}/embeddings.parquet").count()
 

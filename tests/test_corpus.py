@@ -20,7 +20,7 @@ def corpus(tmp_path_factory):
 
 
 def _load_pages(meta):
-    return pads.dataset(meta.pages_dir, partitioning="hive").to_table()
+    return pads.dataset(meta.pages_dir).to_table()
 
 
 def test_deterministic_and_complete(corpus, tmp_path):

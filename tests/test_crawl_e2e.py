@@ -91,7 +91,7 @@ def test_extracted_text_byte_identical(ray_run, oracle, corpus):
     )
     pd.testing.assert_frame_equal(got, exp)
     # and against the corpus ground truth (the north-rule per-row invariant)
-    pages = pads.dataset(corpus.pages_dir, partitioning="hive").to_table(
+    pages = pads.dataset(corpus.pages_dir).to_table(
         columns=["url", "text"]
     ).to_pandas().set_index("url")
     for url, text in oracle.extracted.items():

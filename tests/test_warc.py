@@ -45,7 +45,7 @@ def test_dataset_roundtrip_via_corpus(ray_session, tmp_path):
     assert len(paths) >= 3
     back = read_warc(paths).to_pandas().sort_values("url").reset_index(drop=True)
     orig = (
-        pads.dataset(meta.pages_dir, partitioning="hive")
+        pads.dataset(meta.pages_dir)
         .to_table(columns=["url", "warc_ts", "html"])
         .to_pandas()
         .sort_values("url")
