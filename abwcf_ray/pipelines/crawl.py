@@ -254,14 +254,6 @@ def run_crawl(
     # created ONCE: read-op creation lists files + resolves metadata on the
     # driver (~1.7 s at 1M pages) — re-creating it per wave is pure overhead
     corpus_ds = rd.read_parquet(corpus.pages_dir, columns=FETCH_COLUMNS)
-    # pin the corpus in the object store when it fits: every wave's fetch
-    # scan then reads shared-memory blocks (zero-copy) instead of re-reading
-    # and re-decompressing parquet from ONE disk — the single-node analog of
-    # bucket-local caching on a multi-node cluster, where each node holds
-    # its corpus slice in memory/page cache
-    corpus_bytes = sum(f.stat().st_size for f in Path(corpus.pages_dir).rglob("*.parquet"))
-    if corpus_bytes < 6 * 1024**3:
-        corpus_ds = corpus_ds.materialize()
     # hosts of next wave's Discovered rows, carried over from the previous
     # wave's frontier-write side-channel (None -> fall back to a scan, e.g.
     # on the first wave of this process or after resume)
