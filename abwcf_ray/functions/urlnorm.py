@@ -99,13 +99,19 @@ def _split_netloc(netloc: str) -> tuple[str | None, str, str | None] | None:
 
 
 def _normalize_path(path: str) -> str:
-    """Java URI.normalize() path semantics (see module docstring)."""
+    """Java URI.normalize() path semantics (see module docstring).
+
+    Normalization triggers only on dot segments or INTERIOR empty segments
+    (``//``); a single trailing slash is neither (Java's needsNormalization
+    checks for duplicate slashes), so ``/a/b/`` passes through verbatim and
+    a trailing slash survives normalization of e.g. ``/a/./b/``."""
     if path == "":
         return "/"
     segments = path.split("/")
-    needs_norm = "." in segments or ".." in segments or "" in segments[1:]
-    if not needs_norm:
+    interior_empty = "" in segments[1:-1]
+    if "." not in segments and ".." not in segments and not interior_empty:
         return path
+    trailing = path.endswith("/")
     out: list[str] = []
     for seg in segments:
         if seg in ("", "."):
@@ -117,7 +123,10 @@ def _normalize_path(path: str) -> str:
                 out.append("..")
         else:
             out.append(seg)
-    return "/" + "/".join(out)
+    res = "/" + "/".join(out)
+    if trailing and res != "/":
+        res += "/"
+    return res
 
 
 def normalize_url(url: str, config: NormalizationConfig = DEFAULT_CONFIG) -> str | None:

@@ -46,14 +46,12 @@ import ray.data as rd
 
 from abwcf_ray.config import CrawlConfig
 from abwcf_ray.functions.hashing import hash64
-from abwcf_ray.functions.urlnorm import get_scheme_and_authority, normalize_url
 from abwcf_ray.sources.corpus import CorpusMeta
 from abwcf_ray.stages.fetch import FETCH_COLUMNS, make_fetch_scan, make_selection_ref
 from abwcf_ray.stages.schedule import rank_selected, select_wave
 from abwcf_ray.stages.transform import (
     STATUS_DISCOVERED,
     explode_links,
-    make_claim,
     make_lenient_robots_filter,
     make_normalize_stage,
     make_process_fetched_stage,
@@ -174,6 +172,23 @@ def _host_prep(
     return len(need)
 
 
+@ray.remote
+def _claim_block(
+    block: pa.Table, idx: int, seen_set, wave: int, host_accum, cfg: CrawlConfig
+) -> pa.Table:
+    """Claim + prioritize + frontier-columns for one candidate block."""
+    from abwcf_ray.stages.transform import FRONTIER_SCHEMA, claim_batch, make_prioritize_stage
+
+    if block.num_rows == 0 or "url" not in block.schema.names:
+        return FRONTIER_SCHEMA.empty_table()
+    out = claim_batch(block, seen_set, wave, idx, host_accum)
+    out = make_prioritize_stage(cfg)(out)
+    status = pa.array([STATUS_DISCOVERED] * out.num_rows, pa.string())
+    return out.append_column("status", status).select(
+        ["url", "host", "status", "depth", "priority"]
+    )
+
+
 def _collect_arrow(ds: "rd.Dataset") -> pa.Table:
     """Materialize a SMALL dataset to one arrow table on the driver."""
     tables = [ray.get(ref) for ref in ds.to_arrow_refs()]
@@ -203,10 +218,15 @@ def run_crawl(
 
     if resume:
         completed = sorted(
-            d
-            for d in out.glob("wave_*")
-            if (d / "manifest.json").exists()
-            and json.loads((d / "manifest.json").read_text()).get("completed")
+            (
+                d
+                for d in out.glob("wave_*")
+                if (d / "manifest.json").exists()
+                and json.loads((d / "manifest.json").read_text()).get("completed")
+            ),
+            # numeric sort: lexicographic breaks at wave 10000 ('wave_9999' >
+            # 'wave_10000')
+            key=lambda d: int(d.name.split("_")[1]),
         )
         if completed:
             last = completed[-1]
@@ -224,6 +244,14 @@ def run_crawl(
             resume = False
 
     if not resume:
+        # fresh run: wipe any previous run's checkpoints — Ray's
+        # write_parquet appends part files, so stale wave dirs would merge
+        # into the new run's frontier reads
+        import shutil
+
+        for d in list(out.glob("wave_*")) + [out / "init"]:
+            if d.exists():
+                shutil.rmtree(d)
         # ---- wave -1: seed the frontier (init checkpoint) ----------------
         init_dir = _wave_dir(out, 0).parent / "init"
         (init_dir / "frontier").mkdir(parents=True, exist_ok=True)
@@ -424,16 +452,14 @@ def run_crawl(
             .map_batches(make_propose(seen, wave), batch_format="pyarrow")
             .materialize()
         )
-        new_rows = (
-            cand_m.map_batches(make_claim(seen, wave, host_accum), batch_format="pyarrow")
-            .map_batches(prioritize, batch_format="pyarrow")
-            .map_batches(
-                lambda t: t.append_column(
-                    "status", pa.array([STATUS_DISCOVERED] * t.num_rows, pa.string())
-                ).select(["url", "host", "status", "depth", "priority"]),
-                batch_format="pyarrow",
-            )
-        )
+        # claim phase: one task per materialized block, token = block index
+        # (unique per claimant, stable across task retries — see
+        # transform.claim_batch)
+        claim_refs = [
+            _claim_block.remote(block, idx, seen, wave, host_accum, cfg)
+            for idx, block in enumerate(cand_m.to_arrow_refs())
+        ]
+        new_rows = rd.from_arrow_refs(claim_refs)
 
         # ---- frontier update + checkpoint -------------------------------
         processed_ref = ray.put(hash64(sel_df["url"].tolist()))

@@ -243,9 +243,9 @@ def _generate_chunk(
     n_hosts: int,
     seed: int,
     profile: str,
-    num_buckets: int,
+    num_buckets: int,  # kept for call-compat; layout is flat (one part/chunk)
 ) -> int:
-    """Generate pages [start, stop) and write one part file per bucket."""
+    """Generate pages [start, stop) and write one part file for the chunk."""
     prof = PROFILES[profile]
     host_ids = np.searchsorted(cum, np.arange(start, stop), side="right") - 1
     rows = []
@@ -294,6 +294,12 @@ def generate_corpus(
         existing = json.loads(meta_path.read_text())
         if existing == asdict(meta):
             return meta
+    if out.exists():
+        # parameter mismatch or partial previous generation: stale part
+        # files would silently inflate the corpus (readers scan the dir)
+        import shutil
+
+        shutil.rmtree(out)
 
     out.mkdir(parents=True, exist_ok=True)
     cum = _host_layout(n_pages, n_hosts)

@@ -357,10 +357,11 @@ def ngram_jaccard_dedup(
         ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
         threshold=0.0, seed=seed, text_col=text_col, id_col=id_col,
     )
-    # rebuild candidate edges from clusters, verify exactly
+    # rebuild candidate edges from clusters, verify exactly (minhash output
+    # already carries the caller's id_col name)
     edges = []
     by_cluster = defaultdict(list)
-    for doc_id, cluster in zip(cand["doc_id"], cand["cluster"]):
+    for doc_id, cluster in zip(cand[id_col], cand["cluster"]):
         by_cluster[int(cluster)].append(int(doc_id))
     for members in by_cluster.values():
         members.sort()
@@ -377,6 +378,8 @@ def ngram_jaccard_dedup(
     all_ids = np.sort(np.asarray(ds.select_columns([id_col]).to_pandas()[id_col]))
     labels = connected_components_labels(edges_df, all_ids)
     labels["is_dup"] = labels["doc_id"] != labels["cluster"]
+    if id_col != "doc_id":
+        labels = labels.rename(columns={"doc_id": id_col})
     return labels
 
 

@@ -23,8 +23,7 @@ from abwcf_ray.config import CrawlConfig
 from abwcf_ray.functions.hashing import hash64
 from abwcf_ray.functions.htmlx import header_nofollow, parse_document
 from abwcf_ray.functions.robots import RobotRules
-from abwcf_ray.functions.urlnorm import get_scheme_and_authority, normalize_url
-from abwcf_ray.state.hosts import lookup_rules
+from abwcf_ray.functions.urlnorm import normalize_url
 
 CANDIDATE_SCHEMA = pa.schema([("url", pa.string()), ("depth", pa.int32())])
 FRONTIER_SCHEMA = pa.schema(
@@ -78,33 +77,38 @@ def make_normalize_stage(cfg: CrawlConfig):
         depths = batch.column("depth").to_numpy(zero_copy_only=False)
         fast = urls.str.fullmatch(_CANONICAL_RE).fillna(False).to_numpy(dtype=bool)
 
-        out_urls: list[str] = []
-        out_depths: list[int] = []
-        # fast rows pass through untouched
-        for u, d in zip(urls[fast], depths[fast]):
-            out_urls.append(u)
-            out_depths.append(int(d))
-        # slow rows: full RFC-3986 normalization
+        # fast rows pass through as an arrow slice — zero per-row Python
+        fast_tbl = batch.select(["url", "depth"]).filter(pa.array(fast))
+        # slow rows: full RFC-3986 normalization per url
+        slow_urls: list[str] = []
+        slow_depths: list[int] = []
         for u, d in zip(urls[~fast], depths[~fast]):
             n = normalize_url(u, norm_cfg)
-            if n is None:
-                continue
-            out_urls.append(n)
-            out_depths.append(int(d))
-        hosts = (
-            pd.Series(out_urls, dtype="string")
-            .str.extract(_HOST_RE, expand=False)
-            .fillna("")
-            .tolist()
+            if n is not None:
+                slow_urls.append(n)
+                slow_depths.append(int(d))
+        slow_tbl = pa.table(
+            {
+                "url": pa.array(slow_urls, pa.string()),
+                "depth": pa.array(slow_depths, pa.int32()),
+            }
         )
-        keep = [h != "" for h in hosts]
+        merged = pa.concat_tables(
+            [fast_tbl.cast(slow_tbl.schema), slow_tbl]
+        ).combine_chunks()
+        # vectorized host extraction (normalized urls always carry
+        # scheme://authority, so misses are pathological and dropped)
+        hosts = (
+            merged.column("url").to_pandas().astype("string")
+            .str.extract(_HOST_RE, expand=False)
+        )
+        ok = hosts.notna().to_numpy(dtype=bool)
+        ok_arr = pa.array(ok)
         return pa.table(
             {
-                "url": pa.array([u for u, k in zip(out_urls, keep) if k], pa.string()),
-                "host": pa.array([h for h in hosts if h != ""], pa.string()),
-                "depth": pa.array(
-                    [d for d, k in zip(out_depths, keep) if k], pa.int32()
-                ),
+                "url": merged.column("url").filter(ok_arr),
+                "host": pa.array(hosts[ok], pa.string()),
+                "depth": merged.column("depth").filter(ok_arr),
             }
         )
 
@@ -493,54 +497,24 @@ def make_propose(seen_set, wave: int):
     return propose
 
 
-def make_claim(seen_set, wave: int, host_accum=None):
-    """Filter stage: keep only rows this batch WINS — unseen urls at their
-    wave-minimum depth, first claim wins (phase 2; the claim token is a
-    deterministic digest of the batch's urls so retries reproduce their
-    original mask). Winners are registered as seen by the shard. Hosts of
-    winners feed the next wave's host-set side-channel."""
-
-    def claim(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        h = hash64(batch.column("url"))
-        d = batch.column("depth").to_numpy(zero_copy_only=False)
-        token = int(np.bitwise_xor.reduce(h) ^ np.uint64(len(h)))
-        mask = seen_set.claim(h, d, wave, token)
-        out = batch.filter(pa.array(mask))
-        if host_accum is not None and out.num_rows:
-            hosts = pd.unique(np.asarray(out.column("host").to_pylist(), dtype=object))
-            ray.get(host_accum.add.remote(list(hosts)))
-        return out
-
-    return claim
-
-
-def make_seen_filter(seen_set, wave: int):
-    """Keeps only urls NOT seen before the given wave (read-only probe; see
-    state/seen.py for the wave-versioned retry-safety protocol)."""
-
-    def seen_filter(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        mask = ~seen_set.contains_urls(batch.column("url").to_pylist(), wave)
-        return batch.filter(pa.array(mask))
-
-    return seen_filter
-
-
-def make_seen_add(seen_set, wave: int, host_accum=None):
-    """Pass-through stage that registers urls as seen at the given wave
-    (idempotent setdefault), fused into the new-frontier checkpoint write.
-    New rows are Discovered by construction, so their hosts also feed the
-    next wave's host-set side-channel."""
-
-    def seen_add(batch: pa.Table) -> pa.Table:
-        if batch.num_rows:
-            seen_set.add_urls(batch.column("url").to_pylist(), wave)
-            if host_accum is not None:
-                hosts = pd.unique(np.asarray(batch.column("host").to_pylist(), dtype=object))
-                ray.get(host_accum.add.remote(list(hosts)))
+def claim_batch(
+    batch: pa.Table, seen_set, wave: int, token: int, host_accum=None
+) -> pa.Table:
+    """Phase 2 of the shuffle-free wave-dedup: keep only rows this claimant
+    WINS — unseen urls at their wave-minimum depth, first claim token wins.
+    ``token`` must be UNIQUE per block and stable across retries (the driver
+    enumerates the materialized candidate blocks and passes the block index
+    — content-derived tokens would collide for two distinct blocks carrying
+    identical candidate sets, double-inserting those urls). Winners are
+    registered as seen by the shard; their hosts feed the next wave's
+    host-set side-channel."""
+    if batch.num_rows == 0:
         return batch
-
-    return seen_add
+    h = hash64(batch.column("url"))
+    d = batch.column("depth").to_numpy(zero_copy_only=False)
+    mask = seen_set.claim(h, d, wave, token)
+    out = batch.filter(pa.array(mask))
+    if host_accum is not None and out.num_rows:
+        hosts = pd.unique(np.asarray(out.column("host").to_pylist(), dtype=object))
+        ray.get(host_accum.add.remote(list(hosts)))
+    return out

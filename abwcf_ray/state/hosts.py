@@ -229,16 +229,3 @@ class HostsState:
     def restore(self, path: str | Path) -> None:
         self.entries = {}
         self.merge_fetched(pq.read_table(str(path)))
-
-
-def lookup_rules(payload: dict[str, tuple[str, str, int]], cache: dict[str, RobotRules], host: str) -> RobotRules | None:
-    """Deserialize-with-cache helper used inside the robots-filter stages
-    (the rebuild of the per-node Caffeine caches, LenientRobotsFilter.scala:66-118)."""
-    r = cache.get(host)
-    if r is None:
-        raw = payload.get(host)
-        if raw is None:
-            return None
-        r = RobotRules.deserialize(raw[0], raw[1], raw[2])
-        cache[host] = r
-    return r

@@ -14,8 +14,8 @@ added in waves < n count as seen — and the add stage registers
 ``add(hashes, wave=n)`` with setdefault semantics. A Ray task that is
 retried after its own adds took effect therefore reproduces its original
 output (its urls were added at wave n, which the probe ignores), and
-re-adding is a no-op. Within-wave duplicates are eliminated *before* this
-stage by the wave-dedup groupby (pipelines/crawl.py), mirroring
+re-adding is a no-op. Within-wave duplicates are arbitrated by the shards
+themselves via the two-phase propose/claim protocol below, mirroring
 PageManager.scala:107 where a Discover for a known url is swallowed.
 
 Checkpoint: each shard persists its own parquet file (parallel, one file per
@@ -24,6 +24,7 @@ shard) so resume re-creates the pool without rescanning the frontier.
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 
 import numpy as np
@@ -89,10 +90,11 @@ class SeenShard:
         self, wave: int, hashes: np.ndarray, depths: np.ndarray, token: int
     ) -> np.ndarray:
         """Mask of rows this claimant wins: not seen before this wave, depth
-        equals the proposed minimum, and first claim token wins (a retried
-        task re-presents the same token, so its mask is reproduced; two
-        claimants of the same url carry identical rows, so which token wins
-        does not affect the output set). Winners are registered as seen."""
+        equals the proposed minimum, and first claim token wins. Tokens
+        must be unique per claimant block and stable across retries (the
+        driver passes materialized-block indices), so a retried task
+        reproduces its mask and two distinct blocks can never both win.
+        Winners are registered as seen."""
         self._begin_wave(wave)
         out = np.zeros(len(hashes), dtype=bool)
         waves, wm, claims = self._waves, self._wave_min, self._claims
@@ -246,9 +248,22 @@ class SeenSet:
         return sum(ray.get([s.size.remote() for s in self.shards]))
 
     # -- checkpoint / resume ---------------------------------------------
+    @staticmethod
+    def _hash_impl() -> str:
+        try:
+            import polars
+
+            return f"polars-{polars.__version__}"
+        except ImportError:  # pragma: no cover
+            return "fnv1a64"
+
     def checkpoint(self, ckpt_dir: str | Path) -> None:
         d = Path(ckpt_dir)
         d.mkdir(parents=True, exist_ok=True)
+        # the checkpoint stores HASHES; membership after restore compares
+        # them against freshly computed ones, so the hash implementation
+        # must be identical across the checkpoint boundary
+        (d / "hash_impl.json").write_text(json.dumps({"impl": self._hash_impl()}))
         ray.get(
             [
                 shard.checkpoint.remote(str(d / f"shard_{s:04d}.parquet"))
@@ -258,6 +273,16 @@ class SeenSet:
 
     def restore(self, ckpt_dir: str | Path) -> None:
         d = Path(ckpt_dir)
+        impl_file = d / "hash_impl.json"
+        if impl_file.exists():
+            stored = json.loads(impl_file.read_text())["impl"]
+            if stored != self._hash_impl():
+                raise RuntimeError(
+                    f"seen-set checkpoint was written with hash impl "
+                    f"{stored!r} but this process uses {self._hash_impl()!r}; "
+                    "url-hash membership would silently miss — re-crawl or "
+                    "pin the original library version"
+                )
         ray.get(
             [
                 shard.restore.remote(str(d / f"shard_{s:04d}.parquet"))

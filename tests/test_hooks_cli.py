@@ -125,3 +125,48 @@ def test_window_ts_unit_independent(ray_session):
     ).to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(out_ns, out_us)
     assert out_ns[out_ns["user_id"] == 1]["session_id"].tolist() == [0, 1]
+
+
+def test_fresh_run_wipes_previous_checkpoints(ray_session, tmp_path):
+    """resume=False into an existing out_dir must not merge stale parquet
+    parts (Ray write_parquet appends)."""
+    from abwcf_ray.config import CrawlConfig
+    from abwcf_ray.pipelines.crawl import run_crawl
+    from abwcf_ray.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(tmp_path / "c", n_pages=400, seed=42, num_buckets=4)
+    cfg = CrawlConfig(max_waves=2, seen_shards=2, corpus_buckets=4)
+    s1 = run_crawl(cfg, corpus, tmp_path / "out", log=lambda *_: None)
+    s2 = run_crawl(cfg, corpus, tmp_path / "out", log=lambda *_: None)
+    assert s2.final_frontier_rows == s1.final_frontier_rows
+    assert s2.total_fetched == s1.total_fetched
+
+
+def test_corpus_regen_wipes_stale_parts(tmp_path):
+    from abwcf_ray.sources.corpus import generate_corpus
+    import pyarrow.dataset as pads
+
+    generate_corpus(tmp_path / "c", n_pages=3000, seed=42, num_buckets=4)
+    meta = generate_corpus(tmp_path / "c", n_pages=500, seed=42, num_buckets=4)
+    assert pads.dataset(meta.pages_dir).count_rows() == 500
+
+
+def test_ngram_jaccard_custom_id_col(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.dedup import ngram_jaccard_dedup
+
+    t = pa.table(
+        {
+            "page_id": pa.array([1, 2, 3], pa.int64()),
+            "body": pa.array(["a b c d e", "a b c d e", "x y z w v"]),
+        }
+    )
+    labels = ngram_jaccard_dedup(
+        rd.from_arrow(t), id_col="page_id", text_col="body", threshold=0.9
+    )
+    assert list(labels.columns[:2]) == ["page_id", "cluster"]
+    lab = labels.set_index("page_id")
+    assert lab.loc[2, "cluster"] == lab.loc[1, "cluster"]
+    assert bool(lab.loc[2, "is_dup"]) and not bool(lab.loc[3, "is_dup"])

@@ -89,3 +89,21 @@ def test_scheme_and_authority():
     assert get_scheme_and_authority("https://www.example.com/a/b?q") == "https://www.example.com"
     assert get_scheme_and_authority("http://user@example.com:1234/x") == "http://user@example.com:1234"
     assert get_scheme_and_authority("garbage") is None
+
+
+@pytest.mark.parametrize(
+    "url,expected",
+    [
+        # Java URI.normalize preserves a lone trailing slash (no dots, no
+        # duplicate slashes -> no normalization)
+        ("https://h.example/a/b/", "https://h.example/a/b/"),
+        # ...and a trailing slash survives dot-segment removal
+        ("https://h.example/a/./b/", "https://h.example/a/b/"),
+        ("https://h.example/a//b/", "https://h.example/a/b/"),
+        ("https://h.example/a/../", "https://h.example/"),
+    ],
+)
+def test_trailing_slash_preserved(url, expected):
+    assert normalize_url(url, STRICT_NORMALIZATION) == expected
+    # fixed point: normalizing again changes nothing
+    assert normalize_url(expected, STRICT_NORMALIZATION) == expected
