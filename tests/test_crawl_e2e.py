@@ -163,3 +163,46 @@ def test_manifest_lineage(ray_run):
     assert m["completed"] and m["wave"] == 0
     assert m["files"]["frontier"], "per-partition lineage missing"
     assert all("rows" in f for f in m["files"]["frontier"])
+
+
+def test_robots_ttl_expiry_matches_oracle(ray_session, corpus, tmp_path_factory):
+    """Short robots TTLs force re-fetch + expired-rules-reuse mid-crawl
+    (HostManager.scala:142-162); pipeline must still match the oracle."""
+    from abwcf_ray.pipelines.crawl import run_crawl
+
+    cfg = CrawlConfig(
+        max_waves=6,
+        wave_duration_s=10.0,
+        seen_shards=4,
+        corpus_buckets=8,
+        max_crawl_depth=6,
+        valid_rules_lifetime_s=25,       # expires every ~3 waves
+        unavailable_rules_lifetime_s=25,
+        unreachable_rules_lifetime_s=15,
+    )
+    out = tmp_path_factory.mktemp("ttl")
+    summary = run_crawl(cfg, corpus, out, log=lambda *_: None)
+    o = run_oracle(cfg, corpus)
+    got = _final_frontier(out, summary)
+    exp = (
+        pd.DataFrame(
+            [(u, s, d, p) for u, (s, d, p) in o.frontier.items()],
+            columns=["url", "status", "depth", "priority"],
+        )
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["url", "status", "depth", "priority"]].astype({"depth": "int64"}),
+        exp.astype({"depth": "int64"}),
+    )
+    # re-fetches actually happened after wave 0
+    import json as _json
+
+    refetches = sum(
+        _json.loads((d / "manifest.json").read_text()).get("n_robots_fetched", 0)
+        for d in sorted(out.glob("wave_*"))[1:]
+        if (d / "manifest.json").exists()
+    )
+    assert refetches > 0
