@@ -45,15 +45,31 @@ def add_content_hash(batch: pa.Table, col: str = "text") -> pa.Table:
 
 
 def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
-    """Keep the minimum-id row per distinct content; adds ``dup_count``."""
-    hashed = ds.map_batches(lambda b: add_content_hash(b, col), batch_format="pyarrow")
+    """Exact dedup by content hash -> (content_hash, <id_col>, dup_count):
+    the minimum id per distinct content plus its duplicate count.
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.nsmallest(1, id_col).copy()
-        out["dup_count"] = np.int64(len(g))
-        return out
+    Fully vectorized and shuffle-light: per-batch pandas partials (one row
+    per distinct hash per batch) reduce the exchange to the distinct-hash
+    cardinality BEFORE the groupby, and the final aggregate is Ray's native
+    Min/Sum — no per-group Python callables (at 10^9-doc scale a per-group
+    pandas call per distinct document would dominate)."""
+    from ray.data.aggregate import Min, Sum
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, col).select([id_col, "content_hash"]),
+        batch_format="pyarrow",
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("content_hash", as_index=False)[id_col].agg(["min", "size"])
+        g.columns = ["content_hash", "min_id", "n"]
+        return g
+
+    return (
+        hashed.map_batches(partial, batch_format="pandas")
+        .groupby("content_hash")
+        .aggregate(Min("min_id", alias_name=id_col), Sum("n", alias_name="dup_count"))
+    )
 
 
 # --------------------------------------------------------------------------
