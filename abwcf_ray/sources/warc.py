@@ -120,6 +120,38 @@ def read_warc(paths: str | list[str]):
     return ds.map_batches(parse_batch, batch_format="pyarrow", batch_size=1)
 
 
+def warc_to_corpus(warc_paths, out_dir: str | Path) -> str:
+    """Ingest WARC shards into a crawlable pages directory (the engine's
+    corpus layout): url, warc_ts, html + fetch-sim columns (status=200,
+    text/html; text/lang empty — extraction derives text from html).
+
+    This is the real-Common-Crawl on-ramp: point it at CC WARC shards and
+    run the crawl/extraction pipeline over the result."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "warc_ts": batch.column("warc_ts"),
+                "html": batch.column("html"),
+                "text": pa.array([""] * n, pa.string()),
+                "lang": pa.array([""] * n, pa.string()),
+                "status": pa.array([200] * n, pa.int32()),
+                "content_type": pa.array(["text/html"] * n, pa.string()),
+                "location": pa.array([None] * n, pa.string()),
+                "x_robots_tag": pa.array([None] * n, pa.string()),
+            }
+        )
+
+    read_warc(warc_paths).map_batches(to_pages, batch_format="pyarrow").write_parquet(
+        str(out)
+    )
+    return str(out)
+
+
 def write_warc(ds, out_dir: str | Path, rows_per_shard: int = 10_000) -> list[str]:
     """pages Dataset -> WARC shards under out_dir (one shard per input
     block, sharded further by rows_per_shard). Returns shard paths."""

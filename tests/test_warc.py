@@ -58,3 +58,34 @@ def test_dataset_roundtrip_via_corpus(ray_session, tmp_path):
         back["warc_ts"].astype("int64") // 10**6
         == orig["warc_ts"].astype("int64") // 10**6
     ).all()
+
+
+def test_warc_to_corpus_is_crawlable(ray_session, tmp_path):
+    """WARC shards -> corpus layout the fetch scan can consume."""
+    import ray.data as rd
+
+    from abwcf_ray.sources.corpus import generate_corpus
+    from abwcf_ray.sources.warc import warc_to_corpus, write_warc
+
+    meta = generate_corpus(tmp_path / "c", n_pages=200, seed=42, num_buckets=4)
+    pages = rd.read_parquet(meta.pages_dir, columns=["url", "warc_ts", "html"])
+    shards = write_warc(pages, tmp_path / "warc", rows_per_shard=100)
+    pages_dir = warc_to_corpus(shards, tmp_path / "ingested")
+    t = pads.dataset(pages_dir).to_table()
+    assert t.num_rows == 200
+    assert set(t.schema.names) >= {
+        "url", "warc_ts", "html", "status", "content_type", "location", "x_robots_tag"
+    }
+    # the fetch scan consumes it directly
+    from abwcf_ray.stages.fetch import FETCH_COLUMNS, make_fetch_scan, make_selection_ref
+    import numpy as np
+
+    urls = t.column("url").to_pylist()[:50]
+    ref = make_selection_ref(urls, np.zeros(50, dtype=np.int32))
+    fetched = (
+        rd.read_parquet(pages_dir, columns=FETCH_COLUMNS)
+        .map_batches(make_fetch_scan(ref), batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert sorted(fetched["url"]) == sorted(urls)
+    assert (fetched["status"] == 200).all()
