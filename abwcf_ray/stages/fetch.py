@@ -18,18 +18,12 @@ same.
 Missing urls (404s in FIXTURES.md §1) simply don't match; the driver
 accounts them from ``n_selected - matched`` (every selected page ends
 Processed regardless — FetchResultConsumer.scala:29-50).
-
-The legacy bucketed-join path (`make_fetch_group_fn`) is kept for corpora
-partitioned by other engines.
 """
 
 from __future__ import annotations
 
-from pathlib import Path
-
 import numpy as np
 import pyarrow as pa
-import pyarrow.dataset as pads
 import ray
 
 from abwcf_ray.functions.hashing import hash64
@@ -87,46 +81,3 @@ def make_fetch_scan(sel_ref):
         )
 
     return fetch_scan
-
-
-def add_bucket_column(batch: pa.Table, num_buckets: int) -> pa.Table:
-    b = hash64(batch.column("url").to_pylist()) % np.uint64(num_buckets)
-    return batch.append_column("bucket", pa.array(b.astype(np.int64), pa.int64()))
-
-
-def make_fetch_group_fn(pages_dir: str):
-    """``groupby("bucket").map_groups`` fn: join one bucket's wave urls
-    against that bucket's corpus slice (left join; miss -> 404)."""
-
-    def fetch_group(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return _empty_fetched()
-        bucket = group.column("bucket")[0].as_py()
-        bucket_dir = Path(pages_dir) / f"bucket={int(bucket)}"
-        corpus = pads.dataset(str(bucket_dir)).to_table(columns=FETCH_COLUMNS)
-        left = group.drop_columns(["bucket"])
-        joined = left.join(corpus, keys="url", join_type="left outer")
-        # left-join misses leave status null -> 404 with no body
-        status = joined.column("status").fill_null(404)
-        joined = joined.set_column(
-            joined.schema.get_field_index("status"), "status", status.cast(pa.int32())
-        )
-        return joined
-
-    return fetch_group
-
-
-def _empty_fetched() -> pa.Table:
-    return pa.table(
-        {
-            "url": pa.array([], pa.string()),
-            "host": pa.array([], pa.string()),
-            "depth": pa.array([], pa.int32()),
-            "priority": pa.array([], pa.int64()),
-            "status": pa.array([], pa.int32()),
-            "content_type": pa.array([], pa.string()),
-            "location": pa.array([], pa.string()),
-            "x_robots_tag": pa.array([], pa.string()),
-            "html": pa.array([], pa.binary()),
-        }
-    )
