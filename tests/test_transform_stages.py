@@ -74,6 +74,29 @@ def test_normalize_fast_path_agrees(s):
             assert normalize_url(url, cfg) == url
 
 
+_seg = st.text(alphabet=string.ascii_letters + string.digits + "_-", min_size=1, max_size=8)
+
+
+@given(
+    scheme=st.sampled_from(["http", "https"]),
+    host=st.from_regex(r"[a-z0-9][a-z0-9.\-]{0,20}", fullmatch=True),
+    segs=st.lists(_seg, min_size=0, max_size=5),
+    trailing=st.booleans(),
+)
+@settings(max_examples=300)
+def test_normalize_fast_path_agrees_dense(scheme, host, segs, trailing):
+    """Component-wise generator: every url built from the canonical grammar
+    (which the fast-path regex accepts by construction) is a fixed point of
+    the full normalizer — dense coverage of the fast-path surface, incl.
+    trailing slashes."""
+    path = "/" + "/".join(segs) + ("/" if trailing and segs else "")
+    url = f"{scheme}://{host}{path}"
+    if not _CANONICAL_RE.fullmatch(url):
+        return  # e.g. host ending in '-' rejected by the regex — slow path
+    for cfg in (NormalizationConfig(), STRICT_NORMALIZATION):
+        assert normalize_url(url, cfg) == url
+
+
 def test_scope_filter_full_match_semantics():
     cfg = CrawlConfig(must_match=(r"https://ok\.example/.*",), must_not_match=(r".*/private/.*",))
     stage = make_scope_filter_stage(cfg)

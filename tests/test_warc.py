@@ -89,3 +89,18 @@ def test_warc_to_corpus_is_crawlable(ray_session, tmp_path):
     )
     assert sorted(fetched["url"]) == sorted(urls)
     assert (fetched["status"] == 200).all()
+
+
+def test_truncated_and_corrupt_shards():
+    """Reader resyncs past garbage and tolerates truncation mid-record."""
+    good = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x/\r\n"
+        b"WARC-Date: 2025-01-01T00:00:00Z\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    assert parse_warc_bytes(b"garbage bytes\r\n\r\nmore junk" + good)[0]["url"] == "https://x/"
+    # truncated second record: first still parses, no crash
+    out = parse_warc_bytes(good + b"WARC/1.0\r\nWARC-Type: resp")
+    assert len(out) == 1
+    # record with bad date skipped
+    bad_date = good.replace(b"2025-01-01T00:00:00Z", b"not-a-date-at-allz")
+    assert parse_warc_bytes(bad_date) == []
