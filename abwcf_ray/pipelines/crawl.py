@@ -256,7 +256,15 @@ def run_crawl(
         init_dir = _wave_dir(out, 0).parent / "init"
         (init_dir / "frontier").mkdir(parents=True, exist_ok=True)
         frontier0 = _seed_frontier(cfg, seeds if seeds is not None else corpus.seeds, prioritize)
-        pq.write_table(frontier0, init_dir / "frontier" / "part-0.parquet")
+        # split into multiple part files: a single-file frontier becomes ONE
+        # read task next wave, serializing every downstream operator behind
+        # one block-emitting reader (measured: ~2.5 s serial at 300k rows)
+        rows_per_part = max(2048, min(20_000, (frontier0.num_rows // 64) + 1))
+        for part, start in enumerate(range(0, max(frontier0.num_rows, 1), rows_per_part)):
+            pq.write_table(
+                frontier0.slice(start, rows_per_part),
+                init_dir / "frontier" / f"part-{part:05d}.parquet",
+            )
         seen.add_urls(frontier0.column("url").to_pylist(), wave=-1)
         seen.checkpoint(init_dir / "seen")
         hosts_state.checkpoint(init_dir / "hosts.parquet")
@@ -272,6 +280,10 @@ def run_crawl(
             )
         )
         prev_frontier = init_dir / "frontier"
+        # the seed pass already knows wave 0's Discovered hosts/count — skip
+        # wave 0's full frontier scan for the host histogram
+        seed_hosts = sorted(set(frontier0.column("host").to_pylist()))
+        seed_count = frontier0.num_rows
 
     process_fetched = make_process_fetched_stage(cfg)
     normalize = make_normalize_stage(cfg)
@@ -287,6 +299,9 @@ def run_crawl(
     # on the first wave of this process or after resume)
     carried_hosts: list[str] | None = None
     n_discovered_est: int | None = None
+    if not resume:
+        carried_hosts = seed_hosts
+        n_discovered_est = seed_count
 
     for wave in range(start_wave, cfg.max_waves):
         t0 = time.perf_counter()
@@ -354,7 +369,7 @@ def run_crawl(
             make_strict_robots_filter(hosts_ref, reject_accum),
             batch_format="pyarrow",
         )
-        selected_raw = select_wave(allowed, delay_ref, cfg)
+        selected_raw = select_wave(allowed, delay_ref, cfg, n_eligible_hint=n_eligible)
         disallowed_hashes = ray.get(reject_accum.drain.remote())
         n_selected = len(selected_raw)
         budget_left = cfg.max_pages - total_fetched
@@ -369,7 +384,7 @@ def run_crawl(
                 make_update_status(processed_ref, disallowed_ref),
                 batch_format="pyarrow",
             )
-            frontier_next.write_parquet(str(wdir / "frontier"))
+            frontier_next.write_parquet(str(wdir / "frontier"), min_rows_per_file=8192)
             (wdir / "processed").mkdir(parents=True, exist_ok=True)
             (wdir / "selected").mkdir(parents=True, exist_ok=True)
             seen.checkpoint(wdir / "seen")
@@ -414,9 +429,12 @@ def run_crawl(
         # source — read back cheaply, never recomputed.
         sel_ref = make_selection_ref(sel_df["url"].tolist(), sel_df["depth"].to_numpy())
         (
-            corpus_ds.map_batches(make_fetch_scan(sel_ref), batch_format="pyarrow")
+            corpus_ds.map_batches(
+                make_fetch_scan(sel_ref, cfg.max_content_length),
+                batch_format="pyarrow",
+            )
             .map_batches(process_fetched, batch_format="pyarrow")
-            .write_parquet(str(wdir / "processed"))
+            .write_parquet(str(wdir / "processed"), min_rows_per_file=4096)
         )
         _mark("fetch_process")
 
@@ -424,10 +442,17 @@ def run_crawl(
         import pyarrow.dataset as pads
 
         flags = pads.dataset(str(wdir / "processed")).to_table(
-            columns=["fetch_status", "is_html"]
+            columns=["fetch_status", "is_html", "length_exceeded"]
         )
-        hist = pd.Series(flags.column("fetch_status").to_pylist()).value_counts()
-        status_hist = {int(k): int(v) for k, v in hist.items()}
+        vc = pc.value_counts(flags.column("fetch_status").combine_chunks())
+        status_hist = {
+            int(vc.field("values")[i].as_py()): int(vc.field("counts")[i].as_py())
+            for i in range(len(vc))
+        }
+        # body-cap class (Fetcher.scala:168-170): consumed, never parsed
+        n_len_exceeded = int(pc.sum(flags.column("length_exceeded")).as_py() or 0)
+        if n_len_exceeded:
+            status_hist["length_limit_exceeded"] = n_len_exceeded
         # selected urls absent from the corpus are 404s (they produce no
         # processed row; the page still ends Processed in the frontier)
         n_matched = int(flags.num_rows)
@@ -452,6 +477,7 @@ def run_crawl(
             .map_batches(make_propose(seen, wave), batch_format="pyarrow")
             .materialize()
         )
+        _mark("candidates")
         # claim phase: one task per materialized block, token = block index
         # (unique per claimant, stable across task retries — see
         # transform.claim_batch)
@@ -459,6 +485,8 @@ def run_crawl(
             _claim_block.remote(block, idx, seen, wave, host_accum, cfg)
             for idx, block in enumerate(cand_m.to_arrow_refs())
         ]
+        ray.wait(claim_refs, num_returns=len(claim_refs))
+        _mark("claim")
         new_rows = rd.from_arrow_refs(claim_refs)
 
         # ---- frontier update + checkpoint -------------------------------
@@ -468,7 +496,9 @@ def run_crawl(
             make_update_status(processed_ref, disallowed_ref, host_accum),
             batch_format="pyarrow",
         ).union(new_rows)
-        frontier_next.write_parquet(str(wdir / "frontier"))
+        # bound the file count: tiny per-block files make the next wave's
+        # read fan out into hundreds of metadata fetches and lineage scans
+        frontier_next.write_parquet(str(wdir / "frontier"), min_rows_per_file=8192)
         carried_hosts = ray.get(host_accum.drain.remote())
         try:  # per-stage Ray Data stats for the wave's heaviest execution
             metrics["ray_stats"] = frontier_next.stats()[:4000]

@@ -135,6 +135,11 @@ def run_oracle(cfg: CrawlConfig, corpus: CorpusMeta, seeds: list[str] | None = N
             if status is not None and 300 <= status < 400 and row["location"]:
                 links = [row["location"]]
                 child_depth = d  # redirects keep depth (Fetcher.scala:129)
+            elif (
+                row["html"] is not None
+                and len(row["html"]) > cfg.max_content_length
+            ):
+                pass  # body cap (Fetcher.scala:168-170): consumed, not parsed
             elif status == 200 and ctype in parseable and row["html"] is not None:
                 doc_links, text, _ = parse_document(row["html"], u)
                 res.extracted[u] = text

@@ -52,9 +52,17 @@ def make_selection_ref(urls, depths) -> "ray.ObjectRef":
     return ray.put((h[order], np.asarray(depths, dtype=np.int32)[order]))
 
 
-def make_fetch_scan(sel_ref):
+def make_fetch_scan(sel_ref, max_content_length: int | None = None):
     """Corpus batch -> the wave's fetched rows (url, depth, status,
-    content_type, location, x_robots_tag, html)."""
+    content_type, location, x_robots_tag, html, length_exceeded).
+
+    ``max_content_length`` rebuilds the reference's 1 MB body cap
+    (Fetcher.scala:168-170, reference.conf:132): an oversize body is
+    DISCARDED at the fetch boundary (the reference aborts the download) and
+    the row is flagged ``length_exceeded`` — downstream it is consumed but
+    never parsed, and the wave manifest histograms it as
+    ``length_limit_exceeded``."""
+    import pyarrow.compute as pc
 
     def fetch_scan(batch: pa.Table) -> pa.Table:
         hashes, depths = _selection(sel_ref)
@@ -68,6 +76,14 @@ def make_fetch_scan(sel_ref):
         )
         sub = batch.filter(pa.array(hit))
         depth = depths[pos_c[hit]] if len(hashes) else np.array([], dtype=np.int32)
+        html = sub.column("html")
+        if max_content_length is not None:
+            exceeded = pc.fill_null(
+                pc.greater(pc.binary_length(html), max_content_length), False
+            )
+            html = pc.if_else(exceeded, pa.scalar(None, pa.binary()), html)
+        else:
+            exceeded = pa.array(np.zeros(sub.num_rows, dtype=bool))
         return pa.table(
             {
                 "url": sub.column("url"),
@@ -76,7 +92,8 @@ def make_fetch_scan(sel_ref):
                 "content_type": sub.column("content_type"),
                 "location": sub.column("location"),
                 "x_robots_tag": sub.column("x_robots_tag"),
-                "html": sub.column("html"),
+                "html": html,
+                "length_exceeded": exceeded,
             }
         )
 

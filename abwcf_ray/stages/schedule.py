@@ -69,21 +69,63 @@ def topk_per_host(df: pd.DataFrame, k_by_host: dict[str, int], default_k: int = 
     return df[rank.to_numpy() < k]
 
 
-def select_wave(eligible, delay_ref: "ray.ObjectRef", cfg: CrawlConfig) -> pd.DataFrame:
+def select_wave(
+    eligible,
+    delay_ref: "ray.ObjectRef",
+    cfg: CrawlConfig,
+    merge_partitions: int = 16,
+    n_eligible_hint: int | None = None,
+) -> pd.DataFrame:
     """eligible frontier rows (url, host, depth, priority, ...) -> the wave's
-    fetch set (pandas) with exact per-host top-k under the politeness
-    budget."""
+    fetch set (pandas) with exact per-host top-k under the politeness budget.
+
+    Two levels, both distributed: (1) per-block partial top-k (superset of
+    each block's contribution), then (2) an EXACT per-host merge sharded by
+    ``hash(host) % merge_partitions`` — every host lands wholly in one
+    partition, and each partition runs ONE vectorized pandas top-k over all
+    its hosts (the coarse-partition key keeps the group count at
+    ``merge_partitions``, not #hosts — per-group Python callables at #hosts
+    granularity cost ~1 ms each and would dominate). The driver receives
+    only the exact selected set, bounded by the politeness budget Σ_h k_h —
+    never the partials (which grow with block count)."""
+    from abwcf_ray.functions.hashing import hash64
+
     wave_s = cfg.wave_duration_s
 
     def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
         return topk_per_host(batch[_SELECT_COLS], _k_by_host(delay_ref, wave_s))
 
-    partials = (
-        eligible.select_columns(_SELECT_COLS)
-        .map_batches(partial_topk, batch_format="pandas")
+    partials = eligible.select_columns(_SELECT_COLS).map_batches(
+        partial_topk, batch_format="pandas"
+    )
+
+    # small waves: the extra shuffle round costs more than it saves — merge
+    # the (tiny) partials on the driver. The threshold is a latency knob
+    # only; both paths compute the identical exact per-host top-k
+    # (tests/test_schedule_seen.py::test_select_wave_merge_paths_agree).
+    if n_eligible_hint is not None and n_eligible_hint <= 50_000:
+        out = topk_per_host(partials.to_pandas(), _k_by_host(delay_ref, wave_s))
+        return out.reset_index(drop=True)
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pkey"] = (
+            hash64(df["host"].tolist()) % np.uint64(merge_partitions)
+        ).astype(np.int64)
+        return df
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return topk_per_host(g[_SELECT_COLS], _k_by_host(delay_ref, wave_s))
+
+    merged = (
+        partials.map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(merge_topk, batch_format="pandas")
         .to_pandas()
     )
-    return topk_per_host(partials, _k_by_host(delay_ref, wave_s)).reset_index(drop=True)
+    if merged.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in _SELECT_COLS})
+    return merged.reset_index(drop=True)
 
 
 def rank_selected(selected_df: pd.DataFrame) -> pd.DataFrame:

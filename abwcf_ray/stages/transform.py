@@ -371,6 +371,13 @@ def make_process_fetched_stage(cfg: CrawlConfig):
         locations = batch.column("location").to_pylist()
         xrts = batch.column("x_robots_tag").to_pylist()
         htmls = batch.column("html").to_pylist()
+        # body-cap flag from the fetch stage (absent when processing a raw
+        # corpus directly, e.g. the extraction probe): flagged rows carry a
+        # null body, so they fall through to consumed-not-parsed below
+        if "length_exceeded" in batch.schema.names:
+            exceeded = batch.column("length_exceeded").to_pylist()
+        else:
+            exceeded = [False] * batch.num_rows
 
         texts: list[str | None] = []
         links_col: list[list[str]] = []
@@ -407,6 +414,9 @@ def make_process_fetched_stage(cfg: CrawlConfig):
                     [s if s is not None else 404 for s in statuses], pa.int32()
                 ),
                 "is_html": pa.array(is_html, pa.bool_()),
+                "length_exceeded": pa.array(
+                    [bool(e) for e in exceeded], pa.bool_()
+                ),
                 "text": pa.array(texts, pa.string()),
                 "links": pa.array(links_col, pa.list_(pa.string())),
                 "child_depth": pa.array(child_depths, pa.int32()),

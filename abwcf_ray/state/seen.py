@@ -49,42 +49,102 @@ class SeenShard:
     the candidate stream."""
 
     def __init__(self) -> None:
-        self._waves: dict[int, int] = {}
+        # membership store: SORTED uint64 hashes + aligned wave-added. The
+        # shard is the crawl's hottest serialized path, so probes must be
+        # numpy-rate (searchsorted), not Python-dict loops; recent adds land
+        # in a small pending dict and are merged in bulk at wave boundaries.
+        self._h = np.empty(0, dtype=np.uint64)
+        self._hw = np.empty(0, dtype=np.int32)
+        self._pend: dict[int, int] = {}  # hash -> wave, not yet compacted
+        self._pend_stale = False  # pend holds a wave != the current one
         self._cur_wave: int | None = None
-        self._wave_min: dict[int, int] = {}
+        # wave-scoped propose/claim state: proposals accumulate as raw
+        # arrays and compile into a sorted (hash -> min depth) table on
+        # first claim (re-compiled if a late/retried propose arrives)
+        self._prop_h: list[np.ndarray] = []
+        self._prop_d: list[np.ndarray] = []
+        self._wm_h = np.empty(0, dtype=np.uint64)
+        self._wm_d = np.empty(0, dtype=np.int64)
+        self._wm_dirty = False
         self._claims: dict[int, int] = {}
 
+    # -- storage helpers --------------------------------------------------
+    def _compact(self) -> None:
+        """Merge pending adds into the sorted store (first-entry-wins, i.e.
+        dict-setdefault semantics: existing entries keep their wave)."""
+        if not self._pend:
+            return
+        ph = np.fromiter(self._pend.keys(), dtype=np.uint64, count=len(self._pend))
+        pw = np.fromiter(self._pend.values(), dtype=np.int64, count=len(self._pend))
+        h = np.concatenate([self._h, ph])
+        w = np.concatenate([self._hw.astype(np.int64), pw])
+        order = np.argsort(h, kind="stable")  # stable: existing precedes pending
+        h, w = h[order], w[order]
+        keep = np.ones(len(h), dtype=bool)
+        keep[1:] = h[1:] != h[:-1]
+        self._h = h[keep]
+        self._hw = w[keep].astype(np.int32)
+        self._pend = {}
+        self._pend_stale = False
+
+    def _lookup(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(found mask, wave-added values; undefined where not found) against
+        the compacted store."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        if len(self._h) == 0:
+            return np.zeros(len(h), dtype=bool), np.zeros(len(h), dtype=np.int32)
+        pos = np.searchsorted(self._h, h)
+        posc = np.minimum(pos, len(self._h) - 1)
+        found = (pos < len(self._h)) & (self._h[posc] == h)
+        return found, self._hw[posc]
+
     def contains(self, hashes: np.ndarray, before_wave: int) -> np.ndarray:
-        w = self._waves
-        return np.fromiter(
-            (w.get(int(h), before_wave) < before_wave for h in hashes),
-            dtype=bool,
-            count=len(hashes),
-        )
+        self._compact()
+        found, waves = self._lookup(hashes)
+        return found & (waves < before_wave)
 
     def add(self, hashes: np.ndarray, wave: int) -> int:
-        before = len(self._waves)
-        for h in hashes:
-            self._waves.setdefault(int(h), wave)
-        return len(self._waves) - before
+        if len(hashes) == 0:
+            return 0
+        h = np.unique(np.asarray(hashes, dtype=np.uint64))
+        found, _ = self._lookup(h)
+        before = len(self._pend)
+        pend = self._pend
+        for hh in h[~found].tolist():
+            pend.setdefault(hh, wave)
+        if wave != self._cur_wave:
+            self._pend_stale = True
+        return len(pend) - before
 
     # -- two-phase within-wave dedup (F1) ---------------------------------
     def _begin_wave(self, wave: int) -> None:
         if self._cur_wave != wave:
+            self._compact()
             self._cur_wave = wave
-            self._wave_min = {}
+            self._prop_h, self._prop_d = [], []
+            self._wm_h = np.empty(0, dtype=np.uint64)
+            self._wm_d = np.empty(0, dtype=np.int64)
+            self._wm_dirty = False
             self._claims = {}
 
     def propose(self, wave: int, hashes: np.ndarray, depths: np.ndarray) -> None:
         """Min-depth merge per url hash (canonical first-discovery = lowest
         depth). Commutative and idempotent -> retry-safe in any order."""
         self._begin_wave(wave)
-        wm = self._wave_min
-        for h, d in zip(hashes, depths):
-            h, d = int(h), int(d)
-            m = wm.get(h)
-            if m is None or d < m:
-                wm[h] = d
+        if len(hashes):
+            self._prop_h.append(np.asarray(hashes, dtype=np.uint64))
+            self._prop_d.append(np.asarray(depths, dtype=np.int64))
+            self._wm_dirty = True
+
+    def _build_wave_min(self) -> None:
+        h = np.concatenate(self._prop_h) if self._prop_h else np.empty(0, np.uint64)
+        d = np.concatenate(self._prop_d) if self._prop_d else np.empty(0, np.int64)
+        order = np.lexsort((d, h))  # by hash, then depth asc
+        h, d = h[order], d[order]
+        keep = np.ones(len(h), dtype=bool)
+        keep[1:] = h[1:] != h[:-1]  # first per hash = min depth
+        self._wm_h, self._wm_d = h[keep], d[keep]
+        self._wm_dirty = False
 
     def claim(
         self, wave: int, hashes: np.ndarray, depths: np.ndarray, token: int
@@ -96,45 +156,63 @@ class SeenShard:
         reproduces its mask and two distinct blocks can never both win.
         Winners are registered as seen."""
         self._begin_wave(wave)
-        out = np.zeros(len(hashes), dtype=bool)
-        waves, wm, claims = self._waves, self._wave_min, self._claims
+        if self._pend_stale:
+            self._compact()  # pend may hold earlier-wave adds -> make probes exact
+        if self._wm_dirty:
+            self._build_wave_min()
+        h = np.asarray(hashes, dtype=np.uint64)
+        d = np.asarray(depths, dtype=np.int64)
+        out = np.zeros(len(h), dtype=bool)
+        found, waves_added = self._lookup(h)
+        seen_before = found & (waves_added < wave)
+        if len(self._wm_h):
+            wpos = np.searchsorted(self._wm_h, h)
+            wposc = np.minimum(wpos, len(self._wm_h) - 1)
+            at_min = (wpos < len(self._wm_h)) & (self._wm_h[wposc] == h) & (
+                self._wm_d[wposc] == d
+            )
+        else:
+            at_min = np.zeros(len(h), dtype=bool)
+        cand = ~seen_before & at_min
+        # arbitration over the (small) surviving set only
+        claims, pend = self._claims, self._pend
         taken_this_call: set[int] = set()  # within-batch duplicate guard
-        for i, (h, d) in enumerate(zip(hashes, depths)):
-            h, d = int(h), int(d)
-            if h in taken_this_call:
+        in_store = found  # already in compacted store -> don't re-register
+        for i in np.flatnonzero(cand):
+            hh = int(h[i])
+            if hh in taken_this_call:
                 continue
-            if waves.get(h, wave) < wave:
-                continue  # seen in an earlier wave
-            if wm.get(h) != d:
-                continue  # a lower-depth discovery wins this wave
-            if claims.setdefault(h, token) == token:
-                waves.setdefault(h, wave)
-                taken_this_call.add(h)
+            if claims.setdefault(hh, token) == token:
+                if not in_store[i]:
+                    pend.setdefault(hh, wave)
+                taken_this_call.add(hh)
                 out[i] = True
         return out
 
     def size(self) -> int:
-        return len(self._waves)
+        return len(self._h) + len(self._pend)  # pend keys are never in _h
 
     def checkpoint(self, path: str) -> int:
-        items = sorted(self._waves.items())  # deterministic checkpoint bytes
+        self._compact()  # sorted store -> deterministic checkpoint bytes
         pq.write_table(
             pa.table(
                 {
-                    "url_hash": pa.array([h for h, _ in items], pa.uint64()),
-                    "wave": pa.array([w for _, w in items], pa.int32()),
+                    "url_hash": pa.array(self._h, pa.uint64()),
+                    "wave": pa.array(self._hw, pa.int32()),
                 }
             ),
             path,
         )
-        return len(items)
+        return len(self._h)
 
     def restore(self, path: str) -> int:
         t = pq.read_table(path)
-        self._waves = dict(
-            zip(t.column("url_hash").to_pylist(), t.column("wave").to_pylist())
-        )
-        return len(self._waves)
+        h = t.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = t.column("wave").to_numpy(zero_copy_only=False).astype(np.int32)
+        order = np.argsort(h)  # checkpoints are sorted; re-sort defensively
+        self._h, self._hw = h[order], w[order]
+        self._pend = {}
+        return len(self._h)
 
 
 @ray.remote(num_cpus=0)

@@ -165,6 +165,51 @@ def test_manifest_lineage(ray_run):
     assert all("rows" in f for f in m["files"]["frontier"])
 
 
+def test_max_content_length_cap(ray_session, corpus, tmp_path_factory):
+    """Body cap (Fetcher.scala:168-170, reference.conf:132): oversize pages
+    end Processed but are consumed-not-parsed — no text, no links — and the
+    wave manifest histograms the class; the oracle agrees on the full crawl
+    outcome under the cap."""
+    from abwcf_ray.pipelines.crawl import run_crawl
+
+    cfg = CrawlConfig(**{**CFG.__dict__, "max_content_length": 1200})
+    out = tmp_path_factory.mktemp("cap")
+    summary = run_crawl(cfg, corpus, out, log=lambda *_: None)
+    o = run_oracle(cfg, corpus)
+    got = _final_frontier(out, summary)
+    exp = (
+        pd.DataFrame(
+            [(u, s, d, p) for u, (s, d, p) in o.frontier.items()],
+            columns=["url", "status", "depth", "priority"],
+        )
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["url", "status", "depth", "priority"]].astype({"depth": "int64"}),
+        exp.astype({"depth": "int64"}),
+    )
+    # the cap actually triggered, shows in the manifest histogram, and no
+    # capped page produced text or links
+    n_exceeded = 0
+    for d in sorted(out.glob("wave_*")):
+        mf = d / "manifest.json"
+        if mf.exists():
+            hist = json.loads(mf.read_text()).get("fetch_status", {})
+            n_exceeded += hist.get("length_limit_exceeded", 0)
+    assert n_exceeded > 0, "fixture corpus has pages over the 1200-byte cap"
+    for d in sorted(out.glob("wave_*/processed")):
+        if any(d.glob("*.parquet")):
+            t = pads.dataset(str(d)).to_table(
+                columns=["length_exceeded", "is_html", "text", "links"]
+            ).to_pandas()
+            capped = t[t["length_exceeded"]]
+            assert not capped["is_html"].any()
+            assert capped["text"].isna().all()
+            assert (capped["links"].map(len) == 0).all()
+
+
 def test_robots_ttl_expiry_matches_oracle(ray_session, corpus, tmp_path_factory):
     """Short robots TTLs force re-fetch + expired-rules-reuse mid-crawl
     (HostManager.scala:142-162); pipeline must still match the oracle."""

@@ -67,6 +67,32 @@ def test_partial_topk_is_exact(ray_session, override_num_blocks):
     )
 
 
+def test_select_wave_merge_paths_agree(ray_session):
+    """The driver merge (small-wave latency path) and the distributed
+    partition merge must produce the identical exact selection."""
+    import ray
+    import ray.data as rd
+
+    t = _mk_frontier(n=800, hosts=11, seed=7)
+    delays = {f"https://h{h}.example": 500 * (1 + h % 4) for h in range(11)}
+    cfg = CrawlConfig(wave_duration_s=10.0)
+    ds = rd.from_arrow(t).repartition(6)
+    key = ["priority", "url"]
+    dist = (
+        select_wave(ds, ray.put(delays), cfg)
+        .sort_values(key, ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    driver = (
+        select_wave(ds, ray.put(delays), cfg, n_eligible_hint=800)
+        .sort_values(key, ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        dist[["url", "host", "priority"]], driver[["url", "host", "priority"]]
+    )
+
+
 def test_rank_selected_deterministic():
     df = _mk_frontier(50, 3).to_pandas()
     r1, r2 = rank_selected(df.sample(frac=1, random_state=0)), rank_selected(df)
