@@ -235,7 +235,15 @@ def _q_events_window(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
 
     def window(batch: pa.Table) -> pa.Table:
-        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # normalize the unit BEFORE the int cast — a timestamp[ns] column
+        # cast straight to int64 would yield nanosecond window ids and
+        # silently diverge from the SQL oracle's epoch_us
+        us = (
+            batch.column("ts")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
         w = us // 3_600_000_000
         return pa.table(
             {

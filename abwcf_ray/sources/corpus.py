@@ -81,10 +81,18 @@ class CorpusMeta:
     n_hosts: int
     out_dir: str
     profile: str = "light"
+    version: int = 2  # v2: adds the hash-sorted fetch layout (hashed_dir)
 
     @property
     def pages_dir(self) -> str:
         return str(Path(self.out_dir) / "pages")
+
+    @property
+    def hashed_dir(self) -> str:
+        """Fetch substrate: the pages re-laid-out SORTED by ``url_hash``
+        with small row groups, so a wave's fetch reads only the row groups
+        that contain selected hashes (O(selected), not O(corpus))."""
+        return str(Path(self.out_dir) / "pages_hashed")
 
     @property
     def robots_path(self) -> str:
@@ -275,6 +283,81 @@ def _generate_chunk(
     return stop - start
 
 
+# --- hash-sorted fetch layout --------------------------------------------
+# The fetch simulation is a semi-join of the wave's selected url hashes
+# against the corpus. In the flat layout every wave scans the whole corpus
+# (O(corpus)); the hashed layout stores the fetch columns SORTED by
+# ``url_hash`` with small row groups, so the fetch reads only row groups
+# whose [min,max] hash range contains a selected hash — O(selected) row
+# groups at low selectivity, never worse than the full scan.
+FETCH_LAYOUT_COLUMNS = [
+    "url", "status", "content_type", "location", "x_robots_tag", "html",
+]
+HASHED_ROW_GROUP = 2048
+_HASHED_FILE_ROWS = 8192
+
+
+def _add_url_hash(t: pa.Table) -> pa.Table:
+    return t.append_column("url_hash", pa.array(hash64(t.column("url")), pa.uint64()))
+
+
+def _write_hashed_batch(batch: pa.Table, out_dir: str) -> pa.Table:
+    """One sorted, range-disjoint batch -> one part file named by its min
+    hash (content-derived, so parallel writers can never collide)."""
+    if batch.num_rows == 0:
+        return pa.table({"rows": pa.array([], pa.int64())})
+    mn = batch.column("url_hash")[0].as_py()
+    pq.write_table(
+        batch,
+        Path(out_dir) / f"part-{mn:016x}.parquet",
+        row_group_size=HASHED_ROW_GROUP,
+    )
+    return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
+
+
+def build_hashed_layout(meta: CorpusMeta) -> str:
+    """(Re)build the hash-sorted fetch layout under ``meta.hashed_dir``."""
+    import functools
+    import shutil
+
+    out = Path(meta.hashed_dir)
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    use_ray = False
+    if meta.n_pages >= 50_000:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized()
+        except ImportError:  # pragma: no cover
+            use_ray = False
+    if use_ray:
+        import ray.data as rd
+
+        (
+            rd.read_parquet(meta.pages_dir, columns=FETCH_LAYOUT_COLUMNS)
+            .map_batches(_add_url_hash, batch_format="pyarrow")
+            .sort("url_hash")
+            .map_batches(
+                functools.partial(_write_hashed_batch, out_dir=str(out)),
+                batch_format="pyarrow",
+                batch_size=_HASHED_FILE_ROWS,
+            )
+            .count()
+        )
+    else:
+        import pyarrow.dataset as pads
+
+        t = _add_url_hash(
+            pads.dataset(meta.pages_dir).to_table(columns=FETCH_LAYOUT_COLUMNS)
+        ).sort_by("url_hash")
+        for start in range(0, max(t.num_rows, 1), _HASHED_FILE_ROWS):
+            _write_hashed_batch(t.slice(start, _HASHED_FILE_ROWS), str(out))
+    return str(out)
+
+
 def generate_corpus(
     out_dir: str | Path,
     n_pages: int = 2000,
@@ -364,5 +447,6 @@ def generate_corpus(
     seeds.append("http://exa mple/")  # invalid -> dropped by the normalizer
     (out / "seeds.json").write_text(json.dumps(seeds))
 
+    build_hashed_layout(meta)
     meta_path.write_text(json.dumps(asdict(meta)))
     return meta

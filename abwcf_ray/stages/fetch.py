@@ -52,6 +52,36 @@ def make_selection_ref(urls, depths) -> "ray.ObjectRef":
     return ray.put((h[order], np.asarray(depths, dtype=np.int32)[order]))
 
 
+def _emit_fetched(
+    sub: pa.Table, depth: np.ndarray, max_content_length: int | None
+) -> pa.Table:
+    """Matched corpus rows + aligned depths -> the fetch output schema,
+    applying the body cap (Fetcher.scala:168-170): oversize bodies are
+    dropped and flagged ``length_exceeded``."""
+    import pyarrow.compute as pc
+
+    html = sub.column("html")
+    if max_content_length is not None:
+        exceeded = pc.fill_null(
+            pc.greater(pc.binary_length(html), max_content_length), False
+        )
+        html = pc.if_else(exceeded, pa.scalar(None, pa.binary()), html)
+    else:
+        exceeded = pa.array(np.zeros(sub.num_rows, dtype=bool))
+    return pa.table(
+        {
+            "url": sub.column("url"),
+            "depth": pa.array(depth, pa.int32()),
+            "status": sub.column("status").cast(pa.int32()),
+            "content_type": sub.column("content_type"),
+            "location": sub.column("location"),
+            "x_robots_tag": sub.column("x_robots_tag"),
+            "html": html,
+            "length_exceeded": exceeded,
+        }
+    )
+
+
 def make_fetch_scan(sel_ref, max_content_length: int | None = None):
     """Corpus batch -> the wave's fetched rows (url, depth, status,
     content_type, location, x_robots_tag, html, length_exceeded).
@@ -76,25 +106,120 @@ def make_fetch_scan(sel_ref, max_content_length: int | None = None):
         )
         sub = batch.filter(pa.array(hit))
         depth = depths[pos_c[hit]] if len(hashes) else np.array([], dtype=np.int32)
-        html = sub.column("html")
-        if max_content_length is not None:
-            exceeded = pc.fill_null(
-                pc.greater(pc.binary_length(html), max_content_length), False
-            )
-            html = pc.if_else(exceeded, pa.scalar(None, pa.binary()), html)
-        else:
-            exceeded = pa.array(np.zeros(sub.num_rows, dtype=bool))
-        return pa.table(
-            {
-                "url": sub.column("url"),
-                "depth": pa.array(depth, pa.int32()),
-                "status": sub.column("status").cast(pa.int32()),
-                "content_type": sub.column("content_type"),
-                "location": sub.column("location"),
-                "x_robots_tag": sub.column("x_robots_tag"),
-                "html": html,
-                "length_exceeded": exceeded,
-            }
-        )
+        return _emit_fetched(sub, depth, max_content_length)
 
     return fetch_scan
+
+
+# --------------------------------------------------------------------------
+# Pruned fetch over the hash-sorted corpus layout (O(selected), not O(corpus))
+# --------------------------------------------------------------------------
+# Driver-side row-group index per hashed corpus dir: built once per process
+# from parquet footers (min/max url_hash per row group — the corpus layout
+# is sorted by url_hash, sources/corpus.build_hashed_layout).
+_RG_INDEX_CACHE: dict[str, tuple] = {}
+
+
+def _hashed_index(hashed_dir: str):
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    idx = _RG_INDEX_CACHE.get(hashed_dir)
+    if idx is not None:
+        return idx
+    paths, file_ids, rg_ids, mins, maxs = [], [], [], [], []
+    for f_id, p in enumerate(sorted(Path(hashed_dir).glob("*.parquet"))):
+        md = pq.read_metadata(p)
+        names = [md.schema.column(j).name for j in range(md.num_columns)]
+        j = names.index("url_hash")
+        paths.append(str(p))
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(j).statistics
+            file_ids.append(f_id)
+            rg_ids.append(rg)
+            mins.append(st.min)
+            maxs.append(st.max)
+    idx = (
+        paths,
+        np.asarray(file_ids, dtype=np.int32),
+        np.asarray(rg_ids, dtype=np.int32),
+        np.asarray(mins, dtype=np.uint64),
+        np.asarray(maxs, dtype=np.uint64),
+    )
+    _RG_INDEX_CACHE[hashed_dir] = idx
+    return idx
+
+
+def plan_pruned_fetch(
+    hashed_dir: str, sel_hashes_sorted: np.ndarray, rgs_per_task: int = 8
+) -> list[dict]:
+    """Work items [(path, row-group indices)] covering exactly the row
+    groups whose hash range contains >= 1 selected hash. The planner is
+    O(#row_groups · log #selected) on the driver; at 10^10-URL scale the
+    same pruning runs sharded (the index is per corpus bucket)."""
+    paths, file_ids, rg_ids, mins, maxs = _hashed_index(hashed_dir)
+    if len(mins) == 0 or len(sel_hashes_sorted) == 0:
+        return []
+    lo = np.searchsorted(sel_hashes_sorted, mins, side="left")
+    hi = np.searchsorted(sel_hashes_sorted, maxs, side="right")
+    hit = lo < hi  # some selected hash falls inside [min, max]
+    items: list[dict] = []
+    for f_id in np.unique(file_ids[hit]):
+        rgs = rg_ids[hit & (file_ids == f_id)]
+        for start in range(0, len(rgs), rgs_per_task):
+            items.append(
+                {
+                    "path": paths[int(f_id)],
+                    "rgs": [int(r) for r in rgs[start : start + rgs_per_task]],
+                }
+            )
+    return items
+
+
+def empty_fetched_table() -> pa.Table:
+    """Zero-row table in the fetch output schema (e.g. when no selected url
+    exists in the corpus — every fetch 404s)."""
+    return _emit_fetched(
+        pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "status": pa.array([], pa.int32()),
+                "content_type": pa.array([], pa.string()),
+                "location": pa.array([], pa.string()),
+                "x_robots_tag": pa.array([], pa.string()),
+                "html": pa.array([], pa.binary()),
+            }
+        ),
+        np.array([], dtype=np.int32),
+        None,
+    )
+
+
+def make_pruned_fetch_reader(sel_ref, max_content_length: int | None = None):
+    """Work-item batch -> fetched rows: read ONLY the listed row groups,
+    membership-filter on the stored url_hash column (no re-hashing)."""
+    import pyarrow.parquet as pq
+
+    def read_items(batch: pa.Table) -> pa.Table:
+        hashes, depths = _selection(sel_ref)
+        outs = []
+        for path, rgs in zip(
+            batch.column("path").to_pylist(), batch.column("rgs").to_pylist()
+        ):
+            pf = pq.ParquetFile(path)
+            t = pf.read_row_groups(list(rgs), columns=FETCH_COLUMNS + ["url_hash"])
+            h = t.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+            pos = np.searchsorted(hashes, h)
+            pos_c = np.minimum(pos, len(hashes) - 1)
+            hit = (pos < len(hashes)) & (hashes[pos_c] == h)
+            sub = t.filter(pa.array(hit))
+            outs.append(
+                _emit_fetched(
+                    sub.select(FETCH_COLUMNS), depths[pos_c[hit]], max_content_length
+                )
+            )
+        if not outs:
+            return empty_fetched_table()
+        return pa.concat_tables(outs)
+
+    return read_items

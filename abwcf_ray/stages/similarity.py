@@ -25,6 +25,22 @@ def _batch_vectors(batch: pa.Table, vec_col: str) -> np.ndarray:
     return np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
 
 
+def _topk_tie_aware(cos_row: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the row's top-kk under the global order (cosine desc,
+    neighbor_id asc). Plain argpartition breaks exact-cosine ties
+    arbitrarily, which can drop the smaller-id neighbor the deterministic
+    final merge would keep (duplicate embeddings make exact ties real);
+    instead keep everything strictly above the kk-th value, then fill from
+    the boundary ties by ascending id."""
+    part = np.argpartition(-cos_row, kk - 1)[:kk]
+    kth = cos_row[part].min()
+    gt = np.flatnonzero(cos_row > kth)
+    ties = np.flatnonzero(cos_row == kth)
+    need = kk - len(gt)
+    tie_keep = ties[np.argsort(ids[ties], kind="stable")[:need]]
+    return np.concatenate([gt, tie_keep])
+
+
 def knn_bruteforce(
     ds,
     queries: np.ndarray,
@@ -49,12 +65,12 @@ def knn_bruteforce(
             mask = qi[:, None] == ids[None, :]
             cos = np.where(mask, -np.inf, cos)
         kk = min(k, cos.shape[1])
-        idx = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
         out_q, out_n, out_c = [], [], []
         for r in range(len(qi)):
-            out_q += [int(qi[r])] * kk
-            out_n += ids[idx[r]].tolist()
-            out_c += cos[r, idx[r]].tolist()
+            keep = _topk_tie_aware(cos[r], ids, kk)
+            out_q += [int(qi[r])] * len(keep)
+            out_n += ids[keep].tolist()
+            out_c += cos[r, keep].tolist()
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
@@ -159,10 +175,10 @@ def knn_ivf(
             cos = vu[sel] @ qm[r]
             sub_ids = ids[sel]
             kk = min(k, len(cos))
-            idx = np.argpartition(-cos, kk - 1)[:kk]
-            out_q += [int(qi[r])] * kk
-            out_n += sub_ids[idx].tolist()
-            out_c += cos[idx].tolist()
+            keep = _topk_tie_aware(cos, sub_ids, kk)
+            out_q += [int(qi[r])] * len(keep)
+            out_n += sub_ids[keep].tolist()
+            out_c += cos[keep].tolist()
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),

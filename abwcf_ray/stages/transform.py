@@ -161,8 +161,12 @@ def make_scope_filter_stage(cfg: CrawlConfig):
 # group, which dominated the candidate chain at 10^4-host scale.
 _RULES_STATE: dict = {}
 
-_AUTHORITY_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*")
+# authority stops at [/?#] (urlsplit semantics): a query on an empty path
+# ("https://x?q=1") must become the target "/?q=1", not be swallowed into
+# the authority (scalar/vectorized parity with robots._path_query)
+_AUTHORITY_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*")
 _FRAGMENT_RE = re.compile(r"#.*$")
+_PATH_QUERY_RE = re.compile(r"^([^?]*)(?:\?(.*))?$")
 
 
 class _HostRulesIndex:
@@ -209,7 +213,9 @@ def _rules_state(hosts_ref) -> _HostRulesIndex:
     return state
 
 
-def _allowed_mask(hosts_ref, batch: pa.Table, unknown_allow: bool) -> np.ndarray:
+def _allowed_mask(
+    hosts_ref, batch: pa.Table, unknown_allow: bool, return_unknown: bool = False
+):
     index = _rules_state(hosts_ref)
     urls = batch.column("url").to_pandas().astype("string")
     hosts = batch.column("host").to_pandas()
@@ -223,14 +229,19 @@ def _allowed_mask(hosts_ref, batch: pa.Table, unknown_allow: bool) -> np.ndarray
     some = (modes == "ALLOW_SOME").to_numpy(dtype=bool)
     if some.any():
         some_ix = np.flatnonzero(some)
-        # vectorized path(+query) extraction (matcher target, RFC 9309)
-        paths = (
+        # vectorized path(+query) extraction (matcher target, RFC 9309),
+        # urlsplit-equivalent: empty path -> "/", query reattached with "?"
+        # only when non-empty (parity test: test_robots.py)
+        rest = (
             urls.iloc[some_ix]
             .str.replace(_AUTHORITY_RE, "", regex=True)
             .str.replace(_FRAGMENT_RE, "", regex=True)
-            .replace("", "/")
             .reset_index(drop=True)
         )
+        parts = rest.str.extract(_PATH_QUERY_RE)
+        path_part = parts[0].replace("", "/")
+        query = parts[1]
+        paths = path_part.where(query.isna() | (query == ""), path_part + "?" + query)
         rows = pd.DataFrame(
             {
                 "row": np.arange(len(some_ix), dtype=np.int64),
@@ -263,6 +274,8 @@ def _allowed_mask(hosts_ref, batch: pa.Table, unknown_allow: bool) -> np.ndarray
                 res[winner["row"].to_numpy()] = winner["allow"].to_numpy(dtype=bool)
         res[(paths == "/robots.txt").to_numpy(dtype=bool)] = True
         allowed[some_ix] = res
+    if return_unknown:
+        return allowed, modes.isna().to_numpy(dtype=bool)
     return allowed
 
 
@@ -280,19 +293,24 @@ def make_lenient_robots_filter(hosts_ref):
 
 def make_strict_robots_filter(hosts_ref, reject_accum=None):
     """C2 (StrictRobotsFilter.scala:72-133): evaluated just before fetch;
-    passes allowed rows downstream. Rejected urls (-> status=Disallowed in
-    the frontier, :128-131) are side-channeled to ``reject_accum`` (a
-    HashAccumulator actor) in the SAME pass — one scan of the eligible set
-    instead of two. After host-prep every eligible host is known; a
-    still-unknown host fails closed (:109-113)."""
+    passes allowed rows downstream. Urls rejected BY KNOWN RULES (->
+    status=Disallowed in the frontier, :128-131) are side-channeled to
+    ``reject_accum`` (a HashAccumulator actor) in the SAME pass — one scan
+    of the eligible set instead of two. A still-unknown host fails closed
+    TEMPORARILY (:109-113 — the reference ignores the page only for
+    fail-close-duration): the row is excluded from this wave's fetch but
+    NOT rejected, so it stays Discovered and retries next wave. After
+    host-prep every eligible host is known, so this path is a safety net,
+    not steady-state behavior."""
 
     def strict_robots(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        mask = _allowed_mask(hosts_ref, batch, False)
-        if reject_accum is not None and not mask.all():
+        mask, unknown = _allowed_mask(hosts_ref, batch, False, return_unknown=True)
+        rejected_mask = ~mask & ~unknown  # disallowed by known rules only
+        if reject_accum is not None and rejected_mask.any():
             rejected = hash64(
-                pa.compute.filter(batch.column("url"), pa.array(~mask)).to_pylist()
+                pa.compute.filter(batch.column("url"), pa.array(rejected_mask)).to_pylist()
             )
             # synchronous add: guarantees the accumulator has applied this
             # batch's rejects before the pass is considered complete (set

@@ -98,3 +98,39 @@ def test_modes_and_serialization_roundtrip():
     assert r2 == RobotRules(mode=r.mode, rules=r.rules, crawl_delay_ms=r.crawl_delay_ms)
     assert not RobotRules(mode=ALLOW_NONE).is_allowed("https://h/x")
     assert RobotRules(mode=ALLOW_ALL).is_allowed("https://h/x")
+
+
+def test_vectorized_target_parity_query_only_urls(ray_session):
+    """The vectorized filter stage's matcher target must equal the scalar
+    RobotRules path for query-carrying URLs, including an empty path plus
+    query ('https://x?q=1' -> '/?q=1') — round-2 ADVICE parity fix."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from abwcf_ray.stages.transform import _allowed_mask
+
+    body = b"User-agent: *\nDisallow: /?q=\nDisallow: /p1\n"
+    rules = parse_robots_txt(body)
+    host = "https://x.example"
+    urls = [
+        "https://x.example?q=1",          # empty path + query -> '/?q=1'
+        "https://x.example/?q=1",
+        "https://x.example/?other=1",
+        "https://x.example/p1?q=1",
+        "https://x.example/p2?",          # trailing '?' with empty query
+        "https://x.example/p2#frag",
+        "https://x.example",
+    ]
+    payload = {host: (rules.mode, rules.serialize_rules(), rules.crawl_delay_ms)}
+    batch = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "host": pa.array([host] * len(urls), pa.string()),
+        }
+    )
+    got = _allowed_mask(ray.put(payload), batch, True)
+    want = np.array([rules.is_allowed(u) for u in urls])
+    assert (got == want).all(), list(zip(urls, got, want))
+    # the disallow actually bites somewhere (guard against vacuous parity)
+    assert not want.all()

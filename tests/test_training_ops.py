@@ -125,6 +125,78 @@ def test_ngram_jaccard(docs):
     assert (got[exact_dup]).all()
 
 
+def test_no_driver_signature_materialization(docs, embs, monkeypatch):
+    """The near-dup entry points must never materialize signatures /
+    shingles / vectors driver-side — only verified edges and final labels
+    may cross (round-1 VERDICT item 2). Enforced by poisoning to_pandas /
+    take_all for any dataset whose schema carries a payload column."""
+    import ray.data
+
+    # "shingles" is deliberately NOT banned: ngram_jaccard collects shingle
+    # sets for the candidate-involved docs only (bounded by near-dup
+    # density); the whole-corpus variants (sig/unit/simhash/text payloads,
+    # take_all) are what must never reach the driver.
+    banned = {"sig", "unit", "simhash", "bucket_key", "embedding", "text"}
+    real_to_pandas = ray.data.Dataset.to_pandas
+
+    def guarded_to_pandas(self, *a, **kw):
+        cols = set(self.schema().names)
+        assert not (cols & banned), f"driver materialization of payload: {cols & banned}"
+        return real_to_pandas(self, *a, **kw)
+
+    def banned_take_all(self, *a, **kw):
+        raise AssertionError("take_all() is banned in dedup entry points")
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", guarded_to_pandas)
+    monkeypatch.setattr(ray.data.Dataset, "take_all", banned_take_all)
+
+    from abwcf_ray.stages.dedup import (
+        embedding_dedup,
+        minhash_lsh_dedup,
+        ngram_jaccard_dedup,
+        simhash_dedup,
+    )
+
+    small = docs.limit(150)
+    for fn in (minhash_lsh_dedup, simhash_dedup, ngram_jaccard_dedup):
+        labels = fn(small)
+        assert set(labels.columns) == {"doc_id", "cluster", "is_dup"}
+    labels = embedding_dedup(embs.limit(100), threshold=0.99, planes=8)
+    assert set(labels.columns) == {"vec_id", "cluster", "is_dup"}
+
+
+def test_label_assignment_matches_unionfind(ray_session):
+    """Distributed broadcast-lookup labeling == in-memory union-find over
+    the same edges (property check for labels_from_edges)."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.dedup import (
+        connected_components_labels,
+        labels_from_edges,
+    )
+
+    rng = np.random.default_rng(3)
+    ids = np.arange(500, dtype=np.int64)
+    edges = pd.DataFrame(
+        {
+            "src": rng.integers(0, 500, 80),
+            "dst": rng.integers(0, 500, 80),
+        }
+    )
+    edges = edges[edges["src"] != edges["dst"]]
+    edges[["src", "dst"]] = np.sort(edges[["src", "dst"]].to_numpy(), axis=1)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())})).repartition(5)
+    got = (
+        labels_from_edges(ds, edges, "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = connected_components_labels(edges, ids)
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    assert (got["cluster"].to_numpy() == exp["cluster"].to_numpy()).all()
+
+
 def test_knn_bruteforce_matches_numpy(embs):
     from abwcf_ray.stages.similarity import knn_bruteforce
 

@@ -135,3 +135,41 @@ def test_priority_functions_deterministic():
     assert p[0] > p[1]
     with pytest.raises(ValueError):
         make_prioritize_stage(CrawlConfig(priority_fn="nope"))(t)
+
+
+def test_strict_filter_defers_unknown_hosts(ray_session):
+    """Fail-close on an unknown host is TEMPORARY (StrictRobotsFilter
+    fail-close-duration): the row is excluded from the wave but NOT sent to
+    the reject accumulator, so it stays Discovered and retries."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from abwcf_ray.functions.robots import parse_robots_txt
+    from abwcf_ray.state.seen import HashAccumulator
+    from abwcf_ray.stages.transform import make_strict_robots_filter
+    from abwcf_ray.functions.hashing import hash64
+
+    rules = parse_robots_txt(b"User-agent: *\nDisallow: /private/\n")
+    known = "https://known.example"
+    payload = {known: (rules.mode, rules.serialize_rules(), rules.crawl_delay_ms)}
+    accum = HashAccumulator.remote()
+    stage = make_strict_robots_filter(ray.put(payload), accum)
+    batch = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "https://known.example/ok",
+                    "https://known.example/private/x",
+                    "https://unknown.example/page",
+                ]
+            ),
+            "host": pa.array([known, known, "https://unknown.example"]),
+        }
+    )
+    out = stage(batch)
+    assert out.column("url").to_pylist() == ["https://known.example/ok"]
+    rejected = ray.get(accum.drain.remote())
+    # only the known-rules reject is in the accumulator; the unknown host
+    # is deferred, not Disallowed
+    assert set(rejected.tolist()) == {int(hash64(["https://known.example/private/x"])[0])}
