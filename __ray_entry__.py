@@ -385,6 +385,23 @@ def _q_embedding_dedup(sf_dir: str):
     return embedding_dedup(ds, threshold=0.99, planes=8)
 
 
+def _q_ngram_dedup(sf_dir: str):
+    """n-gram Jaccard dedup at threshold=1.0 with k=1 shingles: duplicate
+    <=> EQUAL token sets — distributed LSH candidates + exact set-equality
+    verify, and fully SQL-expressible (group by sorted distinct token
+    list), so this near-dup family gets a DuckDB value oracle. (Edge the
+    oracle would disagree on: two zero-token docs — Jaccard undefined, the
+    engine says not-dup, SQL groups them; the testdata has no such docs.)"""
+    from abwcf_ray.stages.dedup import ngram_jaccard_dedup
+
+    _quiet()
+    out = ngram_jaccard_dedup(
+        _docs(sf_dir, ["doc_id", "text"]), shingle_k=1, threshold=1.0
+    )
+    out["is_dup"] = out["is_dup"].astype(np.int64)
+    return out
+
+
 def _q_langid_fingerprint(sf_dir: str):
     from abwcf_ray.stages.text import add_fingerprint, add_lang_id
 
@@ -449,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
+        "ngram_dedup": _q_ngram_dedup,
         "embedding_dedup": _q_embedding_dedup,
         "langid_fingerprint": _q_langid_fingerprint,
         "crawl_wave": _q_crawl,
@@ -568,6 +586,17 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
                    COUNT(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "ngram_dedup": r"""
+            WITH keyed AS (
+                SELECT doc_id,
+                       list_sort(list_distinct(regexp_extract_all(text, '\S+'))) AS k
+                FROM documents
+            )
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY k) AS cluster,
+                   CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY k) AS BIGINT) AS is_dup
+            FROM keyed
         """,
         "knn_top5": """
             WITH q AS (

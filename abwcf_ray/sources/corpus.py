@@ -81,7 +81,9 @@ class CorpusMeta:
     n_hosts: int
     out_dir: str
     profile: str = "light"
-    version: int = 2  # v2: adds the hash-sorted fetch layout (hashed_dir)
+    # v2: adds the hash-sorted fetch layout (hashed_dir)
+    # v3: robots.parquet gains a content_type column (text/plain gate)
+    version: int = 3
 
     @property
     def pages_dir(self) -> str:
@@ -212,19 +214,24 @@ def _gen_page(i: int, host_id: int, rank: int, host_size: int, n_hosts: int,
     return url, doc.encode("utf-8"), text, lang, 200, content_type, None, x_robots
 
 
-def _gen_robots(host_id: int, seed: int) -> tuple[str, int, int, bytes | None]:
+def _gen_robots(host_id: int, seed: int) -> tuple[str, int, int, bytes | None, str | None]:
+    """-> (host, status, redirect_hops, body, content_type)."""
     rng = random.Random((seed << 33) ^ host_id)
     host = f"https://h{host_id}.example"
     p = rng.random()
     if p < 0.80:
         status, hops = 200, 0
     elif p < 0.90:
-        return host, 404, 0, None
+        return host, 404, 0, None, None
     elif p < 0.95:
-        return host, 503, 0, None
+        return host, 503, 0, None, None
     else:
         status, hops = 200, rng.randint(1, 7)  # redirect chain, then a 200 body
 
+    # ~4% of 2xx hosts serve their robots.txt as text/html (misconfigured) —
+    # RFC 9309 / RobotsFetcher.scala only accepts text/plain; such a
+    # response classifies as Unreachable
+    content_type = "text/html" if rng.random() < 0.04 else "text/plain"
     lines = ["User-agent: *"]
     for _ in range(rng.randint(0, 5)):
         kind = "Allow" if rng.random() < 0.3 else "Disallow"
@@ -233,7 +240,7 @@ def _gen_robots(host_id: int, seed: int) -> tuple[str, int, int, bytes | None]:
     delay = rng.choice([None, 0, 1, 2, 30])
     if delay is not None:
         lines.append(f"Crawl-delay: {delay}")
-    return host, status, hops, "\n".join(lines).encode()
+    return host, status, hops, "\n".join(lines).encode(), content_type
 
 
 def rank0_urls(meta: "CorpusMeta", k: int) -> list[str]:
@@ -435,6 +442,7 @@ def generate_corpus(
                 "status": pa.array(rcols[1], pa.int32()),
                 "redirect_hops": pa.array(rcols[2], pa.int32()),
                 "body": pa.array(rcols[3], pa.binary()),
+                "content_type": pa.array(rcols[4], pa.string()),
             }
         ),
         meta.robots_path,

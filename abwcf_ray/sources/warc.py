@@ -2,24 +2,40 @@
 
 A minimal, dependency-free WARC reader/writer (the WARC/1.0 format is
 header-block + Content-Length-framed payload, ISO 28500). The reader is a
-Ray Data pipeline: ``read_binary_files`` over ``*.warc`` shards →
-``flat_map``-style ``map_batches`` parsing each shard's ``response``
-records into ``pages``-schema rows ``(url, warc_ts, html)``. One task per
-shard file — the standard WARC layout (many ~1 GB shards) parallelizes by
-file, which is exactly how Common Crawl distributes its corpus.
+Ray Data pipeline: ``read_binary_files`` over ``*.warc[.gz]`` shards →
+``map_batches`` parsing each shard's ``response`` records into
+pages-schema rows. One task per shard file — the standard WARC layout
+(many ~1 GB shards) parallelizes by file, which is exactly how Common
+Crawl distributes its corpus.
 
-The writer exports a pages table to WARC shards (used by tests for a
-byte-level roundtrip, and by users to interop with WARC tooling).
+Real-CC fidelity notes:
+- CC ``response`` records carry ``Content-Type: application/http;
+  msgtype=response`` and wrap a FULL HTTP message — status line + headers
+  + CRLFCRLF + body. The parser splits the message and surfaces the real
+  ``status`` / ``content_type`` / ``location`` / ``x_robots_tag``; only
+  the body lands in ``html``. Records with a non-http payload type are
+  read as raw bodies with default 200/text/html.
+- CC ships ``.warc.gz`` (member-per-record gzip): shards whose bytes start
+  with the gzip magic are decompressed transparently
+  (``gzip.decompress`` handles concatenated members).
+- A shard that yields ZERO records is reported via ``warnings.warn`` with
+  the shard path — a silently empty corpus is the failure mode to avoid.
+
+The writer exports a pages table to WARC shards wrapping proper HTTP
+response messages (used by tests for a byte-level roundtrip, and by users
+to interop with WARC tooling).
 """
 
 from __future__ import annotations
 
+import gzip
 from datetime import datetime, timezone
 from pathlib import Path
 
 import pyarrow as pa
 
 _CRLF = b"\r\n"
+_GZIP_MAGIC = b"\x1f\x8b"
 
 
 def _format_ts(us: int) -> str:
@@ -32,27 +48,86 @@ def _parse_ts(s: str) -> int:
     return int(dt.timestamp() * 1e6)
 
 
-def write_warc_shard(path: str | Path, rows: list[dict]) -> None:
-    """rows: dicts with url, warc_ts (µs int), html (bytes)."""
-    with open(path, "wb") as f:
-        for r in rows:
-            payload = r["html"] or b""
-            headers = [
-                b"WARC/1.0",
-                b"WARC-Type: response",
-                b"WARC-Target-URI: " + r["url"].encode(),
-                b"WARC-Date: " + _format_ts(int(r["warc_ts"])).encode(),
-                b"Content-Type: application/http; msgtype=response",
-                b"Content-Length: " + str(len(payload)).encode(),
-            ]
-            f.write(_CRLF.join(headers) + _CRLF + _CRLF)
-            f.write(payload)
-            f.write(_CRLF + _CRLF)
+def _http_message(row: dict) -> bytes:
+    """Build the HTTP response message a CC response record wraps."""
+    status = int(row.get("status") or 200)
+    body = row.get("html") or b""
+    lines = [f"HTTP/1.1 {status} OK".encode()]
+    ctype = row.get("content_type") or "text/html"
+    lines.append(b"Content-Type: " + ctype.encode())
+    if row.get("location"):
+        lines.append(b"Location: " + row["location"].encode())
+    if row.get("x_robots_tag"):
+        lines.append(b"X-Robots-Tag: " + row["x_robots_tag"].encode())
+    lines.append(b"Content-Length: " + str(len(body)).encode())
+    return _CRLF.join(lines) + _CRLF + _CRLF + body
+
+
+def write_warc_shard(path: str | Path, rows: list[dict], compress: bool = False) -> None:
+    """rows: dicts with url, warc_ts (µs int), html (bytes) and optional
+    status/content_type/location/x_robots_tag. Writes response records
+    wrapping full HTTP messages (``application/http; msgtype=response``).
+    ``compress=True`` writes one gzip member per record (the CC layout)."""
+    out = bytearray()
+    for r in rows:
+        payload = _http_message(r)
+        headers = [
+            b"WARC/1.0",
+            b"WARC-Type: response",
+            b"WARC-Target-URI: " + r["url"].encode(),
+            b"WARC-Date: " + _format_ts(int(r["warc_ts"])).encode(),
+            b"Content-Type: application/http; msgtype=response",
+            b"Content-Length: " + str(len(payload)).encode(),
+        ]
+        record = _CRLF.join(headers) + _CRLF + _CRLF + payload + _CRLF + _CRLF
+        if compress:
+            out += gzip.compress(record)
+        else:
+            out += record
+    Path(path).write_bytes(bytes(out))
+
+
+def _parse_http_payload(payload: bytes) -> dict:
+    """Split an application/http payload into status/headers/body."""
+    sep = payload.find(_CRLF + _CRLF)
+    if sep < 0 or not payload[:5].startswith(b"HTTP/"):
+        # malformed http message: treat the whole payload as the body
+        return {
+            "status": 200, "content_type": "text/html",
+            "location": None, "x_robots_tag": None, "html": bytes(payload),
+        }
+    head = payload[:sep].decode("utf-8", errors="replace")
+    lines = head.split("\r\n")
+    try:
+        status = int(lines[0].split(" ", 2)[1])
+    except (IndexError, ValueError):
+        status = 200
+    hdrs: dict[str, str] = {}
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        hdrs[k.strip().lower()] = v.strip()
+    ctype = hdrs.get("content-type", "text/html")
+    ctype = ctype.split(";", 1)[0].strip() or "text/html"
+    return {
+        "status": status,
+        "content_type": ctype,
+        "location": hdrs.get("location"),
+        "x_robots_tag": hdrs.get("x-robots-tag"),
+        "html": payload[sep + 4 :],
+    }
 
 
 def parse_warc_bytes(data: bytes) -> list[dict]:
-    """One WARC shard's bytes -> list of (url, warc_ts, html) dicts.
-    Non-`response` records are skipped; framing follows Content-Length."""
+    """One WARC shard's bytes -> list of dicts (url, warc_ts, html, status,
+    content_type, location, x_robots_tag). Gzip shards (including
+    member-per-record CC layout) are decompressed; non-``response``
+    records are skipped; framing follows Content-Length with resync past
+    garbage."""
+    if data[:2] == _GZIP_MAGIC:
+        try:
+            data = gzip.decompress(data)  # handles concatenated members
+        except (OSError, EOFError):
+            return []
     out = []
     pos = 0
     n = len(data)
@@ -74,7 +149,7 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
             k, _, v = line.partition(":")
             fields[k.strip().lower()] = v.strip()
         length = int(fields.get("content-length", "0") or 0)
-        body = data[head_end + 4 : head_end + 4 + length]
+        payload = data[head_end + 4 : head_end + 4 + length]
         pos = head_end + 4 + length
         # skip the record-separator CRLFCRLF if present
         if data[pos : pos + 4] == _CRLF + _CRLF:
@@ -89,31 +164,58 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
             ts = _parse_ts(date)
         except ValueError:
             continue
-        out.append({"url": uri, "warc_ts": ts, "html": bytes(body)})
+        rec_ctype = fields.get("content-type", "")
+        if rec_ctype.startswith("application/http"):
+            rec = _parse_http_payload(payload)
+        else:
+            rec = {
+                "status": 200, "content_type": "text/html",
+                "location": None, "x_robots_tag": None, "html": bytes(payload),
+            }
+        rec["url"] = uri
+        rec["warc_ts"] = ts
+        out.append(rec)
     return out
 
 
+_PAGE_FIELDS = ["url", "warc_ts", "html", "status", "content_type", "location", "x_robots_tag"]
+
+
 def read_warc(paths: str | list[str]):
-    """WARC shards -> Dataset(url: string, warc_ts: timestamp[us],
-    html: binary). One parse task per shard file."""
+    """WARC shards -> Dataset(url, warc_ts: timestamp[us], html: binary,
+    status: int32, content_type, location, x_robots_tag). One parse task
+    per shard file; ``.warc.gz`` shards decompress transparently; a shard
+    yielding zero records warns with its path."""
     import ray.data as rd
 
-    ds = rd.read_binary_files(paths, include_paths=False)
+    ds = rd.read_binary_files(paths, include_paths=True)
 
     def parse_batch(batch: pa.Table) -> pa.Table:
-        urls: list[str] = []
-        tss: list[int] = []
-        htmls: list[bytes] = []
-        for blob in batch.column("bytes").to_pylist():
-            for rec in parse_warc_bytes(blob):
-                urls.append(rec["url"])
-                tss.append(rec["warc_ts"])
-                htmls.append(rec["html"])
+        import warnings
+
+        cols: dict[str, list] = {f: [] for f in _PAGE_FIELDS}
+        for blob, path in zip(
+            batch.column("bytes").to_pylist(), batch.column("path").to_pylist()
+        ):
+            recs = parse_warc_bytes(blob)
+            if not recs:
+                warnings.warn(
+                    f"WARC shard {path!r} yielded zero response records "
+                    "(corrupt, empty, or not WARC?)",
+                    stacklevel=1,
+                )
+            for rec in recs:
+                for f in _PAGE_FIELDS:
+                    cols[f].append(rec[f])
         return pa.table(
             {
-                "url": pa.array(urls, pa.string()),
-                "warc_ts": pa.array(tss, pa.timestamp("us")),
-                "html": pa.array(htmls, pa.binary()),
+                "url": pa.array(cols["url"], pa.string()),
+                "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("us")),
+                "html": pa.array(cols["html"], pa.binary()),
+                "status": pa.array(cols["status"], pa.int32()),
+                "content_type": pa.array(cols["content_type"], pa.string()),
+                "location": pa.array(cols["location"], pa.string()),
+                "x_robots_tag": pa.array(cols["x_robots_tag"], pa.string()),
             }
         )
 
@@ -122,8 +224,9 @@ def read_warc(paths: str | list[str]):
 
 def warc_to_corpus(warc_paths, out_dir: str | Path) -> str:
     """Ingest WARC shards into a crawlable pages directory (the engine's
-    corpus layout): url, warc_ts, html + fetch-sim columns (status=200,
-    text/html; text/lang empty — extraction derives text from html).
+    corpus layout): url, warc_ts, html + the REAL fetch columns parsed from
+    each record's HTTP message (text/lang empty — extraction derives text
+    from html).
 
     This is the real-Common-Crawl on-ramp: point it at CC WARC shards and
     run the crawl/extraction pipeline over the result."""
@@ -139,10 +242,10 @@ def warc_to_corpus(warc_paths, out_dir: str | Path) -> str:
                 "html": batch.column("html"),
                 "text": pa.array([""] * n, pa.string()),
                 "lang": pa.array([""] * n, pa.string()),
-                "status": pa.array([200] * n, pa.int32()),
-                "content_type": pa.array(["text/html"] * n, pa.string()),
-                "location": pa.array([None] * n, pa.string()),
-                "x_robots_tag": pa.array([None] * n, pa.string()),
+                "status": batch.column("status"),
+                "content_type": batch.column("content_type"),
+                "location": batch.column("location"),
+                "x_robots_tag": batch.column("x_robots_tag"),
             }
         )
 
@@ -152,27 +255,33 @@ def warc_to_corpus(warc_paths, out_dir: str | Path) -> str:
     return str(out)
 
 
-def write_warc(ds, out_dir: str | Path, rows_per_shard: int = 10_000) -> list[str]:
+def write_warc(ds, out_dir: str | Path, rows_per_shard: int = 10_000,
+               compress: bool = False) -> list[str]:
     """pages Dataset -> WARC shards under out_dir (one shard per input
     block, sharded further by rows_per_shard). Returns shard paths."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    suffix = ".warc.gz" if compress else ".warc"
 
     def write_block(batch: pa.Table) -> pa.Table:
         import uuid
 
-        rows = [
-            {"url": u, "warc_ts": t, "html": h}
-            for u, t, h in zip(
-                batch.column("url").to_pylist(),
-                batch.column("warc_ts").cast(pa.int64()).to_pylist(),
-                batch.column("html").to_pylist(),
-            )
-        ]
+        names = set(batch.schema.names)
+        rows = []
+        for i in range(batch.num_rows):
+            r = {
+                "url": batch.column("url")[i].as_py(),
+                "warc_ts": batch.column("warc_ts").cast(pa.int64())[i].as_py(),
+                "html": batch.column("html")[i].as_py(),
+            }
+            for f in ("status", "content_type", "location", "x_robots_tag"):
+                if f in names:
+                    r[f] = batch.column(f)[i].as_py()
+            rows.append(r)
         paths = []
         for start in range(0, len(rows), rows_per_shard):
-            p = out / f"part-{uuid.uuid4().hex[:12]}.warc"
-            write_warc_shard(p, rows[start : start + rows_per_shard])
+            p = out / f"part-{uuid.uuid4().hex[:12]}{suffix}"
+            write_warc_shard(p, rows[start : start + rows_per_shard], compress=compress)
             paths.append(str(p))
         return pa.table({"path": pa.array(paths, pa.string())})
 

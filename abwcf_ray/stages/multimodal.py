@@ -38,30 +38,69 @@ def _fake_header(payload: bytes) -> tuple[int, int]:
     return 64 + (h & 0x3FF), 64 + ((h >> 10) & 0x3FF)
 
 
+def decode_image_header(payload: bytes) -> tuple[int, int]:
+    """REAL, dependency-free image header decode for BMP and binary PPM
+    ('P6') — the formats a pure-Python parser can handle without PIL.
+    Returns (width, height); raises ValueError for other formats."""
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        import struct
+
+        w, h = struct.unpack_from("<ii", payload, 18)
+        if w <= 0 or h == 0:
+            raise ValueError("corrupt BMP header")
+        return w, abs(h)  # negative height = top-down DIB
+    if payload[:2] == b"P6":
+        # P6 <ws> width <ws> height <ws> maxval; '#' comments allowed
+        toks: list[bytes] = []
+        i = 2
+        while len(toks) < 2 and i < min(len(payload), 512):
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            start = i
+            while i < len(payload) and not payload[i : i + 1].isspace():
+                i += 1
+            toks.append(payload[start:i])
+        if len(toks) == 2:
+            return int(toks[0]), int(toks[1])
+        raise ValueError("corrupt PPM header")
+    raise ValueError("unsupported image format (BMP/P6-PPM supported natively)")
+
+
 class ImageDecoder:
     """Actor-pool stage: decode image payloads -> (media_id, width, height,
     n_pixels, feature: list<float>[8]).
 
-    Real decode requires PIL/opencv — not present here; construct with
-    ``fake=True`` for the deterministic stand-in.
+    Decode resolution order:
+    - ``decode_fn``: injectable ``bytes -> (width, height)`` — plug in PIL/
+      opencv here when available (``lambda b: Image.open(io.BytesIO(b)).size``);
+    - default REAL decoder: :func:`decode_image_header` (BMP / binary PPM,
+      pure Python — works in this container);
+    - ``fake=True``: deterministic stand-in for arbitrary payloads.
     """
 
-    def __init__(self, fake: bool = False, resize_to: int | None = None):
+    def __init__(self, fake: bool = False, resize_to: int | None = None,
+                 decode_fn=None):
         self._fake = fake
         self._resize_to = resize_to
-        if not fake:
-            raise NotImplementedError(
-                "image decoding requires PIL/opencv, not available in this "
-                "container; construct ImageDecoder(fake=True) for the "
-                "deterministic stand-in"
-            )
+        self._decode = decode_fn if decode_fn is not None else decode_image_header
+        if fake and decode_fn is not None:
+            raise ValueError("pass either fake=True or decode_fn, not both")
+
+    def _dims(self, payload: bytes) -> tuple[int, int]:
+        if self._fake:
+            return _fake_header(payload)
+        return self._decode(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
         payloads = batch.column("payload").to_pylist()
         widths, heights, feats = [], [], []
         for p in payloads:
-            w, h = _fake_header(p or b"")
+            w, h = self._dims(p or b"")
             if self._resize_to:
                 scale = self._resize_to / max(w, h)
                 w, h = max(1, int(w * scale)), max(1, int(h * scale))
@@ -82,23 +121,54 @@ class ImageDecoder:
         )
 
 
+def decode_wav_duration(payload: bytes) -> float:
+    """REAL, dependency-free WAV (RIFF/PCM) duration decode: walk the
+    chunks, read fmt (rate/channels/bits) and the data size. Raises
+    ValueError for non-WAV payloads."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, block_align, data_size = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt " and pos + 24 <= len(payload):
+            _fmt, channels, rate = struct.unpack_from("<HHI", payload, pos + 8)
+            block_align = struct.unpack_from("<H", payload, pos + 20)[0]
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if not rate or not block_align or data_size is None:
+        raise ValueError("missing fmt/data chunk")
+    return data_size / (rate * block_align)
+
+
 class AudioFeaturizer:
     """Actor-pool stage: audio payload -> (media_id, duration_s, n_frames,
-    feature). Fake mode derives duration from payload length (16 kHz mono
-    16-bit assumption)."""
+    feature).
 
-    def __init__(self, fake: bool = False, frame_hop_s: float = 0.5):
+    Decode resolution order mirrors :class:`ImageDecoder`: injectable
+    ``duration_fn`` (soundfile/ffmpeg when available), default REAL WAV
+    header decode (:func:`decode_wav_duration`, pure Python), or
+    ``fake=True`` (duration from payload length, 16 kHz mono 16-bit)."""
+
+    def __init__(self, fake: bool = False, frame_hop_s: float = 0.5,
+                 duration_fn=None):
         self._hop = frame_hop_s
-        if not fake:
-            raise NotImplementedError(
-                "audio decoding requires soundfile/ffmpeg, not available in "
-                "this container; construct AudioFeaturizer(fake=True)"
-            )
+        self._fake = fake
+        self._duration = duration_fn if duration_fn is not None else decode_wav_duration
+        if fake and duration_fn is not None:
+            raise ValueError("pass either fake=True or duration_fn, not both")
+
+    def _dur(self, payload: bytes) -> float:
+        if self._fake:
+            return len(payload) / (16000 * 2)
+        return self._duration(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
         payloads = batch.column("payload").to_pylist()
-        durs = [len(p or b"") / (16000 * 2) for p in payloads]
+        durs = [self._dur(p or b"") for p in payloads]
         frames = [max(1, int(d / self._hop)) for d in durs]
         feats = [
             (hash64([(p or b"")[:128].hex() + str(i) for i in range(4)]).astype(np.float64) / 2**64).tolist()

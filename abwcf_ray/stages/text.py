@@ -55,7 +55,15 @@ def add_quality_signals(batch: pa.Table) -> pa.Table:
     wdenom = n_words.clip(lower=1).astype("float64")
     lower_words = texts.str.lower().str.findall(r"[a-zà-ÿ]+")
     stop_all = set().union(*_LANG_PROFILES.values())
-    stop_counts = lower_words.map(lambda ws: sum(1 for w in ws if w in stop_all))
+    # explode + isin + groupby: stopword counting stays in C instead of a
+    # per-row Python lambda (byte-identical output)
+    exploded = lower_words.explode()
+    stop_counts = (
+        exploded.isin(stop_all)
+        .groupby(level=0)
+        .sum()
+        .reindex(texts.index, fill_value=0)
+    )
     out = batch
     for name, arr in [
         ("n_chars_m", n_chars),
@@ -73,20 +81,30 @@ def add_quality_signals(batch: pa.Table) -> pa.Table:
 
 def add_lang_id(batch: pa.Table) -> pa.Table:
     """Stopword-profile language ID: argmax over per-language hit ratios;
-    below-threshold -> 'zz' (unknown). Deterministic tie-break by lang code."""
+    below-threshold -> 'zz' (unknown). Deterministic tie-break by lang code
+    (first maximum in sorted-lang order). Vectorized: one explode + one
+    isin/groupby pass per language profile — no per-row Python."""
     texts = batch.column("text").to_pandas().astype("string").fillna("")
     words = texts.str.lower().str.findall(r"[a-zà-ÿü]+")
-    langs = []
-    for ws in words:
-        best_lang, best = "zz", 0.0
-        n = max(1, len(ws))
-        for lang in sorted(_LANG_PROFILES):
-            hits = sum(1 for w in ws if w in _LANG_PROFILES[lang])
-            score = hits / n
-            if score > best:
-                best, best_lang = score, lang
-        langs.append(best_lang if best >= 0.08 else "zz")
-    return batch.append_column("lang_id", pa.array(langs, pa.string()))
+    n = words.str.len().clip(lower=1).to_numpy(dtype=np.float64)
+    exploded = words.explode()
+    lang_names = sorted(_LANG_PROFILES)
+    scores = np.zeros((len(texts), len(lang_names)))
+    for j, lang in enumerate(lang_names):
+        hits = (
+            exploded.isin(_LANG_PROFILES[lang])
+            .groupby(level=0)
+            .sum()
+            .reindex(texts.index, fill_value=0)
+            .to_numpy(dtype=np.float64)
+        )
+        scores[:, j] = hits / n
+    best_j = np.argmax(scores, axis=1)  # first max wins = sorted-lang tiebreak
+    best = scores[np.arange(len(texts)), best_j]
+    langs = np.where(
+        best >= 0.08, np.asarray(lang_names, dtype=object)[best_j], "zz"
+    )
+    return batch.append_column("lang_id", pa.array(langs.tolist(), pa.string()))
 
 
 def add_fingerprint(batch: pa.Table, window: int = 4) -> pa.Table:

@@ -24,34 +24,44 @@ import numpy as np
 import pandas as pd
 
 
-def session_windows(ds, *, key: str, ts_col: str, value_col: str, gap_us: int):
-    """-> one row per (key, session): session_id (0-based per key),
-    session_start (µs), n_events, sum_value."""
+def _mix_partition(series: pd.Series, partitions: int) -> np.ndarray:
+    """Stable partition id for a key column (numeric or string)."""
+    if pd.api.types.is_integer_dtype(series):
+        v = series.to_numpy(dtype=np.int64, na_value=0)
+        return ((v * 2654435761) % partitions).astype(np.int64)
+    from abwcf_ray.functions.hashing import hash64
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, value_col], kind="mergesort")
-        ts = g[ts_col].astype("int64").to_numpy()
-        breaks = np.ones(len(ts), dtype=bool)
-        breaks[1:] = (ts[1:] - ts[:-1]) > gap_us
-        session = np.cumsum(breaks) - 1
-        out = pd.DataFrame(
-            {
-                key: g[key].to_numpy(),
-                "session_id": session.astype(np.int64),
-                "ts_us": ts,
-                "value": g[value_col].to_numpy(),
-            }
-        )
-        agg = out.groupby("session_id").agg(
-            session_start=("ts_us", "min"),
-            n_events=("value", "size"),
-            sum_value=("value", "sum"),
-        )
-        agg = agg.reset_index()
-        agg[key] = g[key].iloc[0]
-        agg["n_events"] = agg["n_events"].astype(np.int64)
-        agg["sum_value"] = agg["sum_value"].round(4)
-        return agg[[key, "session_id", "session_start", "n_events", "sum_value"]]
+    return (hash64(series.astype(str).tolist()) % np.uint64(partitions)).astype(
+        np.int64
+    )
+
+
+def session_windows(
+    ds,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    gap_us: int,
+    partitions: int = 32,
+):
+    """-> one row per (key, session): session_id (0-based per key),
+    session_start (µs), n_events, sum_value.
+
+    Skew-safe two-stage shape (a naive ``groupby(key)`` makes one hot key
+    one unbounded group): stage 1 partitions by hash(key, coarse time
+    bucket) and computes bucket-local session SUMMARIES vectorized (a hot
+    key's events spread over its buckets); stage 2 partitions by hash(key)
+    and stitches summaries whose boundary gap <= ``gap_us`` back into
+    global sessions. Stage-2 rows are 5-column session summaries — bounded
+    by session count, not event count, so a key with millions of events in
+    long sessions costs KBs, not GBs. (Residual contract: a key whose
+    events form millions of one-event sessions still concentrates its
+    summaries in one stage-2 group.) Semantics are identical to the
+    single-pass groupby: within a bucket, splits are exact; across
+    adjacent buckets, two sessions merge iff the boundary gap <= gap, and
+    chains of merges are resolved by the same cumsum."""
+    coarse_us = max(gap_us, 1) * 32
 
     def to_us(batch):
         import pyarrow as pa
@@ -60,12 +70,86 @@ def session_windows(ds, *, key: str, ts_col: str, value_col: str, gap_us: int):
         # cast straight to int64 would yield nanoseconds and break every
         # µs-denominated gap comparison
         col = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
-        return batch.set_column(batch.schema.get_field_index(ts_col), ts_col, col)
+        batch = batch.set_column(
+            batch.schema.get_field_index(ts_col), ts_col, col
+        )
+        bucket = pa.compute.floor(
+            pa.compute.divide(col.cast(pa.float64()), float(coarse_us))
+        ).cast(pa.int64())
+        df = batch.to_pandas()
+        df["bucket"] = bucket.to_pandas().to_numpy()
+        df["pkey"] = _mix_partition(
+            df[key].astype(str) + "|" + df["bucket"].astype(str), partitions
+        )
+        return df
+
+    def bucket_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, "bucket", ts_col, value_col], kind="mergesort")
+        ts = g[ts_col].to_numpy(dtype=np.int64)
+        new_kb = (
+            (g[key] != g[key].shift()) | (g["bucket"] != g["bucket"].shift())
+        ).to_numpy(dtype=bool)
+        brk = new_kb.copy()
+        brk[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(brk) - 1
+        out = pd.DataFrame(
+            {
+                key: g[key].to_numpy(),
+                "sid": sid,
+                "ts_us": ts,
+                "value": g[value_col].to_numpy(),
+            }
+        )
+        agg = out.groupby("sid").agg(
+            first_ts=("ts_us", "min"),
+            last_ts=("ts_us", "max"),
+            n_events=("value", "size"),
+            sum_value=("value", "sum"),
+        )
+        agg[key] = out.groupby("sid")[key].first()
+        agg = agg.reset_index(drop=True)
+        agg["skey"] = _mix_partition(agg[key], partitions)
+        return agg[[key, "skey", "first_ts", "last_ts", "n_events", "sum_value"]]
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, "first_ts", "last_ts"], kind="mergesort")
+        first = g["first_ts"].to_numpy(dtype=np.int64)
+        last = g["last_ts"].to_numpy(dtype=np.int64)
+        new_key = (g[key] != g[key].shift()).to_numpy(dtype=bool)
+        brk = new_key.copy()
+        brk[1:] |= (first[1:] - last[:-1]) > gap_us
+        mid = np.cumsum(brk) - 1
+        tmp = pd.DataFrame(
+            {
+                key: g[key].to_numpy(),
+                "mid": mid,
+                "first_ts": first,
+                "n_events": g["n_events"].to_numpy(dtype=np.int64),
+                "sum_value": g["sum_value"].to_numpy(),
+            }
+        )
+        agg = tmp.groupby("mid").agg(
+            session_start=("first_ts", "min"),
+            n_events=("n_events", "sum"),
+            sum_value=("sum_value", "sum"),
+        )
+        agg[key] = tmp.groupby("mid")[key].first()
+        agg = agg.reset_index(drop=True).sort_values(
+            [key, "session_start"], kind="mergesort"
+        )
+        agg["session_id"] = agg.groupby(key, sort=False).cumcount().astype(np.int64)
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        agg["sum_value"] = agg["sum_value"].round(4)
+        return agg[[key, "session_id", "session_start", "n_events", "sum_value"]].reset_index(
+            drop=True
+        )
 
     return (
         ds.map_batches(to_us, batch_format="pyarrow")
-        .groupby(key)
-        .map_groups(per_key, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(bucket_sessions, batch_format="pandas")
+        .groupby("skey")
+        .map_groups(stitch, batch_format="pandas")
     )
 
 

@@ -65,13 +65,26 @@ def classify_robots_fetch(
     cfg: CrawlConfig,
     now_s: float,
     expired: HostEntry | None,
+    content_type: str | None = "text/plain",
 ) -> HostEntry:
-    """One host's robots fetch outcome -> rules + TTL (see module docstring)."""
+    """One host's robots fetch outcome -> rules + TTL (see module docstring).
+
+    Content-type gate (RobotsFetcher.scala:72-77 accepts ONLY 2xx
+    ``text/plain``; :118-126 routes every other non-redirect/non-4xx
+    response to ``HostManager.Unreachable``): a 2xx robots.txt served as
+    e.g. text/html classifies as UNREACHABLE — reuse expired rules if any,
+    else ALLOW_NONE, with the unreachable TTL."""
     if status is not None and redirect_hops > cfg.robots_max_redirects:
         status = 404  # unreachable end of a redirect chain -> unavailable
-    if status is None or 500 <= status or status in (0,):
-        # unreachable (5xx, network error, host absent from the robots corpus
-        # entirely is treated as unavailable below, not here)
+    non_plain_2xx = (
+        status is not None
+        and 200 <= status < 300
+        and content_type is not None
+        and content_type != "text/plain"
+    )
+    if status is None or 500 <= status or status in (0,) or non_plain_2xx:
+        # unreachable (5xx, network error, 2xx-non-text/plain; a host absent
+        # from the robots corpus entirely is treated as unavailable below)
         if expired is not None:
             return HostEntry(expired.rules, now_s + cfg.unreachable_rules_lifetime_s)
         rules = RobotRules(mode=ALLOW_NONE, crawl_delay_ms=cfg.default_crawl_delay_ms)
@@ -86,7 +99,7 @@ def classify_robots_fetch(
             max_bytes=cfg.robots_max_bytes,
         )
         return HostEntry(rules, now_s + cfg.valid_rules_lifetime_s)
-    # 4xx or 2xx without a text/plain body -> unavailable -> ALLOW_ALL
+    # 4xx or 2xx without a body -> unavailable -> ALLOW_ALL
     rules = RobotRules(mode=ALLOW_ALL, crawl_delay_ms=cfg.default_crawl_delay_ms)
     return HostEntry(rules, now_s + cfg.unavailable_rules_lifetime_s)
 
@@ -101,13 +114,20 @@ class RobotsFetchSim:
 
     def __init__(self, robots_path: str, cfg: CrawlConfig):
         t = pq.read_table(robots_path)
+        # content_type column added in corpus v3; default text/plain for
+        # older robots tables (user-provided corpora)
+        if "content_type" in t.schema.names:
+            ctypes = t.column("content_type").to_pylist()
+        else:
+            ctypes = ["text/plain"] * t.num_rows
         self._by_host = {
-            h: (s, r, b)
-            for h, s, r, b in zip(
+            h: (s, r, b, c)
+            for h, s, r, b, c in zip(
                 t.column("host").to_pylist(),
                 t.column("status").to_pylist(),
                 t.column("redirect_hops").to_pylist(),
                 t.column("body").to_pylist(),
+                ctypes,
             )
         }
         self._cfg = cfg
@@ -117,8 +137,10 @@ class RobotsFetchSim:
         if rec is None:
             # host serves no robots.txt at all -> 404 -> unavailable/ALLOW_ALL
             return classify_robots_fetch(404, 0, None, self._cfg, now_s, expired)
-        status, hops, body = rec
-        return classify_robots_fetch(status, hops, body, self._cfg, now_s, expired)
+        status, hops, body, ctype = rec
+        return classify_robots_fetch(
+            status, hops, body, self._cfg, now_s, expired, content_type=ctype
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         now_s = batch.column("now_s")[0].as_py() if batch.num_rows else 0.0
@@ -126,13 +148,19 @@ class RobotsFetchSim:
         for host in batch.column("host").to_pylist():
             rec = self._by_host.get(host)
             if rec is None:
-                status, hops, body = 404, 0, None
+                status, hops, body, ctype = 404, 0, None, None
             else:
-                status, hops, body = rec
-            entry = classify_robots_fetch(status, hops, body, self._cfg, now_s, None)
+                status, hops, body, ctype = rec
+            entry = classify_robots_fetch(
+                status, hops, body, self._cfg, now_s, None, content_type=ctype
+            )
+            non_plain_2xx = (
+                status is not None and 200 <= status < 300
+                and ctype is not None and ctype != "text/plain"
+            )
             if status is not None and hops > self._cfg.robots_max_redirects:
                 outcome = "unavailable"
-            elif status is None or status >= 500:
+            elif status is None or status >= 500 or non_plain_2xx:
                 outcome = "unreachable"
             else:
                 outcome = "ok" if 200 <= status < 300 and body is not None else "unavailable"

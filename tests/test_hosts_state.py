@@ -38,6 +38,20 @@ def test_classification_matrix():
     ok_redir = classify_robots_fetch(200, 5, b"User-agent: *\nDisallow: /x\n", CFG, 0.0, None)
     assert ok_redir.rules.mode == ALLOW_SOME
 
+    # 2xx with a NON-text/plain content type -> Unreachable (RFC 9309 gate,
+    # RobotsFetcher.scala:72-77 + :118-126): ALLOW_NONE + unreachable TTL,
+    # or reuse of expired rules
+    html_robots = classify_robots_fetch(
+        200, 0, b"<html>robots</html>", CFG, 0.0, None, content_type="text/html"
+    )
+    assert html_robots.rules.mode == ALLOW_NONE
+    assert html_robots.valid_until_s == CFG.unreachable_rules_lifetime_s
+    old = classify_robots_fetch(200, 0, b"User-agent: *\nDisallow: /k\n", CFG, 0.0, None)
+    reused = classify_robots_fetch(
+        200, 0, b"<html></html>", CFG, 50.0, old, content_type="text/html"
+    )
+    assert reused.rules == old.rules
+
 
 def test_unreachable_reuses_expired_rules():
     old = classify_robots_fetch(200, 0, b"User-agent: *\nDisallow: /keep\n", CFG, 0.0, None)
@@ -52,12 +66,20 @@ def test_fetchsim_and_state_merge(tmp_path):
     pq.write_table(
         pa.table(
             {
-                "host": pa.array(["https://a", "https://b", "https://c"]),
-                "status": pa.array([200, 503, 200], pa.int32()),
-                "redirect_hops": pa.array([0, 0, 9], pa.int32()),
+                "host": pa.array(["https://a", "https://b", "https://c", "https://h"]),
+                "status": pa.array([200, 503, 200, 200], pa.int32()),
+                "redirect_hops": pa.array([0, 0, 9, 0], pa.int32()),
                 "body": pa.array(
-                    [b"User-agent: *\nDisallow: /x\nCrawl-delay: 2\n", None, b"x"],
+                    [
+                        b"User-agent: *\nDisallow: /x\nCrawl-delay: 2\n",
+                        None,
+                        b"x",
+                        b"<html>robots as html</html>",
+                    ],
                     pa.binary(),
+                ),
+                "content_type": pa.array(
+                    ["text/plain", None, "text/plain", "text/html"], pa.string()
                 ),
             }
         ),
@@ -66,8 +88,10 @@ def test_fetchsim_and_state_merge(tmp_path):
     sim = RobotsFetchSim(str(tmp_path / "robots.parquet"), CFG)
     batch = pa.table(
         {
-            "host": pa.array(["https://a", "https://b", "https://c", "https://missing"]),
-            "now_s": pa.array([10.0] * 4, pa.float64()),
+            "host": pa.array(
+                ["https://a", "https://b", "https://c", "https://h", "https://missing"]
+            ),
+            "now_s": pa.array([10.0] * 5, pa.float64()),
         }
     )
     out = sim(batch)
@@ -78,6 +102,9 @@ def test_fetchsim_and_state_merge(tmp_path):
     assert by_host["https://b"]["rule_mode"] == ALLOW_NONE
     assert by_host["https://b"]["outcome"] == "unreachable"
     assert by_host["https://c"]["rule_mode"] == ALLOW_ALL  # redirect cap
+    # 2xx text/html robots -> unreachable (content-type gate)
+    assert by_host["https://h"]["rule_mode"] == ALLOW_NONE
+    assert by_host["https://h"]["outcome"] == "unreachable"
     assert by_host["https://missing"]["rule_mode"] == ALLOW_ALL  # no robots -> 404
 
     state = HostsState(CFG)

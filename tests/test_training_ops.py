@@ -278,9 +278,83 @@ def test_multimodal_fake_decode(ray_session):
         out.sort_values("media_id").reset_index(drop=True),
         out2.sort_values("media_id").reset_index(drop=True),
     )
-    with pytest.raises(NotImplementedError):
-        ImageDecoder(fake=False)
-    with pytest.raises(NotImplementedError):
-        AudioFeaturizer(fake=False)
+    # non-fake decoding of a non-image payload must fail loudly, not guess
+    with pytest.raises(ValueError):
+        ImageDecoder(fake=False)(t.slice(0, 2))
+    with pytest.raises(ValueError):
+        AudioFeaturizer(fake=False)(t.slice(0, 2))
     frames = ds.map_batches(make_frame_sampler(5), batch_format="pyarrow").to_pandas()
     assert frames["media_id"].nunique() == 20
+
+
+def test_multimodal_real_decoders(ray_session):
+    """The default (non-fake) decoders are REAL: BMP and binary-PPM headers
+    and RIFF/WAV durations parse without PIL/ffmpeg; an injected decode_fn
+    overrides them."""
+    import struct
+
+    import ray.data as rd
+
+    from abwcf_ray.stages.multimodal import (
+        AudioFeaturizer,
+        ImageDecoder,
+        decode_images,
+        decode_image_header,
+        decode_wav_duration,
+    )
+
+    def bmp(w, h):
+        return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00" * 20
+
+    def ppm(w, h):
+        return f"P6\n# cmt\n{w} {h}\n255\n".encode() + b"\x00" * 12
+
+    def wav(seconds, rate=8000, channels=1, bits=16):
+        block = channels * bits // 8
+        data = b"\x00" * int(seconds * rate * block)
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                    rate * block, block, bits)
+            + b"data" + struct.pack("<I", len(data))
+        )
+        return hdr + data
+
+    assert decode_image_header(bmp(31, 17)) == (31, 17)
+    assert decode_image_header(bmp(31, -17)) == (31, 17)  # top-down DIB
+    assert decode_image_header(ppm(640, 480)) == (640, 480)
+    assert abs(decode_wav_duration(wav(2.5)) - 2.5) < 1e-6
+
+    payloads = [bmp(10 * (i + 1), 20) if i % 2 == 0 else ppm(8, 4 * (i + 1)) for i in range(10)]
+    t = pa.table(
+        {
+            "media_id": pa.array(range(10), pa.int64()),
+            "kind": pa.array(["image"] * 10),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/bmp", "image/x-portable-pixmap"] * 5),
+        }
+    )
+    out = (
+        decode_images(rd.from_arrow(t), fake=False, concurrency=2, batch_size=4)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "width"] == 10 and out.loc[0, "height"] == 20
+    assert out.loc[1, "width"] == 8 and out.loc[1, "height"] == 8
+    assert (out["n_pixels"] == out["width"] * out["height"]).all()
+
+    # injectable decode_fn takes precedence (the PIL hook point)
+    dec = ImageDecoder(decode_fn=lambda b: (1, 2))
+    got = dec(t.slice(0, 3)).to_pydict()
+    assert got["width"] == [1, 1, 1] and got["height"] == [2, 2, 2]
+
+    wavs = pa.table(
+        {
+            "media_id": pa.array(range(3), pa.int64()),
+            "payload": pa.array([wav(1.0), wav(0.25), wav(3.0)], pa.binary()),
+        }
+    )
+    au = AudioFeaturizer(fake=False, frame_hop_s=0.5)(wavs).to_pydict()
+    assert au["duration_s"] == [1.0, 0.25, 3.0]
+    assert au["n_frames"] == [2, 1, 6]

@@ -1,11 +1,22 @@
-"""WARC source/sink roundtrip tests."""
+"""WARC source/sink roundtrip tests, including real-CC fidelity: HTTP
+message payloads (status/headers parsed, only the body in ``html``) and
+gzip member-per-record shards."""
 
 from __future__ import annotations
 
+import gzip
+
 import pyarrow as pa
 import pyarrow.dataset as pads
+import pytest
 
-from abwcf_ray.sources.warc import parse_warc_bytes, read_warc, write_warc, write_warc_shard
+from abwcf_ray.sources.warc import (
+    parse_warc_bytes,
+    read_warc,
+    warc_to_corpus,
+    write_warc,
+    write_warc_shard,
+)
 
 
 def test_shard_roundtrip(tmp_path):
@@ -13,16 +24,66 @@ def test_shard_roundtrip(tmp_path):
         {"url": "https://a.example/1", "warc_ts": 1_700_000_000_000_000, "html": b"<html>1</html>"},
         {"url": "https://a.example/2", "warc_ts": 1_700_000_001_000_000, "html": b""},
         {"url": "https://b.example/x", "warc_ts": 1_700_000_002_000_000, "html": b"bin\r\n\r\ndata"},
+        {
+            "url": "https://b.example/r",
+            "warc_ts": 1_700_000_003_000_000,
+            "html": b"",
+            "status": 301,
+            "content_type": "text/html",
+            "location": "https://b.example/target",
+            "x_robots_tag": "noindex",
+        },
     ]
     p = tmp_path / "t.warc"
     write_warc_shard(p, rows)
     got = parse_warc_bytes(p.read_bytes())
-    assert got == rows
+    assert [r["url"] for r in got] == [r["url"] for r in rows]
+    assert [r["html"] for r in got] == [r["html"] for r in rows]
+    assert [r["warc_ts"] for r in got] == [r["warc_ts"] for r in rows]
+    assert got[0]["status"] == 200 and got[0]["content_type"] == "text/html"
+    assert got[3]["status"] == 301
+    assert got[3]["location"] == "https://b.example/target"
+    assert got[3]["x_robots_tag"] == "noindex"
+
+
+def test_gzip_shard_roundtrip(tmp_path):
+    """CC ships .warc.gz with one gzip member per record — must parse
+    identically to the plain shard."""
+    rows = [
+        {"url": f"https://g.example/{i}", "warc_ts": 1_700_000_000_000_000 + i, "html": f"<p>{i}</p>".encode()}
+        for i in range(5)
+    ]
+    plain, gz = tmp_path / "t.warc", tmp_path / "t.warc.gz"
+    write_warc_shard(plain, rows)
+    write_warc_shard(gz, rows, compress=True)
+    assert gz.read_bytes()[:2] == b"\x1f\x8b"
+    assert parse_warc_bytes(gz.read_bytes()) == parse_warc_bytes(plain.read_bytes())
+
+
+def test_http_message_payload_parsed():
+    """A real CC-style record: application/http payload — headers must NOT
+    leak into html, and the real status/content-type are surfaced."""
+    http = (
+        b"HTTP/1.1 404 Not Found\r\n"
+        b"Content-Type: text/plain; charset=utf-8\r\n"
+        b"Content-Length: 9\r\n\r\n"
+        b"not found"
+    )
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x/\r\n"
+        b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n" + http + b"\r\n\r\n"
+    )
+    got = parse_warc_bytes(rec)
+    assert len(got) == 1
+    assert got[0]["html"] == b"not found"
+    assert got[0]["status"] == 404
+    assert got[0]["content_type"] == "text/plain"  # params stripped
 
 
 def test_skips_non_response_records(tmp_path):
     p = tmp_path / "t.warc"
-    payload = b"junk"
     content = (
         b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\njunk\r\n\r\n"
         b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x/\r\n"
@@ -33,15 +94,17 @@ def test_skips_non_response_records(tmp_path):
     assert len(got) == 1 and got[0]["url"] == "https://x/" and got[0]["html"] == b"hi"
 
 
-def test_dataset_roundtrip_via_corpus(ray_session, tmp_path):
-    """pages corpus -> WARC shards -> Dataset: byte-identical html per url."""
+@pytest.mark.parametrize("compress", [False, True])
+def test_dataset_roundtrip_via_corpus(ray_session, tmp_path, compress):
+    """pages corpus -> WARC shards -> Dataset: byte-identical html per url,
+    plain and gzip."""
     import ray.data as rd
 
     from abwcf_ray.sources.corpus import generate_corpus
 
     meta = generate_corpus(tmp_path / "c", n_pages=300, seed=42, num_buckets=4)
     pages = rd.read_parquet(meta.pages_dir, columns=["url", "warc_ts", "html"])
-    paths = write_warc(pages, tmp_path / "warc", rows_per_shard=100)
+    paths = write_warc(pages, tmp_path / "warc", rows_per_shard=100, compress=compress)
     assert len(paths) >= 3
     back = read_warc(paths).to_pandas().sort_values("url").reset_index(drop=True)
     orig = (
@@ -60,12 +123,35 @@ def test_dataset_roundtrip_via_corpus(ray_session, tmp_path):
     ).all()
 
 
+def test_warc_to_corpus_preserves_fetch_metadata(ray_session, tmp_path):
+    """WARC shards -> corpus layout: the real per-record status /
+    content_type / location / x_robots_tag survive ingestion, so
+    redirects and robots headers behave as on the live crawl."""
+    import ray.data as rd
+
+    rows = [
+        {"url": "https://w.example/ok", "warc_ts": 1_700_000_000_000_000,
+         "html": b"<html><body><h1>T</h1></body></html>"},
+        {"url": "https://w.example/redir", "warc_ts": 1_700_000_001_000_000,
+         "html": b"", "status": 302, "location": "https://w.example/ok"},
+        {"url": "https://w.example/nofollow", "warc_ts": 1_700_000_002_000_000,
+         "html": b"<html></html>", "x_robots_tag": "nofollow"},
+    ]
+    shard = tmp_path / "s.warc"
+    write_warc_shard(shard, rows)
+    pages_dir = warc_to_corpus([str(shard)], tmp_path / "ingested")
+    t = pads.dataset(pages_dir).to_table().to_pandas().set_index("url")
+    assert t.loc["https://w.example/redir", "status"] == 302
+    assert t.loc["https://w.example/redir", "location"] == "https://w.example/ok"
+    assert t.loc["https://w.example/nofollow", "x_robots_tag"] == "nofollow"
+    assert t.loc["https://w.example/ok", "status"] == 200
+
+
 def test_warc_to_corpus_is_crawlable(ray_session, tmp_path):
     """WARC shards -> corpus layout the fetch scan can consume."""
     import ray.data as rd
 
     from abwcf_ray.sources.corpus import generate_corpus
-    from abwcf_ray.sources.warc import warc_to_corpus, write_warc
 
     meta = generate_corpus(tmp_path / "c", n_pages=200, seed=42, num_buckets=4)
     pages = rd.read_parquet(meta.pages_dir, columns=["url", "warc_ts", "html"])
@@ -91,6 +177,15 @@ def test_warc_to_corpus_is_crawlable(ray_session, tmp_path):
     assert (fetched["status"] == 200).all()
 
 
+def test_zero_record_shard_is_empty_not_silent(ray_session, tmp_path):
+    """A non-WARC shard parses to zero records (and the reader warns in
+    the worker log); the Dataset is empty rather than crashing."""
+    p = tmp_path / "empty.warc"
+    p.write_bytes(b"this is not a warc file at all")
+    assert parse_warc_bytes(p.read_bytes()) == []
+    assert read_warc([str(p)]).count() == 0
+
+
 def test_truncated_and_corrupt_shards():
     """Reader resyncs past garbage and tolerates truncation mid-record."""
     good = (
@@ -104,3 +199,5 @@ def test_truncated_and_corrupt_shards():
     # record with bad date skipped
     bad_date = good.replace(b"2025-01-01T00:00:00Z", b"not-a-date-at-allz")
     assert parse_warc_bytes(bad_date) == []
+    # corrupt gzip yields empty, no crash
+    assert parse_warc_bytes(b"\x1f\x8bcorrupt") == []
