@@ -488,9 +488,12 @@ def run_crawl(
         # NOTE: no min_rows_per_file here — Ray's write-coalescing buffers
         # whole text+links blocks row-wise and serialized this write 13x
         # (measured 67 s vs 4.9 s on a 100k-page wave); the reader blocks
-        # are already file-sized
+        # are already file-sized. zstd over snappy: the processed checkpoint
+        # is the wave's dominant write (~1 GB of text+links per 237k pages);
+        # trading shared-disk bytes for per-task compression CPU keeps the
+        # step scaling with workers on one box, and shrinks checkpoints.
         fetched.map_batches(process_fetched, batch_format="pyarrow").write_parquet(
-            str(wdir / "processed")
+            str(wdir / "processed"), compression="zstd"
         )
         _mark("fetch_process")
 

@@ -236,6 +236,11 @@ def run_scaling(legs: tuple[int, int] | None = None) -> dict:
     lo_n, hi_n = legs
 
     def run(ncpu: int) -> dict:
+        # flush the previous leg's dirty pages and let the box settle —
+        # writeback from a prior leg's ~2 GB of checkpoints measurably
+        # skews the next leg's wall times on this shared disk
+        subprocess.run(["sync"], check=False)
+        time.sleep(3)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True,

@@ -3,6 +3,9 @@ RobotsHeaderFilter.scala:26-37)."""
 
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from abwcf_ray.functions.htmlx import header_nofollow, parse_document
 
 BASE = "https://h.example/dir/page"
@@ -57,3 +60,123 @@ def test_header_nofollow():
     assert not header_nofollow("noindex")
     assert not header_nofollow(None)
     assert not header_nofollow("nofollowish")
+
+
+# --------------------------------------------------------------------------
+# fast-lexer differential coverage: _fast_parse must equal the html.parser
+# state machine byte-for-byte wherever it claims applicability
+# --------------------------------------------------------------------------
+def _slow(html):
+    from abwcf_ray.functions.htmlx import _DocParser
+
+    p = _DocParser()
+    p.feed(html)
+    p.close()
+    return p.hrefs, p.meta_nofollow, p._text_parts
+
+
+_ADVERSARIAL = [
+    '<html><head><title>T</title></head><body><h1>A&amp;B</h1><p>x<a href="http://x/1">l</a>y</p></body></html>',
+    '<!DOCTYPE html><html><body><h1>Doc</h1><!-- comment <p>no</p> --><p>real</p></body></html>',
+    '<html><body><script>var a = "<p>not text</p>";</script><h1>H</h1></body></html>',
+    '<html><body><h1>a<script>if(x<y){}</script>b</h1></body></html>',
+    '<html><body><style>.c{color:red}</style><p>p1</p><p>p2</p></body></html>',
+    '<html><body><h1>unclosed',
+    '<html><body><p>before<h1>nested?</h1>after</p></body></html>',
+    '<html><body><p>a &lt; b &gt; c &#65; &quot;</p></body></html>',
+    '<meta name="ROBOTS" content="NOINDEX, NOFOLLOW"><a href="http://x">y</a>',
+    "<meta name='robots' content='nofollow'>",
+    '<a href=http://bare.example/x>bare</a>',
+    '<a href="http://x/?a=1&amp;b=2">amp</a>',
+    '<p>text with < stray bracket</p>',
+    '<p>5 < 6 and 7 > 3</p>',
+    '<h1/><p>selfclose</p>',
+    '<p >spaced</p ><a  href="http://s/">s</a>',
+    '<script>unterminated...',
+    '<h1>text<style>x</style>more</h1>',
+    '<P>UPPER</P><H1>CAPS</H1>',
+    '<p title="a>b">attr-gt</p>',
+    '<a href="">empty</a><a>nohref</a>',
+    '<p>a<br/>b</p>',
+    '<p>&notarealentity; &amp</p>',
+    '<a title="href=http://trap/" href="http://real/">x</a>',
+    '<a href="http://1" href="http://2">dup</a>',
+    '<meta content="nofollow" name="robots">reversed attrs',
+    '<meta name="robots" content="noindex , NOFOLLOW ">ws',
+    '<a href>barenoval</a>',
+    '<a data-href="http://no/" href="http://yes/">d</a>',
+    '<p disabled>flag</p>',
+]
+
+
+def test_fast_lexer_matches_html_parser_adversarial():
+    from abwcf_ray.functions.htmlx import _fast_parse
+
+    for doc in _ADVERSARIAL:
+        fast = _fast_parse(doc)
+        assert fast is not None, f"unexpected fallback for {doc[:60]!r}"
+        assert fast == _slow(doc), doc
+
+
+def test_fast_lexer_falls_back_on_unsupported_constructs():
+    from abwcf_ray.functions.htmlx import _fast_parse
+
+    for doc in [
+        "<![CDATA[raw]]><p>x</p>",
+        "<?php echo 1; ?><p>x</p>",
+        "<!DOCTYPE html [ <!ENTITY x 'y'> ]><p>x</p>",
+    ]:
+        assert _fast_parse(doc) is None  # parse_document still works
+        from abwcf_ray.functions.htmlx import parse_document
+
+        links, text, nf = parse_document(doc, "https://b/")
+        assert text == "x"
+
+
+def test_fast_lexer_matches_on_corpus_pages(tmp_path):
+    """Every generated corpus page takes the fast path and matches the
+    state machine exactly."""
+    import pyarrow.dataset as pads
+
+    from abwcf_ray.functions.htmlx import _fast_parse
+    from abwcf_ray.sources.corpus import generate_corpus
+
+    meta = generate_corpus(tmp_path / "c", n_pages=500, seed=3, num_buckets=4)
+    pages = pads.dataset(meta.pages_dir).to_table(columns=["html"])
+    checked = 0
+    for h in pages.column("html").to_pylist():
+        if not h:
+            continue
+        doc = h.decode("utf-8", errors="replace")
+        fast = _fast_parse(doc)
+        assert fast is not None
+        assert fast == _slow(doc)
+        checked += 1
+    assert checked > 400
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "<p>", "</p>", "<h1>", "</h1>", "<a href=\"http://x/1\">",
+                "<a href='http://y/2?a=1&amp;b=2'>", "</a>", "text ", "5 < 6 ",
+                "&amp; ", "&#65;", "<br/>", "<div>", "</div>", "<!-- c -->",
+                "<script>v<1</script>", "<style>.x{}</style>",
+                "<meta name=\"robots\" content=\"nofollow\">", "<h1/>",
+                "<P >", "</P >", "tail<", ">lead", "&bogus;",
+            ]
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_fast_lexer_matches_on_html_soup(pieces):
+    from abwcf_ray.functions.htmlx import _fast_parse
+
+    doc = "".join(pieces)
+    fast = _fast_parse(doc)
+    if fast is None:
+        return  # legitimate fallback
+    assert fast == _slow(doc), doc
