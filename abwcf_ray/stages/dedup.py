@@ -541,15 +541,20 @@ def ngram_jaccard_dedup(
 # embedding cosine near-dup
 # --------------------------------------------------------------------------
 def make_embedding_bucketize(
-    hyper: np.ndarray,
+    hypers: np.ndarray | list[np.ndarray],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     merge_partitions: int = DEDUP_MERGE_PARTITIONS,
 ):
-    planes = hyper.shape[1]
+    """``hypers``: one (dim, planes) hyperplane matrix per LSH TABLE. Each
+    row explodes into one bucket row per table (table index mixed into the
+    key) — multiple independent tables recover borderline pairs a single
+    table's bucket boundary splits (the standard LSH recall lever)."""
+    if isinstance(hypers, np.ndarray):
+        hypers = [hypers]
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
         vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
         if len(ids) == 0:
             return pa.table(
@@ -562,18 +567,25 @@ def make_embedding_bucketize(
             )
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         unit = vecs / np.clip(norms, 1e-12, None)
-        signs = (unit @ hyper) > 0
-        packed = np.packbits(signs, axis=1, bitorder="little")
-        keys = np.zeros(len(ids), dtype=np.int64)
-        for c in range(packed.shape[1]):
-            keys |= packed[:, c].astype(np.int64) << (8 * c)
+        unit_lists = [u.tolist() for u in unit]
+        all_keys = []
+        for t, hyper in enumerate(hypers):
+            signs = (unit @ hyper) > 0
+            packed = np.packbits(signs, axis=1, bitorder="little")
+            keys = np.zeros(len(ids), dtype=np.int64)
+            for c in range(packed.shape[1]):
+                keys |= packed[:, c].astype(np.int64) << (8 * c)
+            # mix the table index so tables never share buckets
+            all_keys.append(keys ^ (t * 0x9E3779B9))
+        keys = np.concatenate(all_keys)
         pkey = keys % merge_partitions
+        n_tables = len(hypers)
         return pa.table(
             {
-                id_col: pa.array(ids),
+                id_col: pa.array(np.tile(ids, n_tables)),
                 "bucket_key": pa.array(keys, pa.int64()),
                 "pkey": pa.array(pkey, pa.int64()),
-                "unit": pa.array([u.tolist() for u in unit], pa.list_(pa.float64())),
+                "unit": pa.array(unit_lists * n_tables, pa.list_(pa.float64())),
             }
         )
 
@@ -601,6 +613,7 @@ def embedding_dedup(
     *,
     threshold: float = 0.95,
     planes: int = 12,
+    tables: int = 1,
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -609,17 +622,18 @@ def embedding_dedup(
 ):
     """Random-hyperplane LSH buckets -> coarse-partition groupby -> exact
     within-bucket cosine verify -> edges -> broadcast label assignment.
-    ``planes`` controls bucket granularity (recall drops for borderline
-    pairs split across buckets — the standard LSH trade-off, mitigated by
-    multiple tables at scale)."""
+    ``planes`` controls bucket granularity; ``tables`` independent
+    hyperplane sets union their candidates — a pair at cosine c survives
+    with P = 1-(1-(1-acos(c)/pi)^planes)^tables, so raise ``tables`` to
+    recover borderline pairs a single table's bucket boundary splits."""
     first = ds.take(1)[0]
     dim = len(first[vec_col])
     rng = np.random.default_rng(seed)
-    hyper = rng.standard_normal((dim, planes))
+    hypers = [rng.standard_normal((dim, planes)) for _ in range(tables)]
 
     edges = (
         ds.map_batches(
-            make_embedding_bucketize(hyper, vec_col, id_col, merge_partitions),
+            make_embedding_bucketize(hypers, vec_col, id_col, merge_partitions),
             batch_format="pyarrow",
         )
         .groupby("pkey")

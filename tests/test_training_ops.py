@@ -358,3 +358,36 @@ def test_multimodal_real_decoders(ray_session):
     au = AudioFeaturizer(fake=False, frame_hop_s=0.5)(wavs).to_pydict()
     assert au["duration_s"] == [1.0, 0.25, 3.0]
     assert au["n_frames"] == [2, 1, 6]
+
+
+def test_embedding_dedup_multi_table_recall(ray_session):
+    """Multiple LSH tables recover borderline near-dup pairs a single
+    table misses (recall is monotone in table count)."""
+    import ray.data as rd
+    from abwcf_ray.stages.dedup import embedding_dedup
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((60, 16))
+    # moderately-near duplicates: enough angle that one table's buckets
+    # split some pairs
+    dup = base[:25] + 0.06 * rng.standard_normal((25, 16))
+    vecs = np.vstack([base, dup])
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(85), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(t)
+
+    def caught(tables):
+        lab = embedding_dedup(
+            ds, threshold=0.95, planes=10, tables=tables, seed=1
+        ).set_index("vec_id")
+        return sum(
+            lab.loc[60 + i, "cluster"] == lab.loc[i, "cluster"] for i in range(25)
+        )
+
+    c1, c4 = caught(1), caught(4)
+    assert c4 >= c1
+    assert c4 >= 20  # 4 tables: high recall on genuinely-near pairs
