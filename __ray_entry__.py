@@ -402,6 +402,18 @@ def _q_ngram_dedup(sf_dir: str):
     return out
 
 
+def _q_curation(sf_dir: str):
+    """Web-text curation flagship: quality filter (word-count bounds +
+    integer-exact alpha ratio) -> exact dedup keep-min-id; SQL-oracled."""
+    from abwcf_ray.pipelines.curate import curate
+
+    _quiet()
+    out = curate(
+        _docs(sf_dir, ["doc_id", "text"]), min_words=25, max_words=80
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_langid_fingerprint(sf_dir: str):
     from abwcf_ray.stages.text import add_fingerprint, add_lang_id
 
@@ -467,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "ngram_dedup": _q_ngram_dedup,
+        "curation": _q_curation,
         "embedding_dedup": _q_embedding_dedup,
         "langid_fingerprint": _q_langid_fingerprint,
         "crawl_wave": _q_crawl,
@@ -586,6 +599,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
                    COUNT(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "curation": r"""
+            WITH q AS (
+                SELECT doc_id, text,
+                       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+                       CAST(length(regexp_extract_all(text, '[A-Za-zÀ-ÿ]')) AS BIGINT) AS n_alpha,
+                       CAST(length(text) AS BIGINT) AS n_chars
+                FROM documents
+            ),
+            f AS (
+                SELECT * FROM q
+                WHERE n_words >= 25 AND n_words <= 80 AND 2 * n_alpha >= n_chars
+            )
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+            FROM f GROUP BY text
         """,
         "ngram_dedup": r"""
             WITH keyed AS (
