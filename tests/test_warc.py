@@ -201,3 +201,65 @@ def test_truncated_and_corrupt_shards():
     assert parse_warc_bytes(bad_date) == []
     # corrupt gzip yields empty, no crash
     assert parse_warc_bytes(b"\x1f\x8bcorrupt") == []
+
+
+def test_crawl_over_warc_ingested_corpus_matches_oracle(ray_session, tmp_path):
+    """Full CC circle: corpus -> WARC shards (real HTTP messages) ->
+    warc_to_corpus -> run_crawl over the INGESTED corpus equals the oracle
+    run — statuses, content types, redirects and robots headers all
+    survive the WARC roundtrip, and the scan-fallback fetch path (no
+    hashed layout on ingested corpora) produces the same crawl."""
+    import json as _json
+    import shutil
+
+    import pandas as pd
+    import ray.data as rd
+
+    from abwcf_ray.config import CrawlConfig
+    from abwcf_ray.pipelines.crawl import run_crawl
+    from abwcf_ray.pipelines.oracle import run_oracle
+    from abwcf_ray.sources.corpus import CorpusMeta, generate_corpus
+
+    src = generate_corpus(tmp_path / "src", n_pages=500, seed=42, num_buckets=4)
+    pages = rd.read_parquet(
+        src.pages_dir,
+        columns=["url", "warc_ts", "html", "status", "content_type", "location", "x_robots_tag"],
+    )
+    shards = write_warc(pages, tmp_path / "warc", rows_per_shard=150, compress=True)
+
+    ing_root = tmp_path / "ingested"
+    warc_to_corpus(shards, ing_root / "pages")
+    shutil.copy(src.robots_path, ing_root / "robots.parquet")
+    (ing_root / "seeds.json").write_text(_json.dumps(src.seeds))
+    meta = CorpusMeta(
+        n_pages=src.n_pages, seed=src.seed, num_buckets=src.num_buckets,
+        n_hosts=src.n_hosts, out_dir=str(ing_root),
+    )
+    assert not __import__("pathlib").Path(meta.hashed_dir).exists()  # scan fallback
+
+    cfg = CrawlConfig(max_waves=4, wave_duration_s=10.0, seen_shards=4,
+                      max_crawl_depth=6)
+    out = tmp_path / "crawl"
+    summary = run_crawl(cfg, meta, out, log=lambda *_: None)
+    o = run_oracle(cfg, meta)
+    got = (
+        pads.dataset(summary.last_wave_dir + "/frontier")
+        .to_table()
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.DataFrame(
+            [(u, s, d, p) for u, (s, d, p) in o.frontier.items()],
+            columns=["url", "status", "depth", "priority"],
+        )
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["url", "status", "depth", "priority"]].astype({"depth": "int64"}),
+        exp.astype({"depth": "int64"}),
+    )
+    assert summary.total_fetched > 0
