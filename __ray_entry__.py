@@ -86,15 +86,16 @@ _FRONTIER_SQL = (
 # queries
 # --------------------------------------------------------------------------
 def _q_frontier_topk(sf_dir: str):
-    """D1/D2: salted per-host politeness top-k over the derived frontier,
-    using the real scheduler stage."""
+    """D1/D2: shuffle-free per-host politeness top-k over the derived
+    frontier, using the real scheduler stage (partial top-k per block +
+    exact hash(host)-sharded merge)."""
     import ray
 
     from abwcf_ray.config import CrawlConfig
     from abwcf_ray.stages.schedule import select_wave
 
     _quiet()
-    cfg = CrawlConfig(wave_duration_s=_WAVE_S, salt_buckets=2)
+    cfg = CrawlConfig(wave_duration_s=_WAVE_S)
     ds = _docs(sf_dir, ["doc_id"]).map_batches(
         _derive_frontier_batch, batch_format="pyarrow"
     )
@@ -342,7 +343,8 @@ def _q_knn_top5(sf_dir: str):
 
     _quiet()
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qdf = ds.to_pandas().sort_values("vec_id").head(3)
+    # distributed top-3-by-id: never materialize the whole table for 3 rows
+    qdf = ds.sort("vec_id").limit(3).to_pandas()
     queries = np.array(list(qdf["embedding"]), dtype=np.float64)
     out = knn_bruteforce(ds, queries, k=5, query_ids=qdf["vec_id"].to_numpy())
     return out[["query_id", "neighbor_id", "rank"]]
@@ -355,7 +357,7 @@ def _q_knn_ivf(sf_dir: str):
 
     _quiet()
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qdf = ds.to_pandas().sort_values("vec_id").head(3)
+    qdf = ds.sort("vec_id").limit(3).to_pandas()
     queries = np.array(list(qdf["embedding"]), dtype=np.float64)
     out = knn_ivf(ds, queries, k=5, nlist=16, nprobe=4, query_ids=qdf["vec_id"].to_numpy())
     return out[["query_id", "neighbor_id", "rank"]]
@@ -439,10 +441,8 @@ def _crawl_corpus_for(sf_dir: str):
 def _q_crawl(sf_dir: str):
     """End-to-end wave crawl over the fixture corpus (sized from sf);
     returns the final frontier (url, status, depth, priority)."""
-    import pyarrow.dataset as pads
-
     from abwcf_ray.config import CrawlConfig
-    from abwcf_ray.pipelines.crawl import run_crawl
+    from abwcf_ray.pipelines.crawl import frontier_dataset, run_crawl
 
     _quiet()
     corpus = _crawl_corpus_for(sf_dir)
@@ -451,8 +451,8 @@ def _q_crawl(sf_dir: str):
     cfg = CrawlConfig(max_waves=3, wave_duration_s=10.0, seen_shards=4,
                       corpus_buckets=corpus.num_buckets, max_crawl_depth=8)
     summary = run_crawl(cfg, corpus, out_dir, log=lambda *_: None)
-    t = pads.dataset(summary.last_wave_dir + "/frontier").to_table()
-    return t.to_pandas().sort_values("url").reset_index(drop=True)
+    df = frontier_dataset(summary.last_wave_dir).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
 
 
 def entry() -> Any:

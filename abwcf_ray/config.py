@@ -47,7 +47,7 @@ class CrawlConfig:
     Wave-model additions (SURVEY.md §2 D2, §3.4):
       - wave_duration_s: the politeness window; per-wave per-host fetch budget
         k_h = max(1, floor(wave_duration_s / crawl_delay_h)).
-      - seen_shards / corpus_buckets / salt_buckets: partitioning knobs.
+      - seen_shards / corpus_buckets: partitioning knobs.
     """
 
     # Scope / filtering
@@ -79,9 +79,17 @@ class CrawlConfig:
     # Partitioning / parallelism (derive from cluster size where possible)
     seen_shards: int = 8
     corpus_buckets: int = 32
-    salt_buckets: int = 4  # sub-groups per host in phase-1 of the scheduler top-k
     batch_size: int = 8192
     fetch_concurrency: int | None = None  # None -> let Ray autoscale tasks
+
+    # Frontier checkpoint model: each wave appends a DELTA (new Discovered
+    # rows) plus a flips file (politeness-bounded status changes) instead of
+    # rewriting the frontier — O(changed) per wave, the Ray analog of the
+    # reference's batched ``UPDATE pages SET status``
+    # (SlickPageRepository.scala:37-51). Once the chain holds this many
+    # deltas, the wave folds base+deltas+flips into a fresh materialized
+    # frontier (bounds read fan-in and the broadcast flips array).
+    frontier_compact_every: int = 8
 
     # Priority function: "breadth_first_hash" (deterministic default),
     # "breadth_first", "depth_first", "random" (seeded) — or a CALLABLE

@@ -12,10 +12,20 @@ Each wave is one Ray Data round over the frontier:
     cand'     : explode -> normalize (B4) -> scope (B5) -> lenient (C1)
                 -> sharded propose/claim = wave-dedup + seen set (F1)
                 -> prioritize (B7)
-    frontier' = status updates ∪ new rows -> parquet checkpoint + manifest
+    frontier' = DELTA checkpoint: new rows append as ``delta/`` part files
+                and status changes (politeness-bounded) append as a tiny
+                ``flips.parquet`` — O(changed) per wave, never a frontier
+                rewrite (the Ray analog of the reference's batched
+                ``UPDATE pages SET status``, SlickPageRepository.scala:37-51,
+                Batcher.scala:14-62). The logical frontier is
+                base ∪ deltas with the accumulated flips overlaid at read
+                time (`make_eligible_filter` / `frontier_dataset`); the
+                chain is folded into a fresh materialized base every
+                ``cfg.frontier_compact_every`` waves and at frontier drain.
 
-The steady-state wave contains NO all-to-all exchange (see stages/schedule,
-stages/fetch, state/seen docstrings for each replacement).
+The steady-state wave contains NO all-to-all exchange and NO O(frontier)
+write (see stages/schedule, stages/fetch, state/seen docstrings for each
+replacement).
 
 Control returns to the driver only at wave boundaries. All cross-wave state
 (frontier, hosts, seen shards) is parquet-checkpointed per wave with a
@@ -55,8 +65,12 @@ from abwcf_ray.stages.fetch import (
 )
 from abwcf_ray.stages.schedule import rank_selected, select_wave
 from abwcf_ray.stages.transform import (
+    FRONTIER_SCHEMA,
+    STATUS_DISALLOWED,
     STATUS_DISCOVERED,
+    STATUS_PROCESSED,
     explode_links,
+    make_eligible_filter,
     make_lenient_robots_filter,
     make_normalize_stage,
     make_process_fetched_stage,
@@ -68,7 +82,7 @@ from abwcf_ray.stages.transform import (
 )
 from abwcf_ray.stages.transform import partial_host_counts
 from abwcf_ray.state.hosts import HostsState, RobotsFetchSim
-from abwcf_ray.state.seen import HashAccumulator, HostSetAccumulator, SeenSet
+from abwcf_ray.state.seen import RejectAccumulator, SeenSet, TokenHostCountAccumulator
 
 # Hosts fetched per wave below this threshold are resolved on the driver
 # (measured: 20k sim-lookups+parses take ~0.5 s, while spinning the Ray
@@ -104,6 +118,149 @@ def _file_lineage(directory: Path) -> list[dict]:
 
 def _parquet_rows(directory: Path) -> int:
     return sum(pq.read_metadata(f).num_rows for f in directory.rglob("*.parquet"))
+
+
+class _FrontierChain:
+    """Driver-side ledger of the frontier checkpoint chain.
+
+    The frontier on disk is ``base`` (a materialized parquet dir) plus an
+    append-only list of per-wave ``delta/`` dirs (new Discovered rows) and
+    ``flips.parquet`` files (url_hash -> new status; politeness-bounded).
+    Rows are immutable once written — a wave changes the frontier only by
+    appending. The cumulative flip hashes are also held here as sorted
+    uint64 arrays for the per-wave broadcast (their size is bounded by
+    pages fetched since the last compaction, and compaction resets them).
+    """
+
+    def __init__(self, out: Path, base: Path):
+        self.out = Path(out)
+        self.base = Path(base)
+        self.deltas: list[Path] = []
+        self.flip_files: list[Path] = []
+        self.cum_processed = np.empty(0, dtype=np.uint64)
+        self.cum_disallowed = np.empty(0, dtype=np.uint64)
+
+    def sources(self) -> list[str]:
+        # read_parquet's multi-path form takes FILES; expand each dir (the
+        # listing is O(chain length × part files), driver-side, cheap)
+        out: list[str] = []
+        for d in [self.base] + self.deltas:
+            out.extend(str(p) for p in sorted(Path(d).glob("*.parquet")))
+        return out
+
+    def flips_merged(self) -> np.ndarray:
+        return np.union1d(self.cum_processed, self.cum_disallowed)
+
+    def add_wave(
+        self,
+        delta_dir: Path | None,
+        flips_path: Path | None,
+        processed: np.ndarray,
+        disallowed: np.ndarray,
+    ) -> None:
+        if delta_dir is not None:
+            self.deltas.append(Path(delta_dir))
+        if flips_path is not None:
+            self.flip_files.append(Path(flips_path))
+        if len(processed):
+            self.cum_processed = np.union1d(self.cum_processed, processed)
+        if len(disallowed):
+            self.cum_disallowed = np.union1d(self.cum_disallowed, disallowed)
+
+    def reset(self, base: Path) -> None:
+        self.base = Path(base)
+        self.deltas = []
+        self.flip_files = []
+        self.cum_processed = np.empty(0, dtype=np.uint64)
+        self.cum_disallowed = np.empty(0, dtype=np.uint64)
+
+    def manifest_entry(self) -> dict:
+        return {
+            "base": str(self.base.relative_to(self.out)),
+            "deltas": [str(d.relative_to(self.out)) for d in self.deltas],
+            "flips": [str(f.relative_to(self.out)) for f in self.flip_files],
+        }
+
+    @classmethod
+    def from_manifest(cls, out: Path, manifest: dict) -> "_FrontierChain":
+        entry = manifest["frontier_chain"]
+        chain = cls(out, out / entry["base"])
+        chain.deltas = [out / d for d in entry["deltas"]]
+        chain.flip_files = [out / f for f in entry["flips"]]
+        proc, dis = _load_flips(out, entry["flips"])
+        chain.cum_processed, chain.cum_disallowed = proc, dis
+        return chain
+
+
+def _load_flips(out: Path, flip_relpaths: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Cumulative (processed, disallowed) sorted hash arrays from the
+    chain's flips files (each politeness-bounded, so this is O(fetched
+    since last compaction), read on the driver)."""
+    proc_parts, dis_parts = [], []
+    for rel in flip_relpaths:
+        t = pq.read_table(out / rel)
+        h = t.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        s = np.asarray(t.column("status").to_pylist(), dtype=object)
+        proc_parts.append(h[s == STATUS_PROCESSED])
+        dis_parts.append(h[s == STATUS_DISALLOWED])
+    proc = np.unique(np.concatenate(proc_parts)) if proc_parts else np.empty(0, np.uint64)
+    dis = np.unique(np.concatenate(dis_parts)) if dis_parts else np.empty(0, np.uint64)
+    return proc.astype(np.uint64), dis.astype(np.uint64)
+
+
+def _write_flips(path: Path, processed: np.ndarray, disallowed: np.ndarray) -> int:
+    h = np.concatenate([processed.astype(np.uint64), disallowed.astype(np.uint64)])
+    status = [STATUS_PROCESSED] * len(processed) + [STATUS_DISALLOWED] * len(disallowed)
+    pq.write_table(
+        pa.table(
+            {
+                "url_hash": pa.array(h, pa.uint64()),
+                "status": pa.array(status, pa.string()),
+            }
+        ),
+        path,
+    )
+    return len(h)
+
+
+def _compact_frontier(chain: _FrontierChain, dest: Path) -> None:
+    """Fold base + deltas + flips into a fresh materialized frontier at
+    ``dest`` and reset the chain onto it. O(frontier) — runs only every
+    ``frontier_compact_every`` waves or at drain, never steady-state."""
+    ds = rd.read_parquet(chain.sources())
+    if len(chain.cum_processed) or len(chain.cum_disallowed):
+        ds = ds.map_batches(
+            make_update_status(
+                ray.put(chain.cum_processed), ray.put(chain.cum_disallowed)
+            ),
+            batch_format="pyarrow",
+        )
+    ds.write_parquet(str(dest))
+    chain.reset(dest)
+
+
+def frontier_dataset(wave_dir: str | Path) -> "rd.Dataset":
+    """The logical frontier as of a completed wave: the materialized
+    ``frontier/`` dir if that wave compacted (or drained), else the chain
+    recorded in its manifest (base + deltas with status flips overlaid).
+    This is the read path a resume, a restore, or a downstream consumer
+    uses — the full frontier is never rewritten to serve a read."""
+    wd = Path(wave_dir)
+    mat = wd / "frontier"
+    if mat.exists() and any(mat.rglob("*.parquet")):
+        return rd.read_parquet(str(mat))
+    manifest = json.loads((wd / "manifest.json").read_text())
+    out = wd.parent
+    chain = _FrontierChain.from_manifest(out, manifest)
+    ds = rd.read_parquet(chain.sources())
+    if len(chain.cum_processed) or len(chain.cum_disallowed):
+        ds = ds.map_batches(
+            make_update_status(
+                ray.put(chain.cum_processed), ray.put(chain.cum_disallowed)
+            ),
+            batch_format="pyarrow",
+        )
+    return ds
 
 
 def _seed_transform(cfg: CrawlConfig, seeds_chunk: list[str]) -> pa.Table:
@@ -235,6 +392,7 @@ def run_crawl(
     total_fetched = 0
     start_wave = 0
 
+    chain: _FrontierChain | None = None
     if resume:
         completed = sorted(
             (
@@ -257,7 +415,7 @@ def run_crawl(
             summary.per_wave = [
                 json.loads((d / "manifest.json").read_text()) for d in completed
             ]
-            prev_frontier = last / "frontier"
+            chain = _FrontierChain.from_manifest(out, manifest)
             log(f"[crawl] resuming after wave {manifest['wave']}")
         else:
             resume = False
@@ -298,18 +456,18 @@ def run_crawl(
                 }
             )
         )
-        prev_frontier = init_dir / "frontier"
-        # the seed pass already knows wave 0's Discovered hosts/count — skip
-        # wave 0's full frontier scan for the host histogram
-        seed_hosts = sorted(set(frontier0.column("host").to_pylist()))
-        seed_count = frontier0.num_rows
+        chain = _FrontierChain(out, init_dir / "frontier")
+        # the seed pass already knows wave 0's Discovered-per-host ledger —
+        # skip wave 0's full frontier scan for the host histogram
+        seed_counts = frontier0.column("host").to_pandas().value_counts()
+        seed_ledger = {h: int(n) for h, n in seed_counts.items()}
 
     process_fetched = make_process_fetched_stage(cfg)
     normalize = make_normalize_stage(cfg)
     scope = make_scope_filter_stage(cfg)
 
-    reject_accum = HashAccumulator.remote()
-    host_accum = HostSetAccumulator.remote()
+    reject_accum = RejectAccumulator.remote()
+    host_accum = TokenHostCountAccumulator.remote()
     # fetch substrate: prefer the hash-sorted layout (row-group-pruned reads,
     # O(selected) per wave); fall back to the full-corpus broadcast semi-join
     # scan for corpora without it. The fallback read op is created ONCE:
@@ -320,18 +478,19 @@ def run_crawl(
     corpus_ds = (
         None if use_pruned else rd.read_parquet(corpus.pages_dir, columns=FETCH_COLUMNS)
     )
-    # hosts of next wave's Discovered rows, carried over from the previous
-    # wave's frontier-write side-channel (None -> fall back to a scan, e.g.
-    # on the first wave of this process or after resume)
-    carried_hosts: list[str] | None = None
-    n_discovered_est: int | None = None
+    # Discovered-per-host ledger, maintained arithmetically wave-over-wave
+    # (seeds + claims − selected − rejects, each politeness-bounded) so the
+    # host histogram never rescans the frontier. None -> rebuild by one
+    # partial-counts scan (first wave after a resume). Driver memory is
+    # O(#live hosts) — the same bound as the hosts table itself
+    # (state/hosts.py:19-22 documents the 10^8-host bucketed path).
+    host_ledger: dict[str, int] | None = None
     # previous frontier's row count, carried wave-over-wave so n_new never
     # needs a full metadata rescan of the previous checkpoint
     prev_frontier_rows: int | None = None
     if not resume:
-        carried_hosts = seed_hosts
-        n_discovered_est = seed_count
-        prev_frontier_rows = seed_count
+        host_ledger = seed_ledger
+        prev_frontier_rows = frontier0.num_rows
     elif summary.per_wave:
         prev_frontier_rows = summary.per_wave[-1].get("n_frontier")
 
@@ -358,17 +517,18 @@ def run_crawl(
             shutil.rmtree(wdir)
         metrics: dict = {"wave": wave, "completed": False}
 
-        frontier = rd.read_parquet(str(prev_frontier))
+        # logical frontier = base ∪ deltas, minus rows flipped since the
+        # last compaction (broadcast sorted hashes, politeness-bounded)
+        flips_ref = ray.put(chain.flips_merged())
+        frontier = rd.read_parquet(chain.sources())
         eligible = frontier.map_batches(
-            lambda t: t.filter(pc.equal(t["status"], STATUS_DISCOVERED)),
-            batch_format="pyarrow",
+            make_eligible_filter(flips_ref), batch_format="pyarrow"
         )
 
         # ---- host-prep (C3/C4/A3) ---------------------------------------
-        if carried_hosts is not None:
-            # host set carried from the previous frontier-write pass
-            hosts_needed = carried_hosts
-            n_eligible = int(n_discovered_est or 0)
+        if host_ledger is not None:
+            hosts_needed = [h for h, c in host_ledger.items() if c > 0]
+            n_eligible = int(sum(c for c in host_ledger.values() if c > 0))
         else:
             # shuffle-free host histogram: per-batch partials, driver merge
             partials = _collect_arrow(
@@ -376,11 +536,11 @@ def run_crawl(
             )
             if partials is not None:
                 host_counts = partials.to_pandas().groupby("host", sort=False)["n"].sum()
-                hosts_needed = host_counts.index.tolist()
-                n_eligible = int(host_counts.sum())
+                host_ledger = {h: int(n) for h, n in host_counts.items()}
             else:
-                hosts_needed = []
-                n_eligible = 0
+                host_ledger = {}
+            hosts_needed = list(host_ledger)
+            n_eligible = int(sum(host_ledger.values()))
         _mark("host_histogram")
         n_robots = _host_prep(cfg, hosts_state, corpus.robots_path, hosts_needed, now_s)
         wdir.mkdir(parents=True, exist_ok=True)
@@ -402,36 +562,39 @@ def run_crawl(
             batch_format="pyarrow",
         )
         selected_raw = select_wave(allowed, delay_ref, cfg, n_eligible_hint=n_eligible)
-        disallowed_hashes = ray.get(reject_accum.drain.remote())
+        disallowed_hashes, disallowed_counts = ray.get(reject_accum.drain.remote())
         n_selected = len(selected_raw)
         budget_left = cfg.max_pages - total_fetched
         metrics["n_disallowed"] = int(len(disallowed_hashes))
         _mark("select")
 
         if n_selected == 0:
-            # terminal wave: write final frontier (status updates only)
-            processed_ref = ray.put(np.array([], dtype=np.uint64))
-            disallowed_ref = ray.put(disallowed_hashes)
-            frontier_next = frontier.map_batches(
-                make_update_status(processed_ref, disallowed_ref),
-                batch_format="pyarrow",
-            )
-            frontier_next.write_parquet(str(wdir / "frontier"))
+            # terminal wave: drain — fold this wave's disallowed flips into
+            # the chain and compact to a final materialized frontier (the
+            # one O(frontier) write of the run, at its end)
+            if len(disallowed_hashes):
+                flips_path = wdir / "flips.parquet"
+                _write_flips(flips_path, np.empty(0, np.uint64), disallowed_hashes)
+                chain.add_wave(None, flips_path, np.empty(0, np.uint64), disallowed_hashes)
+            _compact_frontier(chain, wdir / "frontier")
             (wdir / "processed").mkdir(parents=True, exist_ok=True)
             (wdir / "selected").mkdir(parents=True, exist_ok=True)
             seen.checkpoint(wdir / "seen")
+            n_frontier = _parquet_rows(wdir / "frontier")
             metrics.update(
                 n_selected=0,
                 n_new=0,
-                n_frontier=_parquet_rows(wdir / "frontier"),
+                n_frontier=n_frontier,
                 total_fetched=total_fetched,
                 duration_s=round(time.perf_counter() - t0, 3),
                 completed=True,
                 files={"frontier": _file_lineage(wdir / "frontier")},
+                frontier_chain=chain.manifest_entry(),
             )
             (wdir / "manifest.json").write_text(json.dumps(metrics))
             summary.per_wave.append(metrics)
             summary.waves = wave + 1
+            prev_frontier_rows = n_frontier
             log(f"[crawl] wave {wave}: frontier drained, stopping")
             break
 
@@ -497,7 +660,12 @@ def run_crawl(
         )
         _mark("fetch_process")
 
-        processed = rd.read_parquet(str(wdir / "processed"))
+        # candidate source: ONLY the link columns — re-reading the text
+        # column here would decompress the wave's dominant payload a second
+        # time for a stage that never looks at it
+        processed = rd.read_parquet(
+            str(wdir / "processed"), columns=["links", "child_depth"]
+        )
         import pyarrow.dataset as pads
 
         flags = pads.dataset(str(wdir / "processed")).to_table(
@@ -548,40 +716,76 @@ def run_crawl(
         # frontier-write execution below, which consumes them via union
         new_rows = rd.from_arrow_refs(claim_refs)
 
-        # ---- frontier update + checkpoint -------------------------------
-        processed_ref = ray.put(sel_sorted)
-        disallowed_ref = ray.put(disallowed_hashes)
-        frontier_next = frontier.map_batches(
-            make_update_status(processed_ref, disallowed_ref, host_accum),
-            batch_format="pyarrow",
-        ).union(new_rows)
+        # ---- frontier delta checkpoint (O(changed), never a rewrite) ----
+        # new Discovered rows append as this wave's delta; status flips
+        # (selected -> Processed, rejected -> Disallowed; both politeness-
+        # bounded) append as a tiny flips file. The frontier itself is
+        # untouched — the reference analog is the batched
+        # ``UPDATE pages SET status`` (SlickPageRepository.scala:37-51),
+        # not a table rewrite.
+        delta_dir = wdir / "delta"
         # no min_rows_per_file: Ray's write coalescing re-buffers blocks
-        # row-wise (measured +0.4 s here, 13x on the processed write);
-        # update_status blocks are already file-sized
-        frontier_next.write_parquet(str(wdir / "frontier"))
-        carried_hosts = ray.get(host_accum.drain.remote())
-        try:  # per-stage Ray Data stats for the wave's heaviest execution
-            metrics["ray_stats"] = frontier_next.stats()[:4000]
+        # row-wise (measured 13x slowdown on the processed write); claim
+        # blocks are already politeness-bounded
+        new_rows.write_parquet(str(delta_dir))
+        delta_dir.mkdir(parents=True, exist_ok=True)
+        if not any(delta_dir.glob("*.parquet")):
+            # zero-claim wave: keep the dir readable in the chain union
+            pq.write_table(FRONTIER_SCHEMA.empty_table(), delta_dir / "part-empty.parquet")
+        new_host_counts = ray.get(host_accum.drain.remote())
+        flips_path = wdir / "flips.parquet"
+        _write_flips(flips_path, sel_sorted, disallowed_hashes)
+        chain.add_wave(delta_dir, flips_path, sel_sorted, disallowed_hashes)
+        try:  # per-stage Ray Data stats for the claim+delta execution
+            metrics["ray_stats"] = new_rows.stats()[:4000]
         except Exception:
             pass
         _mark("frontier_write")
+
+        # ---- host ledger update (exact arithmetic, no frontier rescan) --
+        sel_counts = sel_df["host"].value_counts()
+        for h, c in sel_counts.items():
+            host_ledger[h] = host_ledger.get(h, 0) - int(c)
+        for h, c in disallowed_counts.items():
+            host_ledger[h] = host_ledger.get(h, 0) - int(c)
+        for h, c in new_host_counts.items():
+            host_ledger[h] = host_ledger.get(h, 0) + int(c)
+        if host_ledger and min(host_ledger.values()) < 0:
+            # defensive: arithmetic drift would starve a host of robots
+            # prep forever — drop the ledger and rescan next wave
+            log(f"[crawl] wave {wave}: host ledger went negative; rescanning")
+            host_ledger = None
+        elif host_ledger is not None:
+            host_ledger = {h: c for h, c in host_ledger.items() if c > 0}
+
+        # periodic compaction: bound the chain length and the broadcast
+        # flips array (the only O(frontier) write, amortized over
+        # frontier_compact_every waves)
+        if len(chain.deltas) >= cfg.frontier_compact_every:
+            _compact_frontier(chain, wdir / "frontier")
+            _mark("frontier_compact")
 
         seen.checkpoint(wdir / "seen")
         _mark("seen_ckpt")
         total_fetched += n_selected
         lineage = {
-            "frontier": _file_lineage(wdir / "frontier"),
+            "frontier_delta": _file_lineage(delta_dir),
             "processed": _file_lineage(wdir / "processed"),
             "selected": _file_lineage(wdir / "selected"),
         }
-        n_frontier = sum(f["rows"] for f in lineage["frontier"])
+        if (wdir / "frontier").exists():
+            lineage["frontier"] = _file_lineage(wdir / "frontier")
+        n_new = sum(f["rows"] for f in lineage["frontier_delta"])
         if prev_frontier_rows is None:
-            prev_frontier_rows = _parquet_rows(Path(prev_frontier))
+            prev_frontier_rows = _parquet_rows(Path(chain.base)) + sum(
+                _parquet_rows(d) for d in chain.deltas[:-1]
+            )
+        n_frontier = prev_frontier_rows + n_new
         metrics.update(
             n_selected=n_selected,
             fetch_status=status_hist,
             n_extracted=n_extracted,
-            n_new=n_frontier - prev_frontier_rows,
+            n_new=n_new,
             n_frontier=n_frontier,
             total_fetched=total_fetched,
             seen_size=seen.size(),
@@ -589,19 +793,15 @@ def run_crawl(
             step_times=step_t,
             completed=True,
             files=lineage,
+            frontier_chain=chain.manifest_entry(),
         )
         prev_frontier_rows = n_frontier
         (wdir / "manifest.json").write_text(json.dumps(metrics))
         summary.per_wave.append(metrics)
         summary.waves = wave + 1
-        prev_frontier = wdir / "frontier"
-        # exact arithmetic for the next wave's eligible-count metric
-        n_discovered_est = (
-            n_eligible - n_selected - int(len(disallowed_hashes)) + metrics["n_new"]
-        )
         log(
             f"[crawl] wave {wave}: eligible={metrics['n_eligible']} "
-            f"selected={n_selected} new={metrics['n_new']} "
+            f"selected={n_selected} new={n_new} "
             f"frontier={n_frontier} ({metrics['duration_s']}s)"
         )
         if total_fetched >= cfg.max_pages:
@@ -609,7 +809,7 @@ def run_crawl(
             break
 
     summary.total_fetched = total_fetched
-    summary.final_frontier_rows = _parquet_rows(Path(prev_frontier))
+    summary.final_frontier_rows = int(prev_frontier_rows or 0)
     summary.seen_size = seen.size()
     seen.shutdown()
     return summary

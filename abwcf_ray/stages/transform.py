@@ -295,13 +295,13 @@ def make_strict_robots_filter(hosts_ref, reject_accum=None):
     """C2 (StrictRobotsFilter.scala:72-133): evaluated just before fetch;
     passes allowed rows downstream. Urls rejected BY KNOWN RULES (->
     status=Disallowed in the frontier, :128-131) are side-channeled to
-    ``reject_accum`` (a HashAccumulator actor) in the SAME pass — one scan
-    of the eligible set instead of two. A still-unknown host fails closed
-    TEMPORARILY (:109-113 — the reference ignores the page only for
-    fail-close-duration): the row is excluded from this wave's fetch but
-    NOT rejected, so it stays Discovered and retries next wave. After
-    host-prep every eligible host is known, so this path is a safety net,
-    not steady-state behavior."""
+    ``reject_accum`` (a RejectAccumulator actor) as (hash, host) pairs in
+    the SAME pass — one scan of the eligible set instead of two. A
+    still-unknown host fails closed TEMPORARILY (:109-113 — the reference
+    ignores the page only for fail-close-duration): the row is excluded
+    from this wave's fetch but NOT rejected, so it stays Discovered and
+    retries next wave. After host-prep every eligible host is known, so
+    this path is a safety net, not steady-state behavior."""
 
     def strict_robots(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -309,13 +309,13 @@ def make_strict_robots_filter(hosts_ref, reject_accum=None):
         mask, unknown = _allowed_mask(hosts_ref, batch, False, return_unknown=True)
         rejected_mask = ~mask & ~unknown  # disallowed by known rules only
         if reject_accum is not None and rejected_mask.any():
-            rejected = hash64(
-                pa.compute.filter(batch.column("url"), pa.array(rejected_mask)).to_pylist()
-            )
+            rej_arr = pa.array(rejected_mask)
+            rejected = hash64(pc.filter(batch.column("url"), rej_arr))
+            rej_hosts = pc.filter(batch.column("host"), rej_arr).to_pylist()
             # synchronous add: guarantees the accumulator has applied this
-            # batch's rejects before the pass is considered complete (set
-            # union, so task retries are idempotent)
-            ray.get(reject_accum.add.remote(rejected))
+            # batch's rejects before the pass is considered complete
+            # (hash-keyed, so task retries are idempotent)
+            ray.get(reject_accum.add.remote(rejected, rej_hosts))
         return batch.filter(pa.array(mask))
 
     return strict_robots
@@ -475,36 +475,64 @@ def partial_host_counts(batch: pa.Table) -> pa.Table:
 def make_update_status(
     processed_ref: "ray.ObjectRef",
     disallowed_ref: "ray.ObjectRef",
-    host_accum=None,
 ):
-    """Rewrites frontier statuses from broadcast hash sets of this wave's
-    processed / disallowed urls (the politeness budget bounds both sets).
-    When ``host_accum`` is given, the distinct hosts of rows that REMAIN
-    Discovered are side-channeled to it in the same pass (the next wave's
-    host histogram, no extra frontier scan; set union -> retry-idempotent).
-    """
+    """Rewrites frontier statuses from broadcast SORTED hash arrays of
+    processed / disallowed urls. Used only for frontier COMPACTION (fold
+    the accumulated per-wave status flips into a materialized frontier) and
+    for the lazy `frontier_dataset` reader — the steady-state wave never
+    rewrites the frontier (it appends a delta + a flips file instead; see
+    pipelines/crawl.py). The reference analog is the batched
+    ``UPDATE pages SET status`` (SlickPageRepository.scala:37-51,
+    Batcher.scala:14-62)."""
+
+    def _member(sorted_hashes: np.ndarray, h: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(sorted_hashes, h)
+        posc = np.minimum(pos, len(sorted_hashes) - 1)
+        return (pos < len(sorted_hashes)) & (sorted_hashes[posc] == h)
 
     def update_status(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
         processed = ray.get(processed_ref)
         disallowed = ray.get(disallowed_ref)
-        h = hash64(batch.column("url").to_pylist())
+        h = hash64(batch.column("url"))
         status = np.asarray(batch.column("status").to_pylist(), dtype=object)
         if len(processed):
-            status[np.isin(h, processed)] = STATUS_PROCESSED
+            status[_member(processed, h)] = STATUS_PROCESSED
         if len(disallowed):
-            status[np.isin(h, disallowed)] = STATUS_DISALLOWED
-        if host_accum is not None:
-            discovered = status == STATUS_DISCOVERED
-            if discovered.any():
-                hosts = pd.Series(batch.column("host").to_pylist())[discovered]
-                ray.get(host_accum.add.remote(hosts.unique().tolist()))
+            status[_member(disallowed, h)] = STATUS_DISALLOWED
         return batch.set_column(
             batch.schema.get_field_index("status"), "status", pa.array(status, pa.string())
         )
 
     return update_status
+
+
+def make_eligible_filter(flips_ref: "ray.ObjectRef"):
+    """status == Discovered minus rows flipped since the last compaction.
+
+    The frontier checkpoint is a CHAIN (base + per-wave deltas) whose rows
+    are immutable; per-wave status flips (politeness-bounded) live in a
+    broadcast sorted hash array instead of a rewritten table. This filter
+    is the read-side overlay: a row is eligible iff it was written as
+    Discovered and no later wave flipped it. Flips never revert, so the
+    subtraction is exact."""
+
+    def eligible(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["status"], STATUS_DISCOVERED))
+        if t.num_rows == 0:
+            return t
+        flips = ray.get(flips_ref)
+        if len(flips):
+            h = hash64(t.column("url"))
+            pos = np.searchsorted(flips, h)
+            posc = np.minimum(pos, len(flips) - 1)
+            member = (pos < len(flips)) & (flips[posc] == h)
+            if member.any():
+                t = t.filter(pa.array(~member))
+        return t
+
+    return eligible
 
 
 # --------------------------------------------------------------------------
@@ -534,8 +562,8 @@ def claim_batch(
     enumerates the materialized candidate blocks and passes the block index
     — content-derived tokens would collide for two distinct blocks carrying
     identical candidate sets, double-inserting those urls). Winners are
-    registered as seen by the shard; their hosts feed the next wave's
-    host-set side-channel."""
+    registered as seen by the shard; their per-host counts feed the next
+    wave's host ledger via the token-keyed accumulator (retry-idempotent)."""
     if batch.num_rows == 0:
         return batch
     h = hash64(batch.column("url"))
@@ -543,6 +571,10 @@ def claim_batch(
     mask = seen_set.claim(h, d, wave, token)
     out = batch.filter(pa.array(mask))
     if host_accum is not None and out.num_rows:
-        hosts = pd.unique(np.asarray(out.column("host").to_pylist(), dtype=object))
-        ray.get(host_accum.add.remote(list(hosts)))
+        vc = out.column("host").to_pandas().value_counts()
+        ray.get(
+            host_accum.add.remote(
+                token, vc.index.tolist(), [int(x) for x in vc.to_numpy()]
+            )
+        )
     return out

@@ -216,41 +216,54 @@ class SeenShard:
 
 
 @ray.remote(num_cpus=0)
-class HashAccumulator:
+class RejectAccumulator:
     """Side-channel collector for per-wave reject sets (strict robots):
-    map tasks add hashes synchronously during their pass; the driver drains
-    once the pass completes. Set union -> idempotent under task retries."""
+    map tasks add (url_hash, host) pairs synchronously during their pass;
+    the driver drains once the pass completes. Keyed by url hash ->
+    idempotent under task retries (a retried batch re-adds the same keys).
+    The per-host reject counts drained alongside the hashes keep the
+    driver's Discovered-per-host ledger exact without a frontier rescan
+    (see pipelines/crawl.py host-count bookkeeping)."""
 
     def __init__(self) -> None:
-        self._set: set[int] = set()
+        self._by_hash: dict[int, str] = {}
 
-    def add(self, hashes: np.ndarray) -> None:
-        self._set.update(int(h) for h in hashes)
+    def add(self, hashes: np.ndarray, hosts: list[str]) -> None:
+        d = self._by_hash
+        for h, host in zip(hashes.tolist(), hosts):
+            d.setdefault(int(h), host)
 
-    def drain(self) -> np.ndarray:
-        arr = np.fromiter(self._set, dtype=np.uint64, count=len(self._set))
+    def drain(self) -> tuple[np.ndarray, dict[str, int]]:
+        arr = np.fromiter(self._by_hash.keys(), dtype=np.uint64, count=len(self._by_hash))
         arr.sort()
-        self._set = set()
-        return arr
+        counts: dict[str, int] = {}
+        for host in self._by_hash.values():
+            counts[host] = counts.get(host, 0) + 1
+        self._by_hash = {}
+        return arr, counts
 
 
 @ray.remote(num_cpus=0)
-class HostSetAccumulator:
-    """Collects the distinct hosts of rows that will be Discovered in the
-    NEXT wave's frontier, as a side-channel of the frontier-write pass —
-    saving the next wave a full frontier scan for its host histogram.
-    Set union -> idempotent under task retries."""
+class TokenHostCountAccumulator:
+    """Collects per-host counts of rows that enter the NEXT wave's frontier
+    as Discovered (the claim tasks' output), as a side-channel of the claim
+    pass — saving the next wave a full frontier scan for its host
+    histogram. Contributions are keyed by the claimant's block token, so a
+    retried claim task (same token) cannot double-count."""
 
     def __init__(self) -> None:
-        self._hosts: set[str] = set()
+        self._by_token: dict[int, dict[str, int]] = {}
 
-    def add(self, hosts: list[str]) -> None:
-        self._hosts.update(hosts)
+    def add(self, token: int, hosts: list[str], counts: list[int]) -> None:
+        self._by_token.setdefault(token, dict(zip(hosts, counts)))
 
-    def drain(self) -> list[str]:
-        out = sorted(self._hosts)
-        self._hosts = set()
-        return out
+    def drain(self) -> dict[str, int]:
+        merged: dict[str, int] = {}
+        for contrib in self._by_token.values():
+            for host, n in contrib.items():
+                merged[host] = merged.get(host, 0) + n
+        self._by_token = {}
+        return merged
 
 
 class SeenSet:

@@ -189,7 +189,7 @@ def run_bench() -> dict:
     queries["text_analysis"] = round(time.perf_counter() - t0, 3)
 
     embs = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
-    qdf = embs.to_pandas().sort_values("vec_id").head(8)
+    qdf = embs.sort("vec_id").limit(8).to_pandas()
     t0 = time.perf_counter()
     knn_bruteforce(
         embs,

@@ -18,7 +18,7 @@ from abwcf_ray.sources.corpus import generate_corpus
 
 N_PAGES = 600
 CFG = CrawlConfig(max_waves=5, wave_duration_s=10.0, seen_shards=4, corpus_buckets=8,
-                  salt_buckets=2, max_crawl_depth=6)
+                  max_crawl_depth=6)
 
 
 @pytest.fixture(scope="module")
@@ -42,10 +42,10 @@ def ray_run(ray_session, corpus, tmp_path_factory):
 
 
 def _final_frontier(out: Path, summary) -> pd.DataFrame:
-    d = Path(summary.last_wave_dir) / "frontier"
-    return (
-        pads.dataset(str(d)).to_table().to_pandas().sort_values("url").reset_index(drop=True)
-    )
+    from abwcf_ray.pipelines.crawl import frontier_dataset
+
+    df = frontier_dataset(summary.last_wave_dir).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
 
 
 def test_fetch_order_matches_oracle(ray_run, oracle):
@@ -161,8 +161,57 @@ def test_manifest_lineage(ray_run):
     out, summary = ray_run
     m = json.loads((out / "wave_0000" / "manifest.json").read_text())
     assert m["completed"] and m["wave"] == 0
-    assert m["files"]["frontier"], "per-partition lineage missing"
-    assert all("rows" in f for f in m["files"]["frontier"])
+    assert m["files"]["frontier_delta"], "per-partition delta lineage missing"
+    assert all("rows" in f for f in m["files"]["frontier_delta"])
+    chain = m["frontier_chain"]
+    assert chain["base"] and "wave_0000/delta" in chain["deltas"]
+    assert "wave_0000/flips.parquet" in chain["flips"]
+
+
+def test_frontier_compaction_matches_oracle(ray_session, corpus, tmp_path_factory, oracle):
+    """With aggressive compaction (every 2 waves) the folded frontier must
+    equal the delta-chain result and the oracle exactly."""
+    from abwcf_ray.pipelines.crawl import run_crawl
+
+    cfg = CrawlConfig(**{**CFG.__dict__, "frontier_compact_every": 2})
+    out = tmp_path_factory.mktemp("compact")
+    summary = run_crawl(cfg, corpus, out, log=lambda *_: None)
+    # at least one mid-run compaction actually happened (a non-terminal wave
+    # carries a materialized frontier)
+    mats = [
+        d for d in sorted(out.glob("wave_*/frontier"))
+        if d.parent.name != f"wave_{summary.waves - 1:04d}"
+    ]
+    assert mats, "expected a mid-run compaction at frontier_compact_every=2"
+    got = _final_frontier(out, summary)
+    exp = (
+        pd.DataFrame(
+            [(u, s, d, p) for u, (s, d, p) in oracle.frontier.items()],
+            columns=["url", "status", "depth", "priority"],
+        )
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["url", "status", "depth", "priority"]].astype({"depth": "int64"}),
+        exp.astype({"depth": "int64"}),
+    )
+
+
+def test_frontier_dataset_mid_run(ray_run, oracle):
+    """frontier_dataset on a NON-compacted wave reconstructs the logical
+    frontier (base + deltas + flips) without any materialized frontier/."""
+    from abwcf_ray.pipelines.crawl import frontier_dataset
+
+    out, summary = ray_run
+    m0 = json.loads((out / "wave_0000" / "manifest.json").read_text())
+    df = frontier_dataset(out / "wave_0000").to_pandas()
+    assert len(df) == m0["n_frontier"]
+    # every selected url of wave 0 shows as Processed in the logical view
+    sel = pads.dataset(str(out / "wave_0000" / "selected")).to_table().to_pandas()
+    by_url = df.set_index("url")["status"]
+    assert (by_url.loc[sel["url"]] == "Processed").all()
 
 
 def test_max_content_length_cap(ray_session, corpus, tmp_path_factory):

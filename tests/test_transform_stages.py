@@ -146,14 +146,14 @@ def test_strict_filter_defers_unknown_hosts(ray_session):
     import ray
 
     from abwcf_ray.functions.robots import parse_robots_txt
-    from abwcf_ray.state.seen import HashAccumulator
+    from abwcf_ray.state.seen import RejectAccumulator
     from abwcf_ray.stages.transform import make_strict_robots_filter
     from abwcf_ray.functions.hashing import hash64
 
     rules = parse_robots_txt(b"User-agent: *\nDisallow: /private/\n")
     known = "https://known.example"
     payload = {known: (rules.mode, rules.serialize_rules(), rules.crawl_delay_ms)}
-    accum = HashAccumulator.remote()
+    accum = RejectAccumulator.remote()
     stage = make_strict_robots_filter(ray.put(payload), accum)
     batch = pa.table(
         {
@@ -169,7 +169,8 @@ def test_strict_filter_defers_unknown_hosts(ray_session):
     )
     out = stage(batch)
     assert out.column("url").to_pylist() == ["https://known.example/ok"]
-    rejected = ray.get(accum.drain.remote())
+    rejected, rej_counts = ray.get(accum.drain.remote())
     # only the known-rules reject is in the accumulator; the unknown host
     # is deferred, not Disallowed
     assert set(rejected.tolist()) == {int(hash64(["https://known.example/private/x"])[0])}
+    assert rej_counts == {known: 1}

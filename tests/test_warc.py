@@ -242,9 +242,10 @@ def test_crawl_over_warc_ingested_corpus_matches_oracle(ray_session, tmp_path):
     out = tmp_path / "crawl"
     summary = run_crawl(cfg, meta, out, log=lambda *_: None)
     o = run_oracle(cfg, meta)
+    from abwcf_ray.pipelines.crawl import frontier_dataset
+
     got = (
-        pads.dataset(summary.last_wave_dir + "/frontier")
-        .to_table()
+        frontier_dataset(summary.last_wave_dir)
         .to_pandas()
         .sort_values("url")
         .reset_index(drop=True)
