@@ -349,15 +349,24 @@ def _host_prep(
 
 
 @ray.remote
-def _claim_block(
-    block: pa.Table, idx: int, seen_set, wave: int, host_accum, cfg: CrawlConfig
+def _claim_chunk(
+    token: int, seen_set, wave: int, host_accum, cfg: CrawlConfig, *blocks: pa.Table
 ) -> pa.Table:
-    """Claim + prioritize + frontier-columns for one candidate block."""
-    from abwcf_ray.stages.transform import FRONTIER_SCHEMA, claim_batch, make_prioritize_stage
+    """Claim + prioritize + frontier-columns for one CHUNK of candidate
+    blocks. Chunking matters: the claim protocol fans one RPC per seen
+    shard per call, so claiming per materialized block (hundreds per wave)
+    costs thousands of serialized actor round-trips — a measured ~2 s
+    constant per wave at any parallelism. One concat + one claim per chunk
+    keeps the shard work vectorized and the RPC count at
+    O(chunks × shards). ``token`` is the chunk index — unique per claimant
+    and stable across retries (the chunk partition is deterministic)."""
+    from abwcf_ray.stages.transform import claim_batch, make_prioritize_stage
 
-    if block.num_rows == 0 or "url" not in block.schema.names:
+    tables = [b for b in blocks if b.num_rows and "url" in b.schema.names]
+    if not tables:
         return FRONTIER_SCHEMA.empty_table()
-    out = claim_batch(block, seen_set, wave, idx, host_accum)
+    t = pa.concat_tables(tables, promote_options="default").combine_chunks()
+    out = claim_batch(t, seen_set, wave, token, host_accum)
     out = make_prioritize_stage(cfg)(out)
     status = pa.array([STATUS_DISCOVERED] * out.num_rows, pa.string())
     return out.append_column("status", status).select(
@@ -705,15 +714,18 @@ def run_crawl(
             .materialize()
         )
         _mark("candidates")
-        # claim phase: one task per materialized block, token = block index
-        # (unique per claimant, stable across task retries — see
-        # transform.claim_batch)
+        # claim phase: materialized blocks coalesce into ~2 tasks per CPU
+        # slot, token = chunk index (unique per claimant, stable across
+        # task retries — see transform.claim_batch and _claim_chunk)
+        block_refs = cand_m.to_arrow_refs()
+        n_cpu = int(ray.cluster_resources().get("CPU", 8))
+        n_chunks = max(1, min(len(block_refs), 2 * n_cpu))
         claim_refs = [
-            _claim_block.remote(block, idx, seen, wave, host_accum, cfg)
-            for idx, block in enumerate(cand_m.to_arrow_refs())
+            _claim_chunk.remote(
+                tok, seen, wave, host_accum, cfg, *block_refs[tok::n_chunks]
+            )
+            for tok in range(n_chunks)
         ]
-        # no barrier here: claim tasks overlap the update_status scan of the
-        # frontier-write execution below, which consumes them via union
         new_rows = rd.from_arrow_refs(claim_refs)
 
         # ---- frontier delta checkpoint (O(changed), never a rewrite) ----
