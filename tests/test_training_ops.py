@@ -391,3 +391,134 @@ def test_embedding_dedup_multi_table_recall(ray_session):
     c1, c4 = caught(1), caught(4)
     assert c4 >= c1
     assert c4 >= 20  # 4 tables: high recall on genuinely-near pairs
+
+
+def test_cc_distributed_matches_unionfind(ray_session):
+    """Min-label propagation (the big-edge-set CC path) must produce the
+    exact clusters of driver union-find, including multi-hop chains."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.dedup import (
+        cc_labels_distributed,
+        connected_components_labels,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 400
+    # random graph + a long path (forces multiple propagation rounds)
+    e1 = pd.DataFrame(
+        {"src": rng.integers(0, n, 120), "dst": rng.integers(0, n, 120)}
+    )
+    path = np.arange(300, 340)
+    e2 = pd.DataFrame({"src": path[:-1], "dst": path[1:]})
+    edges = pd.concat([e1, e2], ignore_index=True)
+    edges = edges[edges["src"] != edges["dst"]]
+    edges[["src", "dst"]] = np.sort(edges[["src", "dst"]].to_numpy(), axis=1)
+    edges = edges.drop_duplicates(["src", "dst"]).reset_index(drop=True)
+
+    edges_ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(edges["src"].to_numpy(), pa.int64()),
+                "dst": pa.array(edges["dst"].to_numpy(), pa.int64()),
+            }
+        )
+    ).repartition(4)
+    got = (
+        cc_labels_distributed(edges_ds, merge_partitions=8)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    exp_lookup = connected_components_labels(edges, np.arange(n))
+    exp = exp_lookup[exp_lookup["doc_id"].isin(got["node"])].reset_index(drop=True)
+    assert (got["node"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    assert (got["label"].to_numpy() == exp["cluster"].to_numpy()).all()
+
+
+def test_dedup_routed_through_distributed_cc(docs):
+    """cc_edge_threshold=0 forces every family through distributed CC +
+    distributed label join; labels must equal the driver-path result."""
+    from abwcf_ray.stages.dedup import minhash_lsh_dedup
+
+    small = docs.limit(150)
+    via_driver = minhash_lsh_dedup(small, threshold=0.9)
+    via_dist = minhash_lsh_dedup(small, threshold=0.9, cc_edge_threshold=0)
+    pd.testing.assert_frame_equal(via_driver, via_dist)
+
+
+def test_slim_explode_carries_no_payload(docs, embs):
+    """The LSH exchanges must ship (id, bucket_key, pkey) ONLY — the
+    signature / unit-vector payload crosses the wire once per doc in the
+    verify pass, never once per band/table (round-2 VERDICT #2)."""
+    from abwcf_ray.stages.dedup import (
+        make_band_explode,
+        make_embedding_bucketize,
+        make_minhash_stage,
+    )
+
+    b = docs.limit(20).to_arrow_refs()
+    import ray
+
+    t = pa.concat_tables([x for x in map(ray.get, b)])
+    sigs = make_minhash_stage(num_perm=16, shingle_k=3)(t)
+    exploded = make_band_explode(bands=4, num_perm=16)(sigs)
+    assert set(exploded.schema.names) == {"doc_id", "bucket_key", "pkey"}
+
+    eb = embs.limit(20).to_arrow_refs()
+    te = pa.concat_tables([x for x in map(ray.get, eb)])
+    rng = np.random.default_rng(0)
+    dim = len(te.column("embedding")[0].as_py())
+    bucketized = make_embedding_bucketize(rng.standard_normal((dim, 8)))(te)
+    assert set(bucketized.schema.names) == {"vec_id", "bucket_key", "pkey"}
+
+
+def test_simhash_vectorized_byte_identical(docs):
+    """The batch simhash stage must reproduce the per-document reference
+    computation bit for bit."""
+    from abwcf_ray.functions.hashing import hash64
+    from abwcf_ray.stages.dedup import make_simhash_stage
+
+    t = pa.concat_tables(
+        [__import__("ray").get(r) for r in docs.limit(50).to_arrow_refs()]
+    )
+    got = make_simhash_stage()(t).column("simhash").to_numpy(zero_copy_only=False)
+
+    def ref_simhash(text):
+        toks = (text or "").split()
+        if not toks:
+            return np.uint64(0)
+        h = hash64(toks)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        )
+        v = (2 * bits - 1).sum(axis=0)
+        return np.packbits((v > 0).astype(np.uint8), bitorder="little").view(
+            np.uint64
+        )[0]
+
+    exp = np.array([ref_simhash(x) for x in t.column("text").to_pylist()], np.uint64)
+    assert (got == exp).all()
+
+
+def test_minhash_vectorized_matches_perdoc(docs):
+    """The batch minhash signatures must equal a per-document computation
+    with the same shingle scheme (segmented reduction correctness)."""
+    from abwcf_ray.stages.dedup import (
+        _batch_shingle_hashes,
+        _perm_params,
+        make_minhash_stage,
+        minhash_signature,
+    )
+
+    t = pa.concat_tables(
+        [__import__("ray").get(r) for r in docs.limit(40).to_arrow_refs()]
+    )
+    texts = t.column("text").to_pylist()
+    k, num_perm, seed = 5, 32, 7
+    got = make_minhash_stage(num_perm, k, seed)(t)
+    a, b = _perm_params(num_perm, seed)
+    for i, text in enumerate(texts):
+        sh, sd, _ = _batch_shingle_hashes([text], k)
+        exp = minhash_signature(sh, a, b)
+        assert (np.asarray(got.column("sig")[i].as_py(), np.uint64) == exp).all()
