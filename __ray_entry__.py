@@ -430,6 +430,43 @@ def _q_langid_fingerprint(sf_dir: str):
     return out
 
 
+def _q_lang_id(sf_dir: str):
+    """Language ID alone (split from langid_fingerprint so the stopword-
+    profile heuristic gets a DuckDB value oracle — the fingerprint half
+    uses a custom 64-bit hash SQL cannot reproduce)."""
+    from abwcf_ray.stages.text import add_lang_id
+
+    _quiet()
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_lang_id, batch_format="pyarrow"
+    )
+    return ds.select_columns(["doc_id", "lang_id"]).to_pandas()
+
+
+def _q_knn_ivf_exact(sf_dir: str):
+    """Degenerate-parameter IVF: ``nprobe == nlist`` probes every inverted
+    list, so the approximate path must return EXACTLY the brute-force
+    cosine top-k — which SQL computes directly. This puts a DuckDB value
+    oracle on the whole IVF machinery (k-means fit, list assignment,
+    probing, tie-aware partial merge) end-to-end. (A degenerate minhash
+    oracle — bands=num_perm, threshold=1.0 ⇔ equal token sets — was
+    evaluated and is UNSOUND on this fixture: near-identical token sets at
+    Jaccard≈0.98 collide on all 64 components with probability J^64≈0.3,
+    and they do in practice; see COVERAGE.md.)"""
+    import ray.data as rd
+
+    from abwcf_ray.stages.similarity import knn_ivf
+
+    _quiet()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = ds.sort("vec_id").limit(3).to_pandas()
+    queries = np.array(list(qdf["embedding"]), dtype=np.float64)
+    out = knn_ivf(
+        ds, queries, k=5, nlist=8, nprobe=8, query_ids=qdf["vec_id"].to_numpy()
+    )
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
 def _crawl_corpus_for(sf_dir: str):
     from abwcf_ray.sources.corpus import generate_corpus
 
@@ -482,6 +519,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation": _q_curation,
         "embedding_dedup": _q_embedding_dedup,
         "langid_fingerprint": _q_langid_fingerprint,
+        "lang_id": _q_lang_id,
+        "knn_ivf_exact": _q_knn_ivf_exact,
         "crawl_wave": _q_crawl,
     }
 
@@ -625,6 +664,56 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) OVER (PARTITION BY k) AS cluster,
                    CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY k) AS BIGINT) AS is_dup
             FROM keyed
+        """,
+        "knn_ivf_exact": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding
+                FROM embeddings ORDER BY vec_id LIMIT 3
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding, e.embedding) AS cosine
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id != q.query_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) - 1 AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank < 5
+        """,
+        "lang_id": r"""
+            WITH words AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zà-ÿü]+')) AS w
+                FROM documents
+            ),
+            counts AS (
+                SELECT doc_id,
+                       COUNT(*) AS n,
+                       SUM(CASE WHEN w IN ('der','die','das','und','den','über','durch','mit','ein','ist') THEN 1 ELSE 0 END) AS de_h,
+                       SUM(CASE WHEN w IN ('the','and','of','a','to','over','with','through','in','is') THEN 1 ELSE 0 END) AS en_h,
+                       SUM(CASE WHEN w IN ('el','la','los','las','y','por','sobre','con','un','es') THEN 1 ELSE 0 END) AS es_h,
+                       SUM(CASE WHEN w IN ('le','la','les','et','dans','par','sur','des','un','est') THEN 1 ELSE 0 END) AS fr_h
+                FROM words GROUP BY doc_id
+            ),
+            scored AS (
+                SELECT d.doc_id,
+                       COALESCE(c.de_h, 0) / GREATEST(COALESCE(c.n, 0), 1)::DOUBLE AS de_s,
+                       COALESCE(c.en_h, 0) / GREATEST(COALESCE(c.n, 0), 1)::DOUBLE AS en_s,
+                       COALESCE(c.es_h, 0) / GREATEST(COALESCE(c.n, 0), 1)::DOUBLE AS es_s,
+                       COALESCE(c.fr_h, 0) / GREATEST(COALESCE(c.n, 0), 1)::DOUBLE AS fr_s
+                FROM documents d LEFT JOIN counts c USING (doc_id)
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN GREATEST(de_s, en_s, es_s, fr_s) < 0.08 THEN 'zz'
+                     WHEN de_s >= en_s AND de_s >= es_s AND de_s >= fr_s THEN 'de'
+                     WHEN en_s >= es_s AND en_s >= fr_s THEN 'en'
+                     WHEN es_s >= fr_s THEN 'es'
+                     ELSE 'fr'
+                   END AS lang_id
+            FROM scored
         """,
         "knn_top5": """
             WITH q AS (

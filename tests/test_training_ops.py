@@ -522,3 +522,29 @@ def test_minhash_vectorized_matches_perdoc(docs):
         sh, sd, _ = _batch_shingle_hashes([text], k)
         exp = minhash_signature(sh, a, b)
         assert (np.asarray(got.column("sig")[i].as_py(), np.uint64) == exp).all()
+
+
+def test_kmeans_init_unbiased_on_sorted_input(ray_session):
+    """Cluster-ordered input (all of cluster A before cluster B...) must
+    still yield centroids spanning every region — ds.limit() sampling saw
+    only the first blocks and collapsed onto one cluster."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.similarity import kmeans_fit
+
+    rng = np.random.default_rng(5)
+    centers = np.array([[10.0, 0], [0, 10.0], [-10.0, 0], [0, -10.0]])
+    vecs = np.vstack(
+        [c + rng.standard_normal((250, 2)) * 0.5 for c in centers]
+    )  # SORTED by cluster
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(1000), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(8)
+    cents = kmeans_fit(ds, 4, iters=8, seed=1)
+    # every true center must have a fitted centroid within 2.0
+    d = np.linalg.norm(centers[:, None, :] - cents[None, :, :], axis=2).min(axis=1)
+    assert (d < 2.0).all(), d
