@@ -142,6 +142,13 @@ def _fast_parse(html_text: str):
         if tag is None:
             continue  # comment / declaration
         closing, tag, attrs = m.group(1), tag.lower(), m.group(3)
+        if attrs and attrs[0] not in " \t\n\r\f/":
+            # the tag NAME continues past the lexer's [a-zA-Z0-9] charset —
+            # html.parser's names run to whitespace/'/'/'>', so '<p-card>'
+            # is tag 'p-card' there but would lex as 'p' with attrs '-card'
+            # here (custom elements, '<a=b>', ...): force the exact
+            # fallback instead of silently diverging (round-2 ADVICE)
+            return None
         if closing:
             if tag in _TEXT_TAGS and cur is not None:
                 parts.append("".join(cur))

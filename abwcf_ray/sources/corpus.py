@@ -309,14 +309,20 @@ def _add_url_hash(t: pa.Table) -> pa.Table:
 
 
 def _write_hashed_batch(batch: pa.Table, out_dir: str) -> pa.Table:
-    """One sorted, range-disjoint batch -> one part file named by its min
-    hash (content-derived, so parallel writers can never collide)."""
+    """One sorted batch -> one part file. The name leads with the batch's
+    min hash (keeps directory listing in hash order) plus a uuid suffix:
+    two batches CAN share a min hash (duplicate urls, or a hash value
+    spanning a batch boundary after the sort), and min-hash-only names
+    silently overwrote one of them — dropping rows from the fetch
+    substrate (round-2 ADVICE)."""
+    import uuid
+
     if batch.num_rows == 0:
         return pa.table({"rows": pa.array([], pa.int64())})
     mn = batch.column("url_hash")[0].as_py()
     pq.write_table(
         batch,
-        Path(out_dir) / f"part-{mn:016x}.parquet",
+        Path(out_dir) / f"part-{mn:016x}-{uuid.uuid4().hex[:8]}.parquet",
         row_group_size=HASHED_ROW_GROUP,
     )
     return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
@@ -331,6 +337,12 @@ def build_hashed_layout(meta: CorpusMeta) -> str:
     if out.exists():
         shutil.rmtree(out)
     out.mkdir(parents=True, exist_ok=True)
+    # a rebuild in the same driver process must not plan against the old
+    # layout's cached footers (the cache key is mtime-fingerprinted too —
+    # this is the belt to that suspender)
+    from abwcf_ray.stages.fetch import invalidate_rg_index
+
+    invalidate_rg_index(str(out))
 
     use_ray = False
     if meta.n_pages >= 50_000:

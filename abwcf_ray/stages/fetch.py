@@ -114,39 +114,91 @@ def make_fetch_scan(sel_ref, max_content_length: int | None = None):
 # --------------------------------------------------------------------------
 # Pruned fetch over the hash-sorted corpus layout (O(selected), not O(corpus))
 # --------------------------------------------------------------------------
-# Driver-side row-group index per hashed corpus dir: built once per process
+# Driver-side row-group index per hashed corpus dir: built once per LAYOUT
 # from parquet footers (min/max url_hash per row group — the corpus layout
-# is sorted by url_hash, sources/corpus.build_hashed_layout).
-_RG_INDEX_CACHE: dict[str, tuple] = {}
+# is sorted by url_hash, sources/corpus.build_hashed_layout). The cache key
+# includes a file-listing fingerprint (names + mtimes + sizes), so a
+# rebuilt layout in the same process can never be planned against stale
+# footers (phantom 404s / missing-file reads).
+_RG_INDEX_CACHE: dict[tuple, tuple] = {}
+
+# above this file count the footer reads fan out as Ray tasks (a 10^10-row
+# corpus has 10^4-10^5 part files; serial driver-side footer reads would
+# take minutes)
+_PARALLEL_FOOTER_THRESHOLD = 64
 
 
-def _hashed_index(hashed_dir: str):
+def _footer_entries(path_batch: list[str]) -> tuple:
+    """(rel ids within batch, rg ids, mins, maxs) from a batch of footers."""
     import pyarrow.parquet as pq
-    from pathlib import Path
 
-    idx = _RG_INDEX_CACHE.get(hashed_dir)
-    if idx is not None:
-        return idx
-    paths, file_ids, rg_ids, mins, maxs = [], [], [], [], []
-    for f_id, p in enumerate(sorted(Path(hashed_dir).glob("*.parquet"))):
+    rel_ids, rg_ids, mins, maxs = [], [], [], []
+    for rel, p in enumerate(path_batch):
         md = pq.read_metadata(p)
         names = [md.schema.column(j).name for j in range(md.num_columns)]
         j = names.index("url_hash")
-        paths.append(str(p))
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(j).statistics
-            file_ids.append(f_id)
+            rel_ids.append(rel)
             rg_ids.append(rg)
             mins.append(st.min)
             maxs.append(st.max)
-    idx = (
-        paths,
-        np.asarray(file_ids, dtype=np.int32),
+    return (
+        np.asarray(rel_ids, dtype=np.int32),
         np.asarray(rg_ids, dtype=np.int32),
         np.asarray(mins, dtype=np.uint64),
         np.asarray(maxs, dtype=np.uint64),
     )
-    _RG_INDEX_CACHE[hashed_dir] = idx
+
+
+_footer_entries_task = ray.remote(_footer_entries)
+
+
+def invalidate_rg_index(hashed_dir: str) -> None:
+    """Drop any cached planner index for ``hashed_dir`` (layout rebuilt)."""
+    for k in [k for k in _RG_INDEX_CACHE if k[0] == str(hashed_dir)]:
+        _RG_INDEX_CACHE.pop(k, None)
+
+
+def _hashed_index(hashed_dir: str):
+    from pathlib import Path
+
+    files = sorted(Path(hashed_dir).glob("*.parquet"))
+    sig = hash(
+        tuple((f.name, f.stat().st_mtime_ns, f.stat().st_size) for f in files)
+    )
+    key = (str(hashed_dir), sig)
+    idx = _RG_INDEX_CACHE.get(key)
+    if idx is not None:
+        return idx
+    invalidate_rg_index(hashed_dir)  # drop entries for older layouts
+    paths = [str(p) for p in files]
+    if len(paths) > _PARALLEL_FOOTER_THRESHOLD and ray.is_initialized():
+        # sharded footer read: one task per chunk, driver merge is O(#row
+        # groups) — the planner itself stays driver-side but its input
+        # listing scales with workers, not with one process's IO
+        n_chunks = max(1, min(len(paths) // 16, 64))
+        chunks = [paths[i::n_chunks] for i in range(n_chunks)]
+        parts = ray.get([_footer_entries_task.remote(c) for c in chunks])
+        file_ids_l, rg_ids_l, mins_l, maxs_l = [], [], [], []
+        # map each chunk's relative ids back to global positions
+        for chunk_i, (rel, rg, mn, mx) in enumerate(parts):
+            global_ids = np.arange(chunk_i, len(paths), n_chunks, dtype=np.int32)
+            file_ids_l.append(global_ids[rel])
+            rg_ids_l.append(rg)
+            mins_l.append(mn)
+            maxs_l.append(mx)
+        idx = (
+            paths,
+            np.concatenate(file_ids_l) if file_ids_l else np.empty(0, np.int32),
+            np.concatenate(rg_ids_l) if rg_ids_l else np.empty(0, np.int32),
+            np.concatenate(mins_l) if mins_l else np.empty(0, np.uint64),
+            np.concatenate(maxs_l) if maxs_l else np.empty(0, np.uint64),
+        )
+    else:
+        rel, rg, mn, mx = _footer_entries(paths)
+        idx = (paths, rel, rg, mn, mx)
+    _RG_INDEX_CACHE[key] = idx
     return idx
 
 

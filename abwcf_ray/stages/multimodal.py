@@ -1,13 +1,15 @@
 """Multimodal-column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode kernels themselves are STUBBED (PIL/ffmpeg are not in this
-container): :class:`ImageDecoder`/:class:`AudioFeaturizer` raise
-``NotImplementedError`` unless constructed with ``fake=True``, in which
-case a deterministic fake decoder produces metadata/features derived from
-the payload bytes. The Ray-side plumbing — schema, actor-pool stage shape,
-small batch sizes for wide binary rows, output layout — is real and tested:
-swapping in a real decoder is a one-function change.
+Decoding is three-tier: (1) REAL dependency-free header decoders by
+default — BMP and P6-PPM dimensions for images, RIFF/WAV duration for
+audio — covering the formats this container can parse without PIL/ffmpeg;
+(2) injectable ``decode_fn`` / ``duration_fn`` hooks where a deployment
+passes PIL / ffmpeg kernels for the full format range; (3) a
+deterministic ``fake=True`` mode for plumbing tests. Payloads outside the
+built-in formats raise with a pointer to the hook. The Ray-side shape —
+schema, actor-pool stage, small batch sizes for wide binary rows, output
+layout — is the same in all three tiers.
 
 Batch-size guidance (SURVEY-scale): with ~1 MB payloads, ``batch_size=32``
 and ``concurrency=N`` keeps ``batch × concurrency`` well under a worker

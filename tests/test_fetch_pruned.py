@@ -115,3 +115,49 @@ def test_pruned_and_scan_paths_agree(ray_session, corpus):
     pd.testing.assert_frame_equal(
         scan[["url", "depth", "status"]], pruned[["url", "depth", "status"]]
     )
+
+
+def test_sharded_footer_index_matches_serial(corpus, monkeypatch):
+    """Parallel (Ray-task) footer reads must produce the identical planner
+    index — and therefore identical plans — as the serial driver path."""
+    import abwcf_ray.stages.fetch as F
+
+    F._RG_INDEX_CACHE.clear()
+    serial = F._hashed_index(corpus.hashed_dir)
+
+    F._RG_INDEX_CACHE.clear()
+    monkeypatch.setattr(F, "_PARALLEL_FOOTER_THRESHOLD", 0)
+    parallel = F._hashed_index(corpus.hashed_dir)
+
+    assert serial[0] == parallel[0]  # same paths, same order
+    # same (file, rg, min, max) SET — chunked reads interleave row order
+    def entry_set(idx):
+        return set(zip(idx[1].tolist(), idx[2].tolist(), idx[3].tolist(), idx[4].tolist()))
+
+    assert entry_set(serial) == entry_set(parallel)
+    # identical plans for an arbitrary selection
+    sel = np.sort(hash64([f"u{i}" for i in range(50)]))
+    p1 = F.plan_pruned_fetch(corpus.hashed_dir, sel)
+    F._RG_INDEX_CACHE.clear()
+    monkeypatch.setattr(F, "_PARALLEL_FOOTER_THRESHOLD", 10**9)
+    p2 = F.plan_pruned_fetch(corpus.hashed_dir, sel)
+    key = lambda it: (it["path"], tuple(it["rgs"]))
+    assert sorted(map(key, p1)) == sorted(map(key, p2))
+
+
+def test_rg_index_invalidated_on_rebuild(ray_session, corpus):
+    """Rebuilding the hashed layout must invalidate the planner cache —
+    stale footers would plan reads of files that no longer exist."""
+    import abwcf_ray.stages.fetch as F
+    from abwcf_ray.sources.corpus import build_hashed_layout
+
+    idx_before = F._hashed_index(corpus.hashed_dir)
+    build_hashed_layout(corpus)
+    idx_after = F._hashed_index(corpus.hashed_dir)
+    # every planned path must exist on disk (the stale-cache failure mode
+    # was paths from the pre-rebuild listing)
+    from pathlib import Path
+
+    assert all(Path(p).exists() for p in idx_after[0])
+    # and the cache holds only the new layout's entry
+    assert len([k for k in F._RG_INDEX_CACHE if k[0] == str(corpus.hashed_dir)]) == 1

@@ -180,3 +180,35 @@ def test_fast_lexer_matches_on_html_soup(pieces):
     if fast is None:
         return  # legitimate fallback
     assert fast == _slow(doc), doc
+
+
+def test_hyphenated_tag_names_fall_back_and_match():
+    """Custom elements / malformed tag names ('<p-card>', '<h1-x>',
+    '<a-b href>') lex differently than html.parser's tag-name charset, so
+    the guard must route them to the exact fallback (round-2 ADVICE)."""
+    from abwcf_ray.functions.htmlx import _fast_parse, parse_document
+
+    docs = [
+        "<p-card>x</p-card><p>real</p>",
+        "<h1-x>B</h1-x><h1>H</h1>",
+        '<a-b href="http://no/">n</a-b><a href="http://yes/">y</a>',
+        '<p=weird>q</p=weird><p>ok</p>',
+        "<P-CARD>upper</P-CARD>",
+    ]
+    for doc in docs:
+        assert _fast_parse(doc) is None, doc  # guard forces fallback
+        links, text, nf = parse_document(doc, "https://b/")
+        hrefs, meta_nf, parts = _slow(doc)
+        assert text == "\n\n".join(parts), doc
+        assert nf == meta_nf
+        # links equal the slow path's hrefs after the same absolutize rule
+        from urllib.parse import urljoin
+
+        exp = []
+        seen = set()
+        for h in hrefs:
+            a = urljoin("https://b/", h.strip())
+            if len(a) >= 4 and a[:4].lower() == "http" and a not in seen:
+                seen.add(a)
+                exp.append(a)
+        assert links == exp, doc

@@ -1,0 +1,78 @@
+"""Synthetic 10^6-host host-prep microbench (round-2 VERDICT 'Next round'
+#8): measures the driver-side hosts-table operations a wave performs —
+merge_fetched of a fetched batch, broadcast_payload / delay_payload over
+the full live table, checkpoint + restore — at 1M hosts, and prints one
+JSON line. Run: python tools/bench_hosts.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import pyarrow as pa
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from abwcf_ray.config import CrawlConfig
+from abwcf_ray.state.hosts import HostsState
+
+N_HOSTS = 1_000_000
+
+
+def main() -> None:
+    cfg = CrawlConfig()
+    hosts = [f"https://h{i}.example" for i in range(N_HOSTS)]
+    rules = [
+        "disallow: /private/\nallow: /private/ok" if i % 3 else ""
+        for i in range(N_HOSTS)
+    ]
+    table = pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "rule_mode": pa.array(
+                ["ALLOW_SOME" if i % 3 else "ALLOW_ALL" for i in range(N_HOSTS)]
+            ),
+            "robot_rules": pa.array(rules, pa.string()),
+            "crawl_delay_ms": pa.array([1000] * N_HOSTS, pa.int64()),
+            "valid_until_s": pa.array([86400.0] * N_HOSTS, pa.float64()),
+            "outcome": pa.array(["ok"] * N_HOSTS, pa.string()),
+        }
+    )
+    out = {}
+    state = HostsState(cfg)
+
+    t0 = time.perf_counter()
+    state.merge_fetched(table)
+    out["merge_fetched_1m_s"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    payload = state.broadcast_payload(now_s=0.0)
+    out["broadcast_payload_1m_s"] = round(time.perf_counter() - t0, 3)
+    out["payload_hosts"] = len(payload)
+
+    t0 = time.perf_counter()
+    state.delay_payload(now_s=0.0)
+    out["delay_payload_1m_s"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    state.missing_or_expired(hosts[:100_000], now_s=0.0)
+    out["missing_or_expired_100k_s"] = round(time.perf_counter() - t0, 3)
+
+    ckpt = Path("/tmp/abwcf_hosts_bench.parquet")
+    t0 = time.perf_counter()
+    state.checkpoint(ckpt)
+    out["checkpoint_1m_s"] = round(time.perf_counter() - t0, 3)
+
+    state2 = HostsState(cfg)
+    t0 = time.perf_counter()
+    state2.restore(ckpt)
+    out["restore_1m_s"] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
