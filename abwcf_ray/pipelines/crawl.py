@@ -60,7 +60,6 @@ from abwcf_ray.sources.corpus import CorpusMeta
 from abwcf_ray.stages.fetch import (
     FETCH_COLUMNS,
     make_fetch_scan,
-    make_pruned_fetch_reader,
     plan_pruned_fetch,
 )
 from abwcf_ray.stages.schedule import rank_selected, select_wave
@@ -624,62 +623,113 @@ def run_crawl(
         )
         n_selected = len(sel_df)
 
-        # ---- fetch-sim (A2) + process (A7, B1-B3) -----------------------
-        # ONE Ray execution, shuffle-free: the wave's (url_hash, depth)
-        # pairs are broadcast and the corpus is scanned in parallel with a
-        # vectorized semi-join -> html parse (text+links) -> processed
-        # parquet. The checkpoint doubles as (a) the extracted-text artifact
-        # (rows with is_html), (b) the candidate source, and (c) the metrics
-        # source — read back cheaply, never recomputed.
+        # ---- FUSED wave pipeline: fetch-sim (A2) + process (A7, B1-B3) +
+        # candidate chain (B4 -> B5 -> C1 -> F1 phase 1), ONE streaming
+        # execution. The pruned reader, the parser, and the checkpoint tee
+        # run inside one stage (stages/fetch.make_fetch_process_tee): each
+        # work item reads only its hit row groups, parses, writes its own
+        # processed-checkpoint part (deterministic name -> retry-safe), and
+        # emits only (links, child_depth) downstream — so the candidate
+        # chain overlaps the fetch instead of waiting for a full processed
+        # write and re-reading it (measured: the old barrier serialized two
+        # ~0.8-efficiency phases and decompressed the wave's dominant
+        # payload twice). html never leaves the fused stage.
         sel_hashes = hash64(sel_df["url"].tolist())
         sel_order = np.argsort(sel_hashes)
         sel_sorted = sel_hashes[sel_order]
         sel_ref = ray.put(
             (sel_sorted, sel_df["depth"].to_numpy()[sel_order].astype(np.int32))
         )
+        (wdir / "processed").mkdir(parents=True, exist_ok=True)
         if use_pruned:
+            from abwcf_ray.stages.fetch import make_fetch_process_tee
+
             items = plan_pruned_fetch(hashed_dir, sel_sorted)
             metrics["fetch_row_groups"] = int(sum(len(i["rgs"]) for i in items))
             metrics["fetch_tasks"] = len(items)
             if items:
-                fetched = rd.from_items(
+                links_ds = rd.from_items(
                     items, override_num_blocks=len(items)
                 ).map_batches(
-                    make_pruned_fetch_reader(sel_ref, cfg.max_content_length),
+                    make_fetch_process_tee(
+                        sel_ref,
+                        process_fetched,
+                        str(wdir / "processed"),
+                        cfg.max_content_length,
+                    ),
                     batch_format="pyarrow",
                 )
             else:
+                # zero-item wave: keep the checkpoint readable (resume and
+                # the oracle read the processed dir) — one empty part in the
+                # processed schema, as the two-phase path produced
                 from abwcf_ray.stages.fetch import empty_fetched_table
 
-                fetched = rd.from_arrow(empty_fetched_table())
+                pq.write_table(
+                    process_fetched(empty_fetched_table()),
+                    wdir / "processed" / "part-empty.parquet",
+                )
+                links_ds = rd.from_arrow(
+                    pa.table(
+                        {
+                            "links": pa.array([], pa.list_(pa.string())),
+                            "child_depth": pa.array([], pa.int32()),
+                        }
+                    )
+                )
         else:
+            # scan fallback (corpus without the hashed layout): keep the
+            # two-phase shape — scan blocks have no stable item identity,
+            # so a side-effect tee could duplicate parts on task retry.
+            # NOTE: no min_rows_per_file — Ray's write-coalescing buffers
+            # whole text+links blocks row-wise (measured 13x slowdown).
             fetched = corpus_ds.map_batches(
                 make_fetch_scan(sel_ref, cfg.max_content_length),
                 batch_format="pyarrow",
             )
-        # NOTE: no min_rows_per_file here — Ray's write-coalescing buffers
-        # whole text+links blocks row-wise and serialized this write 13x
-        # (measured 67 s vs 4.9 s on a 100k-page wave); the reader blocks
-        # are already file-sized. zstd over snappy: the processed checkpoint
-        # is the wave's dominant write (~1 GB of text+links per 237k pages);
-        # trading shared-disk bytes for per-task compression CPU keeps the
-        # step scaling with workers on one box, and shrinks checkpoints.
-        fetched.map_batches(process_fetched, batch_format="pyarrow").write_parquet(
-            str(wdir / "processed"), compression="zstd"
-        )
-        _mark("fetch_process")
+            fetched.map_batches(
+                process_fetched, batch_format="pyarrow"
+            ).write_parquet(str(wdir / "processed"), compression="zstd")
+            links_ds = rd.read_parquet(
+                str(wdir / "processed"), columns=["links", "child_depth"]
+            )
 
-        # candidate source: ONLY the link columns — re-reading the text
-        # column here would decompress the wave's dominant payload a second
-        # time for a stage that never looks at it
-        processed = rd.read_parquet(
-            str(wdir / "processed"), columns=["links", "child_depth"]
+        # ---- candidate pipeline (B1 -> B4 -> B5 -> C1 -> F1 -> B7) ------
+        # Wave-dedup + seen-filter run as a TWO-PHASE shard-actor protocol
+        # instead of a groupby(url) all-to-all: the materialize() barrier
+        # completes every `propose` (min-depth per url) before any `claim`
+        # (first-wins arbitration + seen registration) runs — the same
+        # single-writer-per-url mechanism as the reference's sharded
+        # PageManager entities. The materialized set is politeness-bounded
+        # (links of this wave's fetches, html long since dropped). The
+        # barrier also guarantees every processed-checkpoint part from the
+        # fused tee is on disk before the wave's metrics read them.
+        cand_m = (
+            links_ds.map_batches(explode_links, batch_format="pyarrow")
+            .map_batches(normalize, batch_format="pyarrow")
+            .map_batches(scope, batch_format="pyarrow")
+            .map_batches(make_lenient_robots_filter(hosts_ref), batch_format="pyarrow")
+            .map_batches(make_propose(seen, wave), batch_format="pyarrow")
+            .materialize()
         )
+        _mark("fetch_candidates")
+
+        # ---- wave metrics from the processed checkpoint (tiny columns) --
         import pyarrow.dataset as pads
 
-        flags = pads.dataset(str(wdir / "processed")).to_table(
-            columns=["fetch_status", "is_html", "length_exceeded"]
-        )
+        proc_files = sorted(str(p) for p in (wdir / "processed").glob("*.parquet"))
+        if proc_files:
+            flags = pads.dataset(proc_files).to_table(
+                columns=["fetch_status", "is_html", "length_exceeded"]
+            )
+        else:
+            flags = pa.table(
+                {
+                    "fetch_status": pa.array([], pa.int32()),
+                    "is_html": pa.array([], pa.bool_()),
+                    "length_exceeded": pa.array([], pa.bool_()),
+                }
+            )
         vc = pc.value_counts(flags.column("fetch_status").combine_chunks())
         status_hist = {
             int(vc.field("values")[i].as_py()): int(vc.field("counts")[i].as_py())
@@ -696,24 +746,6 @@ def run_crawl(
             status_hist[404] = status_hist.get(404, 0) + (n_selected - n_matched)
         n_extracted = int(pc.sum(flags.column("is_html")).as_py() or 0)
         _mark("extract_write")
-
-        # ---- candidate pipeline (B1 -> B4 -> B5 -> C1 -> F1 -> B7) ------
-        # Wave-dedup + seen-filter run as a TWO-PHASE shard-actor protocol
-        # instead of a groupby(url) all-to-all: the materialize() barrier
-        # completes every `propose` (min-depth per url) before any `claim`
-        # (first-wins arbitration + seen registration) runs — the same
-        # single-writer-per-url mechanism as the reference's sharded
-        # PageManager entities. The materialized set is politeness-bounded
-        # (links of this wave's fetches, html long since dropped).
-        cand_m = (
-            processed.map_batches(explode_links, batch_format="pyarrow")
-            .map_batches(normalize, batch_format="pyarrow")
-            .map_batches(scope, batch_format="pyarrow")
-            .map_batches(make_lenient_robots_filter(hosts_ref), batch_format="pyarrow")
-            .map_batches(make_propose(seen, wave), batch_format="pyarrow")
-            .materialize()
-        )
-        _mark("candidates")
         # claim phase: materialized blocks coalesce into ~2 tasks per CPU
         # slot, token = chunk index (unique per claimant, stable across
         # task retries — see transform.claim_batch and _claim_chunk)

@@ -371,10 +371,51 @@ def build_hashed_layout(meta: CorpusMeta) -> str:
 
         t = _add_url_hash(
             pads.dataset(meta.pages_dir).to_table(columns=FETCH_LAYOUT_COLUMNS)
-        ).sort_by("url_hash")
+        )
+        # 64-bit offsets before the sort: sort_by takes (concatenates) the
+        # whole table, and >2 GB of html in 32-bit-offset binary overflows
+        # ("offset overflow while concatenating arrays"); parquet stores
+        # BYTE_ARRAY either way, so readers see the usual types
+        schema = pa.schema(
+            [
+                pa.field(
+                    f.name,
+                    {pa.string(): pa.large_string(), pa.binary(): pa.large_binary()}.get(
+                        f.type, f.type
+                    ),
+                )
+                for f in t.schema
+            ]
+        )
+        t = t.cast(schema).sort_by("url_hash")
         for start in range(0, max(t.num_rows, 1), _HASHED_FILE_ROWS):
             _write_hashed_batch(t.slice(start, _HASHED_FILE_ROWS), str(out))
+
+    # completion marker: a partial build (crash mid-write) or a corrupted
+    # one (two drivers racing on the same dir append distinct uuid-suffixed
+    # part files → silently duplicated fetch rows) must not be reusable.
+    # Footer reads here are the same ones the pruned-fetch planner caches.
+    parts = sorted(p.name for p in out.glob("part-*.parquet"))
+    n_rows = sum(pq.read_metadata(out / p).num_rows for p in parts)
+    (out / "_LAYOUT_OK.json").write_text(
+        json.dumps({"n_rows": n_rows, "n_files": len(parts)})
+    )
     return str(out)
+
+
+def layout_is_valid(meta: CorpusMeta) -> bool:
+    """True iff ``meta.hashed_dir`` carries a completion marker that matches
+    the files on disk and the corpus row count."""
+    out = Path(meta.hashed_dir)
+    marker = out / "_LAYOUT_OK.json"
+    if not marker.exists():
+        return False
+    try:
+        rec = json.loads(marker.read_text())
+    except (OSError, json.JSONDecodeError):
+        return False
+    parts = list(out.glob("part-*.parquet"))
+    return len(parts) == rec.get("n_files") and rec.get("n_rows") == meta.n_pages
 
 
 def generate_corpus(
@@ -395,6 +436,11 @@ def generate_corpus(
     if meta_path.exists():
         existing = json.loads(meta_path.read_text())
         if existing == asdict(meta):
+            if layout_is_valid(meta):
+                return meta
+            # corpus is intact but the fetch layout is partial/corrupt
+            # (e.g. a crashed or concurrent previous build) — rebuild it
+            build_hashed_layout(meta)
             return meta
     if out.exists():
         # parameter mismatch or partial previous generation: stale part

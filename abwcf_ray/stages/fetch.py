@@ -247,6 +247,71 @@ def empty_fetched_table() -> pa.Table:
     )
 
 
+def make_fetch_process_tee(
+    sel_ref,
+    process_fn,
+    processed_dir: str,
+    max_content_length: int | None = None,
+):
+    """FUSED wave stage: work item -> read only the listed row groups ->
+    fetch-sim membership filter -> ``process_fn`` (parse + extract, A7/B1-B3)
+    -> WRITE this item's processed-checkpoint part -> emit only the
+    candidate columns (``links``, ``child_depth``) downstream.
+
+    This is the tee that lets one streaming execution run fetch AND the
+    candidate chain with no mid-wave barrier: previously the wave wrote the
+    full processed parquet, waited, and re-read the link columns for the
+    candidate pipeline — two serialized phases plus a decompress round-trip
+    on the wave's dominant payload. Here the checkpoint is a side effect.
+
+    Retry/lineage safety: the part name is a pure function of the work item
+    (source file stem + first row-group id), so a re-executed task
+    overwrites its own part with identical content instead of duplicating
+    rows — the property that makes side-effect writes inside ``map_batches``
+    sound. Rows with no links are dropped from the emitted table (their
+    checkpoint rows are already on disk)."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    def fetch_process_write(batch: pa.Table) -> pa.Table:
+        hashes, depths = _selection(sel_ref)
+        outs = []
+        for path, rgs in zip(
+            batch.column("path").to_pylist(), batch.column("rgs").to_pylist()
+        ):
+            pf = pq.ParquetFile(path)
+            t = pf.read_row_groups(list(rgs), columns=FETCH_COLUMNS + ["url_hash"])
+            h = t.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+            pos = np.searchsorted(hashes, h)
+            pos_c = np.minimum(pos, len(hashes) - 1)
+            hit = (pos < len(hashes)) & (hashes[pos_c] == h)
+            sub = t.filter(pa.array(hit))
+            fetched = _emit_fetched(
+                sub.select(FETCH_COLUMNS), depths[pos_c[hit]], max_content_length
+            )
+            processed = process_fn(fetched)
+            if processed.num_rows:
+                name = f"{Path(path).stem}-rg{int(rgs[0]):04d}.parquet"
+                pq.write_table(
+                    processed, Path(processed_dir) / name, compression="zstd"
+                )
+            links = processed.select(["links", "child_depth"])
+            has_links = pa.compute.greater(
+                pa.compute.list_value_length(links.column("links")), 0
+            )
+            outs.append(links.filter(has_links))
+        if not outs:
+            return pa.table(
+                {
+                    "links": pa.array([], pa.list_(pa.string())),
+                    "child_depth": pa.array([], pa.int32()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+    return fetch_process_write
+
+
 def make_pruned_fetch_reader(sel_ref, max_content_length: int | None = None):
     """Work-item batch -> fetched rows: read ONLY the listed row groups,
     membership-filter on the stored url_hash column (no re-hashing)."""

@@ -83,3 +83,39 @@ def test_corpus_shape(corpus):
         seeds[0], STRICT_NORMALIZATION
     )
     assert normalize_url(seeds[9], STRICT_NORMALIZATION) is None
+
+
+def test_corrupt_layout_detected_and_rebuilt(tmp_path):
+    """A fetch layout with extra part files (crashed/concurrent previous
+    build — observed to silently triple fetch rows) must fail the
+    completion-marker check and be rebuilt on the generate_corpus reuse
+    path; an intact layout must be reused untouched."""
+    import shutil
+    from pathlib import Path
+
+    from abwcf_ray.sources.corpus import build_hashed_layout, layout_is_valid
+
+    meta = generate_corpus(tmp_path / "c", n_pages=500, seed=7, num_buckets=4)
+    hashed = Path(meta.hashed_dir)
+    assert layout_is_valid(meta)
+    parts_before = sorted(p.name for p in hashed.glob("part-*.parquet"))
+
+    # intact reuse: same params -> no rebuild (file set unchanged)
+    meta2 = generate_corpus(tmp_path / "c", n_pages=500, seed=7, num_buckets=4)
+    assert sorted(p.name for p in hashed.glob("part-*.parquet")) == parts_before
+
+    # corrupt: duplicate a part file under a new uuid-suffixed name
+    src = next(hashed.glob("part-*.parquet"))
+    shutil.copy(src, hashed / (src.stem + "-deadbeef.parquet"))
+    assert not layout_is_valid(meta)
+    meta3 = generate_corpus(tmp_path / "c", n_pages=500, seed=7, num_buckets=4)
+    assert layout_is_valid(meta3)
+    import pyarrow.dataset as pads
+
+    assert pads.dataset([str(p) for p in hashed.glob("part-*.parquet")]).count_rows() == 500
+
+    # partial: a missing marker is also invalid
+    (hashed / "_LAYOUT_OK.json").unlink()
+    assert not layout_is_valid(meta)
+    build_hashed_layout(meta)
+    assert layout_is_valid(meta)
