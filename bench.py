@@ -18,8 +18,9 @@ num_cpus=16 (the sandbox substitute for N vs 4N Ray nodes; legs via
 GRAFT_SCALING_LEGS, samples per leg via GRAFT_SCALING_SAMPLES) and reports
 throughput at both legs, raw scaling efficiency = (pages/s at 4N) /
 (4 x pages/s at N), the box's measured pure-compute per-core ceiling for
-the same 4x step (plain-multiprocessing parse kernel, no Ray — see
-``hw_compute_ceiling``), and the ceiling-normalized efficiency.
+the same 4x step (plain-multiprocessing parse kernel, no Ray, probed
+ADJACENT to each leg so ceiling and leg share a time window — see
+``hw_percore_once``), and the ceiling-normalized efficiency.
 """
 
 from __future__ import annotations
@@ -238,16 +239,17 @@ def _parse_kernel_worker(args):
     return c, time.perf_counter() - t0
 
 
-def hw_compute_ceiling(lo_n: int, hi_n: int) -> dict | None:
-    """Measure THIS BOX's pure-compute per-core scaling from lo_n to hi_n
-    active workers, with zero Ray/engine machinery: plain multiprocessing
-    running the parse kernel on identical page sets. On a shared-memory
-    box, per-core throughput FALLS as more cores activate (shared memory
-    bandwidth / LLC / turbo) — measured ~0.80 per-core ratio 4->16 here —
-    an artifact a real N->4N NODE scale-out does not have (each node
-    brings its own memory). The ratio is the ceiling any 4x-parallelism
-    efficiency measurement on this box can reach; ``run_scaling`` reports
-    raw efficiency AND efficiency normalized by this ceiling."""
+def hw_percore_once(workers: int) -> float | None:
+    """One per-core throughput sample of the pure-compute parse kernel at
+    ``workers`` active plain-multiprocessing processes — zero Ray/engine
+    machinery. On a shared-memory box, per-core throughput FALLS as more
+    cores activate (shared memory bandwidth / LLC / turbo) and falls
+    further under co-tenant load — artifacts a real N->4N NODE scale-out
+    does not have (each node brings its own memory). The lo->hi ratio of
+    these samples is the ceiling any 4x-parallelism efficiency measurement
+    on this box can reach at that moment; ``run_scaling`` probes it
+    ADJACENT to each leg (same time window) and reports raw efficiency AND
+    efficiency normalized by the ceiling."""
     import multiprocessing as mp
     import random
 
@@ -273,23 +275,29 @@ def hw_compute_ceiling(lo_n: int, hi_n: int) -> dict | None:
     random.shuffle(rows)
     per = 500
     chunks = [rows[i * per : (i + 1) * per] for i in range(16)]
+    with mp.Pool(workers) as pool:
+        t0 = time.perf_counter()
+        res = pool.map(
+            _parse_kernel_worker, [(chunks[i % 16], 6) for i in range(workers)]
+        )
+        wall = time.perf_counter() - t0
+    return sum(c for c, _ in res) / wall / workers
 
-    def percore(workers: int) -> float:
-        with mp.Pool(workers) as pool:
-            t0 = time.perf_counter()
-            res = pool.map(
-                _parse_kernel_worker, [(chunks[i % 16], 6) for i in range(workers)]
-            )
-            wall = time.perf_counter() - t0
-        return sum(c for c, _ in res) / wall / workers
 
-    # interleave lo/hi twice, best per count — damps co-tenant noise
-    lo1, hi1, lo2, hi2 = percore(lo_n), percore(hi_n), percore(lo_n), percore(hi_n)
+def hw_compute_ceiling(lo_n: int, hi_n: int) -> dict | None:
+    """End-of-run fallback ceiling probe (used only when the leg-adjacent
+    probes in ``run_scaling`` failed): interleave lo/hi kernel samples
+    twice, best per count, ratio = ceiling."""
+    lo1, hi1 = hw_percore_once(lo_n), hw_percore_once(hi_n)
+    lo2, hi2 = hw_percore_once(lo_n), hw_percore_once(hi_n)
+    if None in (lo1, hi1, lo2, hi2):
+        return None
     lo_pc, hi_pc = max(lo1, lo2), max(hi1, hi2)
     return {
         "percore_lo": round(lo_pc, 1),
         "percore_hi": round(hi_pc, 1),
         "hw_ceiling": round(min(1.0, hi_pc / lo_pc), 3),
+        "probe": "end-of-run",
     }
 
 
@@ -321,7 +329,22 @@ def run_scaling(legs: tuple[int, int] | None = None) -> dict:
             [sys.executable, __file__], env=env, capture_output=True, text=True,
             check=True, cwd=str(Path(__file__).parent),
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        rec = json.loads(out.strip().splitlines()[-1])
+        # leg-adjacent hardware probe: the box's pure-compute per-core
+        # throughput at this worker count, sampled in the SAME time window
+        # as the leg it calibrates (a fresh subprocess — forking a
+        # Ray-connected process is unsafe). Co-tenant load moves this and
+        # the leg's throughput together; the ratio across legs is the
+        # ceiling the raw efficiency can reach at that moment.
+        probe = subprocess.run(
+            [sys.executable, __file__, "--hw-probe", str(ncpu)],
+            capture_output=True, text=True, cwd=str(Path(__file__).parent),
+        ).stdout.strip().splitlines()
+        try:
+            rec["hw_percore"] = float(probe[-1])
+        except (IndexError, ValueError):
+            rec["hw_percore"] = None
+        return rec
 
     def run_leg(ncpu: int) -> tuple[dict, list[dict]]:
         # best-of-K per leg (fresh process each sample): this shared VM
@@ -337,6 +360,10 @@ def run_scaling(legs: tuple[int, int] | None = None) -> dict:
             "pages_per_sec": max(s["pages_per_sec"] for s in samples),
             "extract_pages_per_sec": max(s["extract_pages_per_sec"] for s in samples),
             "queries": min(samples, key=lambda s: s["value"])["queries"],
+            "hw_percore": max(
+                (s["hw_percore"] for s in samples if s.get("hw_percore")),
+                default=None,
+            ),
         }
         return best, samples
 
@@ -345,7 +372,18 @@ def run_scaling(legs: tuple[int, int] | None = None) -> dict:
     factor = hi_n / lo_n
     eff = (hi["pages_per_sec"] / lo["pages_per_sec"]) / factor
     ex_eff = (hi["extract_pages_per_sec"] / lo["extract_pages_per_sec"]) / factor
-    hw = hw_compute_ceiling(lo_n, hi_n)
+    # ceiling from the leg-adjacent probes (best per leg, matching the
+    # best-of-K leg treatment); end-of-run interleaved probe only as a
+    # fallback if the adjacent probes failed
+    if lo.get("hw_percore") and hi.get("hw_percore"):
+        hw = {
+            "percore_lo": round(lo["hw_percore"], 1),
+            "percore_hi": round(hi["hw_percore"], 1),
+            "hw_ceiling": round(min(1.0, hi["hw_percore"] / lo["hw_percore"]), 3),
+            "probe": "leg-adjacent",
+        }
+    else:
+        hw = hw_compute_ceiling(lo_n, hi_n)
     hw_fields = {}
     if hw is not None:
         hw_fields = {
@@ -373,12 +411,14 @@ def run_scaling(legs: tuple[int, int] | None = None) -> dict:
         f"queries_{hi_n}": hi["queries"],
         f"samples_{lo_n}": [
             {"pages_per_sec": s["pages_per_sec"],
-             "extract_pages_per_sec": s["extract_pages_per_sec"]}
+             "extract_pages_per_sec": s["extract_pages_per_sec"],
+             "hw_percore": s.get("hw_percore")}
             for s in lo_samples
         ],
         f"samples_{hi_n}": [
             {"pages_per_sec": s["pages_per_sec"],
-             "extract_pages_per_sec": s["extract_pages_per_sec"]}
+             "extract_pages_per_sec": s["extract_pages_per_sec"],
+             "hw_percore": s.get("hw_percore")}
             for s in hi_samples
         ],
         **hw_fields,
@@ -388,5 +428,9 @@ def run_scaling(legs: tuple[int, int] | None = None) -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--hw-probe" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--hw-probe") + 1])
+        v = hw_percore_once(n)
+        print("" if v is None else round(v, 2))
     else:
         print(json.dumps(run_bench()))
