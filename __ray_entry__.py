@@ -370,6 +370,32 @@ def _q_minhash_dedup(sf_dir: str):
     return minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"]), threshold=0.9)
 
 
+def _q_minhash_dedup_exact(sf_dir: str):
+    """Degenerate-parameter minhash: shingle_k=1 + threshold=1.0 means a
+    verified pair has ALL permutation minima equal, which (at 512 perms)
+    holds exactly for equal distinct-token sets on this data — the same
+    SQL-checkable construction as ngram_dedup, exercised through the FULL
+    minhash machinery (vectorized signatures, slim band explode,
+    distributed verify, connected components). 64 perms is NOT enough:
+    the testdata's J~0.97 near-dup pairs full-signature-collide with
+    p = J^64 ~ 0.11 each (measured: 15 false dups at sf0.001); at 512
+    perms p ~ 2e-8. (Edge the oracle would disagree on: two zero-token
+    docs — both get the all-sentinel signature and verify equal, SQL
+    groups them too, so even that edge agrees.)"""
+    from abwcf_ray.stages.dedup import minhash_lsh_dedup
+
+    _quiet()
+    out = minhash_lsh_dedup(
+        _docs(sf_dir, ["doc_id", "text"]),
+        num_perm=512,
+        bands=16,
+        shingle_k=1,
+        threshold=1.0,
+    )
+    out["is_dup"] = out["is_dup"].astype(np.int64)
+    return out
+
+
 def _q_simhash_dedup(sf_dir: str):
     from abwcf_ray.stages.dedup import simhash_dedup
 
@@ -514,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top5": _q_knn_top5,
         "knn_ivf": _q_knn_ivf,
         "minhash_dedup": _q_minhash_dedup,
+        "minhash_dedup_exact": _q_minhash_dedup_exact,
         "simhash_dedup": _q_simhash_dedup,
         "ngram_dedup": _q_ngram_dedup,
         "curation": _q_curation,
@@ -655,6 +682,17 @@ def oracle_sql() -> dict[str, str]:
             FROM f GROUP BY text
         """,
         "ngram_dedup": r"""
+            WITH keyed AS (
+                SELECT doc_id,
+                       list_sort(list_distinct(regexp_extract_all(text, '\S+'))) AS k
+                FROM documents
+            )
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY k) AS cluster,
+                   CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY k) AS BIGINT) AS is_dup
+            FROM keyed
+        """,
+        "minhash_dedup_exact": r"""
             WITH keyed AS (
                 SELECT doc_id,
                        list_sort(list_distinct(regexp_extract_all(text, '\S+'))) AS k

@@ -102,6 +102,47 @@ def test_minhash_lsh_finds_exact_dups(docs):
     assert (got[exact_dup]).all()
 
 
+def test_minhash_degenerate_matches_sql_oracle(docs):
+    """The minhash_dedup_exact driver query: shingle_k=1 + threshold=1.0 at
+    512 perms must reproduce DuckDB's equal-token-set grouping exactly
+    (64 perms is NOT enough — the J~0.97 near-dup pairs in this corpus
+    full-signature-collide with p = J^64 ~ 0.11 each)."""
+    import duckdb
+
+    from abwcf_ray.stages.dedup import minhash_lsh_dedup
+
+    out = (
+        minhash_lsh_dedup(docs, num_perm=512, bands=16, shingle_k=1, threshold=1.0)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    exp = (
+        con.execute(
+            r"""
+            WITH keyed AS (
+                SELECT doc_id,
+                       list_sort(list_distinct(regexp_extract_all(text, '\S+'))) AS k
+                FROM documents
+            )
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY k) AS cluster,
+                   CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY k) AS BIGINT) AS is_dup
+            FROM keyed
+            """
+        )
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (out["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    assert (out["cluster"].to_numpy() == exp["cluster"].to_numpy()).all()
+    assert (out["is_dup"].to_numpy().astype(np.int64) == exp["is_dup"].to_numpy()).all()
+
+
 def test_simhash_dedup_runs(docs):
     from abwcf_ray.stages.dedup import simhash_dedup
 
