@@ -190,6 +190,40 @@ def _fast_parse(html_text: str):
     return hrefs, meta_nofollow, parts
 
 
+def _abs_href_fast(href: str) -> str | None:
+    """``href`` unchanged IF ``urljoin(any_http_base, href) == href`` is
+    guaranteed, else None (caller falls back to ``urljoin``).
+
+    For an absolute lowercase-scheme http(s) href, CPython's urljoin either
+    returns the href verbatim (schemes differ) or re-emits
+    ``urlunparse(urlparse(href))`` (schemes equal). That roundtrip is the
+    identity unless one of the parser's edge rules fires, each excluded
+    here: empty authority (``http:///p`` re-merges against the base),
+    tab/CR/LF stripping (urlsplit deletes them), an empty trailing query or
+    any fragment (``?``/``#`` with nothing behind them are dropped by
+    urlunsplit — ``#`` is excluded entirely because ``#`` handling also
+    depends on allow_fragments). ~90% of real-corpus hrefs are clean
+    absolute links, and urljoin (two urlparses + an unparse per call) was
+    ~45% of the whole parse kernel's profile."""
+    if href.startswith("http://"):
+        i = 7
+    elif href.startswith("https://"):
+        i = 8
+    else:
+        return None
+    if i >= len(href) or href[i] in "/?#":
+        return None  # empty authority: urljoin merges against the base
+    if "#" in href or href.endswith("?"):
+        return None
+    if "\t" in href or "\r" in href or "\n" in href:
+        return None
+    if "[" in href or "]" in href:
+        return None  # urlsplit validates bracketed hosts (may raise)
+    if ";" in href:
+        return None  # trailing empty params ('/p;') are dropped by unparse
+    return href
+
+
 def parse_document(html: bytes | str, base_url: str) -> tuple[list[str], str, bool]:
     """Parse one document -> (links, text, meta_nofollow).
 
@@ -222,7 +256,16 @@ def parse_document(html: bytes | str, base_url: str) -> tuple[list[str], str, bo
     links: list[str] = []
     seen: set[str] = set()
     for href in hrefs:
-        absolute = urljoin(base_url, href.strip())
+        href = href.strip()
+        absolute = _abs_href_fast(href)
+        if absolute is None:
+            try:
+                absolute = urljoin(base_url, href)
+            except ValueError:
+                # malformed href (e.g. unbalanced IPv6 bracket): Jsoup's
+                # absUrl yields "" and the reference drops invalid URLs —
+                # skip the link instead of crashing the task
+                continue
         if len(absolute) >= 4 and absolute[:4].lower() == "http" and absolute not in seen:
             seen.add(absolute)
             links.append(absolute)

@@ -212,3 +212,89 @@ def test_hyphenated_tag_names_fall_back_and_match():
                 seen.add(a)
                 exp.append(a)
         assert links == exp, doc
+
+
+def test_abs_href_fast_agrees_with_urljoin():
+    """The absolute-href fast path must return a string ONLY when urljoin
+    would return the identical string for any http(s) base."""
+    from urllib.parse import urljoin
+
+    from abwcf_ray.functions.htmlx import _abs_href_fast
+
+    bases = [
+        "https://h0.example/p0",
+        "http://h0.example/a/b/p26",
+        "https://h1.example/",
+        "http://h1.example/x;p?q=1",
+    ]
+    cases = [
+        "https://h0.example/p1",
+        "http://h0.example/a/b/p26",
+        "https://h2.example/a/p31?x=1&y=2",
+        "https://h2.example/p;params",
+        "https://h2.example/p?a?b",
+        "https://h2.example/a%2Fb",
+        "https://h2.example",
+        "https://x/鉄",
+        "https://x/a b",   # space preserved by urljoin roundtrip
+        # must be rejected by the fast path (urljoin changes them):
+        "https://h2.example/p?",
+        "https://h2.example/p#frag",
+        "https://h2.example/p#",
+        "https:///nopath-authority",
+        "https://",
+        "HTTPS://h2.example/p",
+        "https://h2.example/a\tb",
+        "https://h2.example/a\nb",
+        "//h2.example/p",
+        "/rooted",
+        "rel/ative",
+        "ftp://h2.example/p",
+        "",
+    ]
+    for base in bases:
+        for href in cases:
+            got = _abs_href_fast(href)
+            if got is not None:
+                assert got == urljoin(base, href), (base, href)
+
+
+def test_abs_href_fast_agrees_on_random_hrefs():
+    from urllib.parse import urljoin
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from abwcf_ray.functions.htmlx import _abs_href_fast
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        st.sampled_from(["https://", "http://", "HTTP://", "https:/", "//", ""]),
+        st.text(
+            alphabet="ab/?#;=&%.:\t\n []@!$'()*+,~-_0防",
+            min_size=0,
+            max_size=25,
+        ),
+    )
+    def run(prefix, rest):
+        href = prefix + rest
+        got = _abs_href_fast(href)
+        if got is not None:
+            try:
+                expected = urljoin("https://h0.example/p0", href)
+            except ValueError:
+                raise AssertionError(f"fast path accepted raising href {href!r}")
+            assert got == expected, href
+
+    run()
+
+
+def test_malformed_href_does_not_crash_parse():
+    """urljoin raises ValueError on unbalanced IPv6 brackets; the parser
+    must drop the link (Jsoup absUrl -> ''), not crash the task."""
+    from abwcf_ray.functions.htmlx import parse_document
+
+    doc = '<a href="http://[bad">x</a><a href="https://ok.example/p">y</a><p>t</p>'
+    links, text, nf = parse_document(doc, "https://h0.example/p0")
+    assert links == ["https://ok.example/p"]
+    assert text == "t"
