@@ -99,6 +99,12 @@ _ATTR_RE = re.compile(
 # the matching close tag is raw character data, never unescaped
 _RAW_TAGS = ("script", "style")
 
+# the overwhelmingly common <a> attribute string: exactly one double-quoted
+# href. Anchored match over the WHOLE attrs string, so an attribute-shaped
+# 'href=' inside some other attribute's quoted value can never hit this
+# path — anything else falls back to the ordered tokenizer.
+_HREF_ONLY_RE = re.compile(r'\s+href\s*=\s*"([^"]*)"\s*$')
+
 
 def _attrs_of(attrs_str: str) -> tuple[list[tuple[str, str | None]], int]:
     """-> (ordered (name, value) pairs, end offset of the last token).
@@ -138,10 +144,10 @@ def _fast_parse(html_text: str):
         if cur is not None and m.start() > pos:
             cur.append(unescape(html_text[pos : m.start()]))
         pos = m.end()
-        tag = m.group(2)
+        closing, tag, attrs = m.group(1, 2, 3)
         if tag is None:
             continue  # comment / declaration
-        closing, tag, attrs = m.group(1), tag.lower(), m.group(3)
+        tag = tag.lower()
         if attrs and attrs[0] not in " \t\n\r\f/":
             # the tag NAME continues past the lexer's [a-zA-Z0-9] charset —
             # html.parser's names run to whitespace/'/'/'>', so '<p-card>'
@@ -168,10 +174,15 @@ def _fast_parse(html_text: str):
             pos = n if close < 0 else close + 1
             continue
         if tag == "a":
-            for name, value in _attrs_of(attrs)[0]:
-                if name == "href" and value is not None:
-                    hrefs.append(value)
-                    break
+            hm = _HREF_ONLY_RE.match(attrs) if attrs else None
+            if hm is not None:
+                v = hm.group(1)
+                hrefs.append(unescape(v) if "&" in v else v)
+            else:
+                for name, value in _attrs_of(attrs)[0]:
+                    if name == "href" and value is not None:
+                        hrefs.append(value)
+                        break
         elif tag == "meta":
             d = dict(_attrs_of(attrs)[0])
             if (d.get("name") or "").lower() == "robots" and "content" in d:
@@ -179,6 +190,9 @@ def _fast_parse(html_text: str):
                 if "nofollow" in tokens:
                     meta_nofollow = True
         elif tag in _TEXT_TAGS:
+            if not attrs or attrs.isspace():  # '<p>', '<h1 >': no attrs,
+                cur = []                      # cannot be self-closing
+                continue
             pairs, consumed = _attrs_of(attrs)
             if attrs[consumed:].strip() == "/":  # standalone trailing slash
                 # html.parser startendtag = starttag (cur reset, discarding
