@@ -349,28 +349,45 @@ def _host_prep(
 
 @ray.remote
 def _claim_chunk(
-    token: int, seen_set, wave: int, host_accum, cfg: CrawlConfig, *blocks: pa.Table
-) -> pa.Table:
-    """Claim + prioritize + frontier-columns for one CHUNK of candidate
-    blocks. Chunking matters: the claim protocol fans one RPC per seen
-    shard per call, so claiming per materialized block (hundreds per wave)
-    costs thousands of serialized actor round-trips — a measured ~2 s
-    constant per wave at any parallelism. One concat + one claim per chunk
-    keeps the shard work vectorized and the RPC count at
-    O(chunks × shards). ``token`` is the chunk index — unique per claimant
-    and stable across retries (the chunk partition is deterministic)."""
+    token: int,
+    seen_set,
+    wave: int,
+    host_accum,
+    cfg: CrawlConfig,
+    delta_dir: str,
+    *blocks: pa.Table,
+) -> int:
+    """Claim + prioritize + WRITE one delta part for one CHUNK of candidate
+    blocks; returns the chunk's claimed-row count. Chunking matters: the
+    claim protocol fans one RPC per seen shard per call, so claiming per
+    materialized block (hundreds per wave) costs thousands of serialized
+    actor round-trips — a measured ~2 s constant per wave at any
+    parallelism. One concat + one claim per chunk keeps the shard work
+    vectorized and the RPC count at O(chunks × shards).
+
+    The delta part is written HERE (the same retry-safe side-effect tee as
+    the fused fetch stage): ``token`` is the chunk index — unique per
+    claimant, stable across retries, and the part name is a pure function
+    of it, so a re-executed chunk overwrites its own part with identical
+    content. Writing in-task removes a whole second Dataset execution
+    (from_arrow_refs -> write_parquet) whose fixed cost was a measured
+    ~0.4 s per wave at any parallelism — the claimed rows never travel
+    driver-ward at all."""
     from abwcf_ray.stages.transform import claim_batch, make_prioritize_stage
 
     tables = [b for b in blocks if b.num_rows and "url" in b.schema.names]
     if not tables:
-        return FRONTIER_SCHEMA.empty_table()
+        return 0
     t = pa.concat_tables(tables, promote_options="default").combine_chunks()
     out = claim_batch(t, seen_set, wave, token, host_accum)
     out = make_prioritize_stage(cfg)(out)
     status = pa.array([STATUS_DISCOVERED] * out.num_rows, pa.string())
-    return out.append_column("status", status).select(
+    out = out.append_column("status", status).select(
         ["url", "host", "status", "depth", "priority"]
     )
+    if out.num_rows:
+        pq.write_table(out, Path(delta_dir) / f"part-{token:05d}.parquet")
+    return out.num_rows
 
 
 def _collect_arrow(ds: "rd.Dataset") -> pa.Table:
@@ -746,20 +763,6 @@ def run_crawl(
             status_hist[404] = status_hist.get(404, 0) + (n_selected - n_matched)
         n_extracted = int(pc.sum(flags.column("is_html")).as_py() or 0)
         _mark("extract_write")
-        # claim phase: materialized blocks coalesce into ~2 tasks per CPU
-        # slot, token = chunk index (unique per claimant, stable across
-        # task retries — see transform.claim_batch and _claim_chunk)
-        block_refs = cand_m.to_arrow_refs()
-        n_cpu = int(ray.cluster_resources().get("CPU", 8))
-        n_chunks = max(1, min(len(block_refs), 2 * n_cpu))
-        claim_refs = [
-            _claim_chunk.remote(
-                tok, seen, wave, host_accum, cfg, *block_refs[tok::n_chunks]
-            )
-            for tok in range(n_chunks)
-        ]
-        new_rows = rd.from_arrow_refs(claim_refs)
-
         # ---- frontier delta checkpoint (O(changed), never a rewrite) ----
         # new Discovered rows append as this wave's delta; status flips
         # (selected -> Processed, rejected -> Disallowed; both politeness-
@@ -767,12 +770,25 @@ def run_crawl(
         # untouched — the reference analog is the batched
         # ``UPDATE pages SET status`` (SlickPageRepository.scala:37-51),
         # not a table rewrite.
+        # Claim phase: materialized blocks coalesce into ~2 tasks per CPU
+        # slot; each chunk claims, prioritizes, and writes its own delta
+        # part under a token-derived name (retry-safe tee — see
+        # _claim_chunk), so the claimed rows never cross back to a second
+        # Dataset execution or the driver.
         delta_dir = wdir / "delta"
-        # no min_rows_per_file: Ray's write coalescing re-buffers blocks
-        # row-wise (measured 13x slowdown on the processed write); claim
-        # blocks are already politeness-bounded
-        new_rows.write_parquet(str(delta_dir))
         delta_dir.mkdir(parents=True, exist_ok=True)
+        block_refs = cand_m.to_arrow_refs()
+        n_cpu = int(ray.cluster_resources().get("CPU", 8))
+        n_chunks = max(1, min(len(block_refs), 2 * n_cpu))
+        claim_counts = ray.get(
+            [
+                _claim_chunk.remote(
+                    tok, seen, wave, host_accum, cfg, str(delta_dir),
+                    *block_refs[tok::n_chunks],
+                )
+                for tok in range(n_chunks)
+            ]
+        )
         if not any(delta_dir.glob("*.parquet")):
             # zero-claim wave: keep the dir readable in the chain union
             pq.write_table(FRONTIER_SCHEMA.empty_table(), delta_dir / "part-empty.parquet")
@@ -780,8 +796,8 @@ def run_crawl(
         flips_path = wdir / "flips.parquet"
         _write_flips(flips_path, sel_sorted, disallowed_hashes)
         chain.add_wave(delta_dir, flips_path, sel_sorted, disallowed_hashes)
-        try:  # per-stage Ray Data stats for the claim+delta execution
-            metrics["ray_stats"] = new_rows.stats()[:4000]
+        try:  # per-stage Ray Data stats for the fused wave execution
+            metrics["ray_stats"] = cand_m.stats()[:4000]
         except Exception:
             pass
         _mark("frontier_write")
@@ -819,7 +835,7 @@ def run_crawl(
         }
         if (wdir / "frontier").exists():
             lineage["frontier"] = _file_lineage(wdir / "frontier")
-        n_new = sum(f["rows"] for f in lineage["frontier_delta"])
+        n_new = sum(claim_counts)  # == lineage["frontier_delta"] rows (footer-checked in tests)
         if prev_frontier_rows is None:
             prev_frontier_rows = _parquet_rows(Path(chain.base)) + sum(
                 _parquet_rows(d) for d in chain.deltas[:-1]
