@@ -163,6 +163,9 @@ def test_manifest_lineage(ray_run):
     assert m["completed"] and m["wave"] == 0
     assert m["files"]["frontier_delta"], "per-partition delta lineage missing"
     assert all("rows" in f for f in m["files"]["frontier_delta"])
+    # n_new comes from the claim tasks' returned counts; the delta parts
+    # they tee'd to disk must carry exactly those rows (footer cross-check)
+    assert m["n_new"] == sum(f["rows"] for f in m["files"]["frontier_delta"])
     chain = m["frontier_chain"]
     assert chain["base"] and "wave_0000/delta" in chain["deltas"]
     assert "wave_0000/flips.parquet" in chain["flips"]
