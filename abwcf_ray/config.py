@@ -82,6 +82,16 @@ class CrawlConfig:
     batch_size: int = 8192
     fetch_concurrency: int | None = None  # None -> let Ray autoscale tasks
 
+    # Robots-filter join strategy: up to this many LIVE hosts the filters
+    # read one broadcast rules payload (numpy columns are zero-copy per
+    # node; only ALLOW_SOME rules strings are per-worker). Above it the
+    # filters switch to a hash(host)-bucketed join over 2**hosts_bucket_bits
+    # contiguous hash ranges (stages/transform.apply_robots_filter_bucketed)
+    # so no worker compiles rules outside its bucket — the 10^8-host path
+    # (state/hosts.py module docstring).
+    hosts_broadcast_max: int = 5_000_000
+    hosts_bucket_bits: int = 6
+
     # Frontier checkpoint model: each wave appends a DELTA (new Discovered
     # rows) plus a flips file (politeness-bounded status changes) instead of
     # rewriting the frontier — O(changed) per wave, the Ray analog of the

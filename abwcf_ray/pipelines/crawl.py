@@ -70,6 +70,7 @@ from abwcf_ray.stages.transform import (
     STATUS_PROCESSED,
     explode_links,
     make_eligible_filter,
+    apply_robots_filter_bucketed,
     make_lenient_robots_filter,
     make_normalize_stage,
     make_process_fetched_stage,
@@ -570,8 +571,21 @@ def run_crawl(
         n_robots = _host_prep(cfg, hosts_state, corpus.robots_path, hosts_needed, now_s)
         wdir.mkdir(parents=True, exist_ok=True)
         hosts_state.checkpoint(wdir / "hosts.parquet")
-        hosts_ref = ray.put(hosts_state.broadcast_payload(now_s))
-        delay_ref = ray.put(hosts_state.delay_payload(now_s))
+        rules_payload = hosts_state.rules_payload(now_s)
+        n_live_hosts = len(rules_payload["hash"])
+        bucketed = n_live_hosts > cfg.hosts_broadcast_max
+        if bucketed:
+            # 10^8-host path: hash(host)-bucketed robots join — each
+            # partition compiles ONE bucket's rules (config.py knobs)
+            bucket_refs = [
+                ray.put(p)
+                for p in hosts_state.bucketed_rules_payload(now_s, cfg.hosts_bucket_bits)
+            ]
+            hosts_ref = None
+        else:
+            hosts_ref = ray.put(rules_payload)
+        del rules_payload
+        sched_ref = ray.put(hosts_state.sched_payload(now_s, cfg.wave_duration_s))
         metrics.update(
             n_eligible=n_eligible,
             n_hosts_eligible=len(hosts_needed),
@@ -582,11 +596,20 @@ def run_crawl(
         # ---- strict robots (C2) + politeness selection (D1/D2) ----------
         # one pass: allowed rows stream into the shuffle-free partial top-k
         # selection; rejects side-channel into the accumulator
-        allowed = eligible.map_batches(
-            make_strict_robots_filter(hosts_ref, reject_accum),
-            batch_format="pyarrow",
-        )
-        selected_raw = select_wave(allowed, delay_ref, cfg, n_eligible_hint=n_eligible)
+        if bucketed:
+            allowed = apply_robots_filter_bucketed(
+                eligible,
+                bucket_refs,
+                cfg.hosts_bucket_bits,
+                strict=True,
+                reject_accum=reject_accum,
+            )
+        else:
+            allowed = eligible.map_batches(
+                make_strict_robots_filter(hosts_ref, reject_accum),
+                batch_format="pyarrow",
+            )
+        selected_raw = select_wave(allowed, sched_ref, n_eligible_hint=n_eligible)
         disallowed_hashes, disallowed_counts = ray.get(reject_accum.drain.remote())
         n_selected = len(selected_raw)
         budget_left = cfg.max_pages - total_fetched
@@ -721,14 +744,22 @@ def run_crawl(
         # (links of this wave's fetches, html long since dropped). The
         # barrier also guarantees every processed-checkpoint part from the
         # fused tee is on disk before the wave's metrics read them.
-        cand_m = (
+        cand_pre = (
             links_ds.map_batches(explode_links, batch_format="pyarrow")
             .map_batches(normalize, batch_format="pyarrow")
             .map_batches(scope, batch_format="pyarrow")
-            .map_batches(make_lenient_robots_filter(hosts_ref), batch_format="pyarrow")
-            .map_batches(make_propose(seen, wave), batch_format="pyarrow")
-            .materialize()
         )
+        if bucketed:
+            cand_pre = apply_robots_filter_bucketed(
+                cand_pre, bucket_refs, cfg.hosts_bucket_bits, strict=False
+            )
+        else:
+            cand_pre = cand_pre.map_batches(
+                make_lenient_robots_filter(hosts_ref), batch_format="pyarrow"
+            )
+        cand_m = cand_pre.map_batches(
+            make_propose(seen, wave), batch_format="pyarrow"
+        ).materialize()
         _mark("fetch_candidates")
 
         # ---- wave metrics from the processed checkpoint (tiny columns) --

@@ -30,12 +30,7 @@ import numpy as np
 import pandas as pd
 import ray
 
-from abwcf_ray.config import CrawlConfig
-
 _SELECT_COLS = ["url", "host", "depth", "priority"]
-
-# per-worker-process cache: delay_ref -> (k_by_host dict)
-_K_CACHE: dict = {}
 
 
 def budget_for_delay(delay_ms: int, wave_duration_s: float) -> int:
@@ -46,38 +41,43 @@ def budget_for_delay(delay_ms: int, wave_duration_s: float) -> int:
     return max(1, int(wave_duration_s * 1000) // delay_ms)
 
 
-def _k_by_host(delay_ref, wave_duration_s: float) -> dict[str, int]:
-    key = (delay_ref, wave_duration_s)
-    k = _K_CACHE.get(key)
-    if k is None:
-        if len(_K_CACHE) >= 8:
-            _K_CACHE.pop(next(iter(_K_CACHE)))
-        delays = ray.get(delay_ref)
-        k = {h: budget_for_delay(d, wave_duration_s) for h, d in delays.items()}
-        _K_CACHE[key] = k
-    return k
+def _k_for_hosts(payload: dict, hosts, default_k: int = 1) -> np.ndarray:
+    """Vectorized k_h lookup: hash64 the batch's hosts and searchsorted into
+    the payload's sorted (hash, k) columns (``HostsState.sched_payload``:
+    budgets precomputed ONCE on the driver; the arrays are zero-copy views
+    of the node-local object store, one shared copy per node — the old
+    host->k Python dict was rebuilt and held per worker PROCESS)."""
+    from abwcf_ray.functions.hashing import hash64
+
+    hh = hash64(hosts)
+    ph = payload["hash"]
+    if not len(ph):
+        return np.full(len(hh), default_k, dtype=np.int64)
+    pos = np.minimum(np.searchsorted(ph, hh), len(ph) - 1)
+    return np.where(ph[pos] == hh, payload["k"][pos], np.int64(default_k))
 
 
-def topk_per_host(df: pd.DataFrame, k_by_host: dict[str, int], default_k: int = 1) -> pd.DataFrame:
+def topk_per_host(df: pd.DataFrame, payload: dict, default_k: int = 1) -> pd.DataFrame:
     """Vectorized exact per-host top-k by (priority desc, url asc)."""
     if df.empty:
         return df
     df = df.sort_values(["host", "priority", "url"], ascending=[True, False, True],
                         kind="mergesort")
     rank = df.groupby("host", sort=False).cumcount()
-    k = df["host"].map(k_by_host).fillna(default_k).to_numpy(dtype=np.int64)
+    k = _k_for_hosts(payload, df["host"].to_numpy(dtype=object), default_k)
     return df[rank.to_numpy() < k]
 
 
 def select_wave(
     eligible,
-    delay_ref: "ray.ObjectRef",
-    cfg: CrawlConfig,
+    sched_ref: "ray.ObjectRef",
     merge_partitions: int = 16,
     n_eligible_hint: int | None = None,
 ) -> pd.DataFrame:
     """eligible frontier rows (url, host, depth, priority, ...) -> the wave's
     fetch set (pandas) with exact per-host top-k under the politeness budget.
+    ``sched_ref`` is a ``HostsState.sched_payload`` object ref (sorted host
+    hashes + precomputed budgets, zero-copy numpy).
 
     Two levels, both distributed: (1) per-block partial top-k (superset of
     each block's contribution), then (2) an EXACT per-host merge sharded by
@@ -90,10 +90,8 @@ def select_wave(
     never the partials (which grow with block count)."""
     from abwcf_ray.functions.hashing import hash64
 
-    wave_s = cfg.wave_duration_s
-
     def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
-        return topk_per_host(batch[_SELECT_COLS], _k_by_host(delay_ref, wave_s))
+        return topk_per_host(batch[_SELECT_COLS], ray.get(sched_ref))
 
     partials = eligible.select_columns(_SELECT_COLS).map_batches(
         partial_topk, batch_format="pandas"
@@ -104,7 +102,7 @@ def select_wave(
     # only; both paths compute the identical exact per-host top-k
     # (tests/test_schedule_seen.py::test_select_wave_merge_paths_agree).
     if n_eligible_hint is not None and n_eligible_hint <= 50_000:
-        out = topk_per_host(partials.to_pandas(), _k_by_host(delay_ref, wave_s))
+        out = topk_per_host(partials.to_pandas(), ray.get(sched_ref))
         return out.reset_index(drop=True)
 
     def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
@@ -115,7 +113,7 @@ def select_wave(
         return df
 
     def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        return topk_per_host(g[_SELECT_COLS], _k_by_host(delay_ref, wave_s))
+        return topk_per_host(g[_SELECT_COLS], ray.get(sched_ref))
 
     merged = (
         partials.map_batches(add_pkey, batch_format="pandas")

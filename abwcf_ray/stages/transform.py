@@ -170,29 +170,32 @@ _PATH_QUERY_RE = re.compile(r"^([^?]*)(?:\?(.*))?$")
 
 
 class _HostRulesIndex:
-    """Derived, per-worker view of one broadcast hosts payload.
+    """Derived, per-worker view of one broadcast hosts rules payload
+    (``state.hosts.HostsState.rules_payload``: sorted hash/mode numpy
+    columns — zero-copy from the node's object store — plus the ALLOW_SOME
+    subset's serialized rules).
 
-    Holds a FLAT rule table (host, pattern, allow, plen) plus one compiled
-    regex per distinct pattern — rule patterns repeat massively across hosts
-    (RFC 9309 in the wild: /wp-admin/, /cgi-bin/, ...), so evaluation can be
-    one vectorized regex pass per distinct pattern instead of per host."""
+    Holds a FLAT rule table (host hash, pattern, allow, plen) plus one
+    compiled regex per distinct pattern — rule patterns repeat massively
+    across hosts (RFC 9309 in the wild: /wp-admin/, /cgi-bin/, ...), so
+    evaluation can be one vectorized regex pass per distinct pattern
+    instead of per host."""
 
     def __init__(self, payload: dict):
-        self.mode_by_host = {h: v[0] for h, v in payload.items()}
-        hosts_f: list[str] = []
+        self.hhash = payload["hash"]
+        self.mode = payload["mode"]
+        hh_f: list[int] = []
         pats: list[str] = []
         allows: list[bool] = []
-        for h, (mode, rstr, _delay) in payload.items():
-            if mode != "ALLOW_SOME":
-                continue
+        for hh, rstr in zip(payload["some_hash"], payload["some_rules"]):
             for line in rstr.splitlines():
                 kind, _, pattern = line.partition(": ")
-                hosts_f.append(h)
+                hh_f.append(hh)
                 pats.append(pattern)
                 allows.append(kind == "allow")
         self.rules_df = pd.DataFrame(
             {
-                "host": pd.array(hosts_f, dtype="string"),
+                "hhash": np.array(hh_f, dtype=np.uint64),
                 "pattern": pd.array(pats, dtype="string"),
                 "allow": np.array(allows, dtype=bool),
                 "plen": np.array([len(p) for p in pats], dtype=np.int32),
@@ -216,17 +219,27 @@ def _rules_state(hosts_ref) -> _HostRulesIndex:
 def _allowed_mask(
     hosts_ref, batch: pa.Table, unknown_allow: bool, return_unknown: bool = False
 ):
+    from abwcf_ray.functions.hashing import hash64
+    from abwcf_ray.state.hosts import MODE_ALL, MODE_NONE, MODE_SOME
+
     index = _rules_state(hosts_ref)
     urls = batch.column("url").to_pandas().astype("string")
-    hosts = batch.column("host").to_pandas()
     n = len(urls)
-    modes = hosts.map(index.mode_by_host)  # NaN -> unknown host
+    hh = hash64(batch.column("host"))
+    ph = index.hhash
+    if len(ph):
+        pos = np.minimum(np.searchsorted(ph, hh), len(ph) - 1)
+        found = ph[pos] == hh
+        modes = np.where(found, index.mode[pos], np.uint8(255))
+    else:
+        found = np.zeros(n, dtype=bool)
+        modes = np.full(n, 255, dtype=np.uint8)  # 255 -> unknown host
 
     allowed = np.full(n, unknown_allow, dtype=bool)
-    allowed[(modes == "ALLOW_NONE").to_numpy(dtype=bool)] = False
-    allowed[(modes == "ALLOW_ALL").to_numpy(dtype=bool)] = True
+    allowed[modes == MODE_NONE] = False
+    allowed[modes == MODE_ALL] = True
 
-    some = (modes == "ALLOW_SOME").to_numpy(dtype=bool)
+    some = modes == MODE_SOME
     if some.any():
         some_ix = np.flatnonzero(some)
         # vectorized path(+query) extraction (matcher target, RFC 9309),
@@ -245,13 +258,11 @@ def _allowed_mask(
         rows = pd.DataFrame(
             {
                 "row": np.arange(len(some_ix), dtype=np.int64),
-                "host": pd.array(
-                    hosts.iloc[some_ix].to_numpy(dtype=object), dtype="string"
-                ),
+                "hhash": hh[some_ix],
             }
         )
         # hash-join rows x their host's rules -> one record per (row, rule)
-        exploded = rows.merge(index.rules_df, on="host", how="inner")
+        exploded = rows.merge(index.rules_df, on="hhash", how="inner")
         res = np.ones(len(some_ix), dtype=bool)
         if len(exploded):
             target = paths.iloc[exploded["row"].to_numpy()].reset_index(drop=True)
@@ -275,7 +286,7 @@ def _allowed_mask(
         res[(paths == "/robots.txt").to_numpy(dtype=bool)] = True
         allowed[some_ix] = res
     if return_unknown:
-        return allowed, modes.isna().to_numpy(dtype=bool)
+        return allowed, ~found
     return allowed
 
 
@@ -319,6 +330,54 @@ def make_strict_robots_filter(hosts_ref, reject_accum=None):
         return batch.filter(pa.array(mask))
 
     return strict_robots
+
+
+def apply_robots_filter_bucketed(
+    ds,
+    bucket_refs: list,
+    bits: int,
+    *,
+    strict: bool,
+    reject_accum=None,
+):
+    """C1/C2 at 10^8-host scale: a hash(host)-bucketed robots JOIN instead
+    of a whole-table broadcast (state/hosts.py module docstring; the
+    crossover knob is ``CrawlConfig.hosts_broadcast_max``).
+
+    The candidate/eligible stream is repartitioned by
+    ``hash64(host) >> (64 - bits)`` — the same contiguous hash ranges
+    ``HostsState.bucketed_rules_payload`` splits the hosts table into — and
+    each partition evaluates ONE bucket's payload, so no worker ever
+    deserializes or regex-compiles rules outside its bucket. The groupby is
+    an all-to-all exchange of the (politeness-bounded) candidate rows; at
+    sandbox host counts the broadcast path wins, which is why this path
+    sits behind the size threshold. Semantics are identical to the
+    broadcast filters (tests/test_transform_stages.py equivalence test) —
+    the per-bucket callable IS the broadcast filter over a sliced payload.
+    """
+    from abwcf_ray.functions.hashing import hash64
+
+    shift = np.uint64(64 - bits)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (hash64(batch.column("host")) >> shift).astype(np.int64)
+        return batch.append_column("hbucket", pa.array(b, pa.int64()))
+
+    def filter_group(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        b = int(batch.column("hbucket")[0].as_py())
+        batch = batch.drop_columns(["hbucket"])
+        ref = bucket_refs[b]
+        if strict:
+            return make_strict_robots_filter(ref, reject_accum)(batch)
+        return make_lenient_robots_filter(ref)(batch)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("hbucket")
+        .map_groups(filter_group, batch_format="pyarrow")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -303,3 +303,30 @@ def test_robots_ttl_expiry_matches_oracle(ray_session, corpus, tmp_path_factory)
         if (d / "manifest.json").exists()
     )
     assert refetches > 0
+
+
+def test_bucketed_hosts_wave_matches_oracle(ray_session, corpus, tmp_path_factory, oracle):
+    """Full crawl with the robots filters forced onto the 10^8-host bucketed
+    join path (hosts_broadcast_max=0): final frontier must equal the oracle,
+    i.e. the bucketed join is semantically invisible."""
+    from abwcf_ray.pipelines.crawl import run_crawl
+
+    cfg = CrawlConfig(
+        **{**CFG.__dict__, "hosts_broadcast_max": 0, "hosts_bucket_bits": 3}
+    )
+    out = tmp_path_factory.mktemp("bucketed")
+    summary = run_crawl(cfg, corpus, out, log=lambda *_: None)
+    got = _final_frontier(out, summary)
+    exp = (
+        pd.DataFrame(
+            [(u, s, d, p) for u, (s, d, p) in oracle.frontier.items()],
+            columns=["url", "status", "depth", "priority"],
+        )
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["url", "status", "depth", "priority"]].astype({"depth": "int64"}),
+        exp.astype({"depth": "int64"}),
+    )

@@ -110,30 +110,73 @@ def test_fetchsim_and_state_merge(tmp_path):
     state = HostsState(CFG)
     # pre-existing expired entry for b -> unreachable outcome reuses it
     old_rules = classify_robots_fetch(200, 0, b"User-agent: *\nDisallow: /old\n", CFG, 0.0, None)
-    state.entries["https://b"] = HostEntry(old_rules.rules, 5.0)
+    state.set_entry("https://b", HostEntry(old_rules.rules, 5.0))
     state.merge_fetched(out)
-    assert state.entries["https://b"].rules == old_rules.rules
-    assert state.entries["https://a"].rules.crawl_delay_ms == 2000
+    assert state.get_entry("https://b").rules == old_rules.rules
+    assert state.get_entry("https://a").rules.crawl_delay_ms == 2000
 
-    # expiry: broadcast payload drops expired entries (fail-open downstream)
-    state.entries["https://a"] = HostEntry(state.entries["https://a"].rules, 20.0)
-    payload_live = state.broadcast_payload(now_s=10.0)
-    payload_expired = state.broadcast_payload(now_s=25.0)
-    assert "https://a" in payload_live and "https://a" not in payload_expired
+    # expiry: the rules payload drops expired entries (fail-open downstream)
+    from abwcf_ray.functions.hashing import hash64
+
+    state.set_entry("https://a", HostEntry(state.get_entry("https://a").rules, 20.0))
+    a_hash = int(hash64(["https://a"])[0])
+    assert a_hash in state.rules_payload(now_s=10.0)["hash"]
+    assert a_hash not in state.rules_payload(now_s=25.0)["hash"]
 
     # checkpoint roundtrip
     state.checkpoint(tmp_path / "hosts.parquet")
     state2 = HostsState(CFG)
     state2.restore(tmp_path / "hosts.parquet")
-    assert {h: e.rules for h, e in state2.entries.items()} == {
-        h: e.rules for h, e in state.entries.items()
-    }
+    state2.checkpoint(tmp_path / "hosts2.parquet")
+    assert pq.read_table(tmp_path / "hosts.parquet").equals(
+        pq.read_table(tmp_path / "hosts2.parquet")
+    )
+    for h in ("https://a", "https://b", "https://c", "https://h", "https://missing"):
+        assert state2.get_entry(h).rules == state.get_entry(h).rules
 
 
 def test_missing_or_expired():
     state = HostsState(CFG)
-    state.entries["https://a"] = HostEntry(
-        classify_robots_fetch(404, 0, None, CFG, 0.0, None).rules, 100.0
+    state.set_entry(
+        "https://a",
+        HostEntry(classify_robots_fetch(404, 0, None, CFG, 0.0, None).rules, 100.0),
     )
     assert state.missing_or_expired(["https://a", "https://b"], 50.0) == ["https://b"]
     assert state.missing_or_expired(["https://a"], 100.0) == ["https://a"]
+
+
+def test_merge_fetched_vectorized_semantics():
+    """Columnar merge edge cases: duplicate host within one batch keeps the
+    LAST row; unreachable outcome against an ABSENT host inserts the new
+    (ALLOW_NONE) row; sched/rules payloads agree with scalar budgets."""
+    import numpy as np
+
+    from abwcf_ray.stages.schedule import budget_for_delay
+    from abwcf_ray.state.hosts import MODE_SOME, budgets_for_delays
+
+    state = HostsState(CFG)
+    t = pa.table(
+        {
+            "host": pa.array(["https://d", "https://d", "https://u"]),
+            "rule_mode": pa.array(["ALLOW_ALL", "ALLOW_SOME", "ALLOW_NONE"]),
+            "robot_rules": pa.array(["", "disallow: /x", ""]),
+            "crawl_delay_ms": pa.array([100, 700, 1000], pa.int64()),
+            "valid_until_s": pa.array([50.0, 60.0, 70.0], pa.float64()),
+            "outcome": pa.array(["ok", "ok", "unreachable"]),
+        }
+    )
+    state.merge_fetched(t)
+    assert len(state) == 2
+    d = state.get_entry("https://d")
+    assert d.rules.crawl_delay_ms == 700 and d.valid_until_s == 60.0
+    assert state.get_entry("https://u").rules.mode == "ALLOW_NONE"
+
+    payload = state.rules_payload(now_s=0.0)
+    assert list(payload["mode"]).count(MODE_SOME) == 1
+    assert payload["some_rules"] == ["disallow: /x"]
+
+    # vectorized budgets == scalar budgets, including delay<=0 and delay>wave
+    delays = np.array([0, -5, 1, 700, 10_000, 25_000], dtype=np.int64)
+    got = budgets_for_delays(delays, 10.0)
+    want = [budget_for_delay(int(x), 10.0) for x in delays]
+    assert got.tolist() == want

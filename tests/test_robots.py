@@ -122,7 +122,11 @@ def test_vectorized_target_parity_query_only_urls(ray_session):
         "https://x.example/p2#frag",
         "https://x.example",
     ]
-    payload = {host: (rules.mode, rules.serialize_rules(), rules.crawl_delay_ms)}
+    from abwcf_ray.state.hosts import rules_payload_from_dict
+
+    payload = rules_payload_from_dict(
+        {host: (rules.mode, rules.serialize_rules(), rules.crawl_delay_ms)}
+    )
     batch = pa.table(
         {
             "url": pa.array(urls, pa.string()),

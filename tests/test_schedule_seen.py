@@ -10,6 +10,7 @@ import pytest
 
 from abwcf_ray.config import CrawlConfig
 from abwcf_ray.stages.schedule import budget_for_delay, rank_selected, select_wave
+from abwcf_ray.state.hosts import sched_payload_from_delays
 
 
 def test_budget_for_delay():
@@ -45,7 +46,7 @@ def test_partial_topk_is_exact(ray_session, override_num_blocks):
     cfg = CrawlConfig(wave_duration_s=10.0)
     ds = rd.from_arrow(t).repartition(override_num_blocks)
     got = (
-        select_wave(ds, ray.put(delays), cfg)
+        select_wave(ds, ray.put(sched_payload_from_delays(delays, cfg.wave_duration_s)))
         .sort_values(["priority", "url"], ascending=[False, True])
         .reset_index(drop=True)
     )
@@ -79,12 +80,12 @@ def test_select_wave_merge_paths_agree(ray_session):
     ds = rd.from_arrow(t).repartition(6)
     key = ["priority", "url"]
     dist = (
-        select_wave(ds, ray.put(delays), cfg)
+        select_wave(ds, ray.put(sched_payload_from_delays(delays, cfg.wave_duration_s)))
         .sort_values(key, ascending=[False, True])
         .reset_index(drop=True)
     )
     driver = (
-        select_wave(ds, ray.put(delays), cfg, n_eligible_hint=800)
+        select_wave(ds, ray.put(sched_payload_from_delays(delays, cfg.wave_duration_s)), n_eligible_hint=800)
         .sort_values(key, ascending=[False, True])
         .reset_index(drop=True)
     )

@@ -1,8 +1,8 @@
 """Synthetic 10^6-host host-prep microbench (round-2 VERDICT 'Next round'
 #8): measures the driver-side hosts-table operations a wave performs —
-merge_fetched of a fetched batch, broadcast_payload / delay_payload over
-the full live table, checkpoint + restore — at 1M hosts, and prints one
-JSON line. Run: python tools/bench_hosts.py
+merge_fetched of a fetched batch, rules_payload / sched_payload /
+bucketed_rules_payload over the full live table, checkpoint + restore — at
+1M hosts, and prints one JSON line. Run: python tools/bench_hosts.py
 """
 
 from __future__ import annotations
@@ -49,13 +49,18 @@ def main() -> None:
     out["merge_fetched_1m_s"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    payload = state.broadcast_payload(now_s=0.0)
-    out["broadcast_payload_1m_s"] = round(time.perf_counter() - t0, 3)
-    out["payload_hosts"] = len(payload)
+    payload = state.rules_payload(now_s=0.0)
+    out["rules_payload_1m_s"] = round(time.perf_counter() - t0, 3)
+    out["payload_hosts"] = len(payload["hash"])
 
     t0 = time.perf_counter()
-    state.delay_payload(now_s=0.0)
-    out["delay_payload_1m_s"] = round(time.perf_counter() - t0, 3)
+    state.sched_payload(now_s=0.0, wave_duration_s=10.0)
+    out["sched_payload_1m_s"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    buckets = state.bucketed_rules_payload(now_s=0.0, bits=6)
+    out["bucketed_rules_payload_1m_s"] = round(time.perf_counter() - t0, 3)
+    assert sum(len(b["hash"]) for b in buckets) == len(payload["hash"])
 
     t0 = time.perf_counter()
     state.missing_or_expired(hosts[:100_000], now_s=0.0)
