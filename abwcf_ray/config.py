@@ -82,6 +82,13 @@ class CrawlConfig:
     batch_size: int = 8192
     fetch_concurrency: int | None = None  # None -> let Ray autoscale tasks
 
+    # B6 — approximate pre-dedup (UrlDeduplicator.scala: best-effort LRU in
+    # front of the exact dedup): per-task cache of proposed (url_hash,
+    # min_depth); duplicate candidates are dropped before the seen-shard
+    # RPC. The cache resets past this many distinct hashes (bounded memory,
+    # best-effort like the reference's LRU).
+    prededup_cache_size: int = 2_000_000
+
     # Robots-filter join strategy: up to this many LIVE hosts the filters
     # read one broadcast rules payload (numpy columns are zero-copy per
     # node; only ALLOW_SOME rules strings are per-worker). Above it the

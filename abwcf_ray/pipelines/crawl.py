@@ -758,7 +758,8 @@ def run_crawl(
                 make_lenient_robots_filter(hosts_ref), batch_format="pyarrow"
             )
         cand_m = cand_pre.map_batches(
-            make_propose(seen, wave), batch_format="pyarrow"
+            make_propose(seen, wave, run_key=str(wdir), cache_size=cfg.prededup_cache_size),
+            batch_format="pyarrow",
         ).materialize()
         _mark("fetch_candidates")
 

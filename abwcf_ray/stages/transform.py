@@ -597,17 +597,103 @@ def make_eligible_filter(flips_ref: "ray.ObjectRef"):
 # --------------------------------------------------------------------------
 # F1 — seen-set probe/add stages
 # --------------------------------------------------------------------------
-def make_propose(seen_set, wave: int):
-    """Pass-through stage: register each candidate's (url_hash, depth) with
-    its seen shard's wave-min table (phase 1 of the shuffle-free wave-dedup;
-    see state/seen.SeenShard.propose)."""
+# B6 — approximate pre-dedup cache (UrlDeduplicator.scala: a best-effort
+# LRU in front of the exact PageManager dedup; "best-effort only",
+# UrlDeduplicator.scala:13). State is keyed by (run, ray task), NOT shared
+# across tasks: a task processes its input blocks in a deterministic order,
+# so a retried task reproduces the exact same drops — required because the
+# candidate set is materialized and then claimed by block token; a
+# lineage-recomputed block that dropped MORE rows than its first attempt
+# would orphan urls the seen shards already registered. Cross-task
+# duplicates still reach the shards and are swallowed there (exact F1).
+_PREDEDUP: dict = {}
+
+
+def _prededup_state(key, cache_size: int) -> dict:
+    st = _PREDEDUP.get(key)
+    if st is None:
+        if len(_PREDEDUP) >= 32:
+            _PREDEDUP.pop(next(iter(_PREDEDUP)))
+        st = _PREDEDUP[key] = {
+            "h": np.empty(0, np.uint64),  # sorted hashes proposed by this task
+            "d": np.empty(0, np.int64),  # aligned min depth
+            "pend": [],  # (h, d) arrays awaiting compaction
+            "pend_n": 0,
+            "cap": int(cache_size),
+        }
+    return st
+
+
+def make_propose(seen_set, wave: int, run_key: str = "", cache_size: int = 2_000_000):
+    """Register each candidate's (url_hash, depth) with its seen shard's
+    wave-min table (phase 1 of the shuffle-free wave-dedup; see
+    state/seen.SeenShard.propose), after a best-effort pre-dedup (B6):
+
+    - within a batch: exact vectorized dedup, keep the min-depth row per
+      url hash (identical hashes carry identical urls — hash identity is
+      the repo-wide convention);
+    - across batches of the SAME task: drop a row whose hash was already
+      passed through at an equal-or-lower depth (safe: the earlier row is
+      in the stream, and the claim phase keeps only the wave-min-depth row
+      per hash anyway). The cache clears when it exceeds ``cache_size``
+      (best-effort, like the reference's bounded LRU).
+
+    Both steps only remove rows the exact claim arbitration would discard,
+    so the final frontier is unchanged; what they cut is duplicate
+    (hash, depth) traffic into the seen shards — hot urls are linked from
+    many pages of the same wave."""
 
     def propose(batch: pa.Table) -> pa.Table:
-        if batch.num_rows:
-            h = hash64(batch.column("url"))
-            d = batch.column("depth").to_numpy(zero_copy_only=False)
-            seen_set.propose(h, d, wave)
-        return batch
+        if batch.num_rows == 0:
+            return batch
+        h = hash64(batch.column("url"))
+        d = batch.column("depth").to_numpy(zero_copy_only=False).astype(np.int64)
+
+        # intra-batch: keep the first row per hash at its min depth
+        order = np.lexsort((d, h))
+        first = np.ones(len(order), dtype=bool)
+        hs = h[order]
+        first[1:] = hs[1:] != hs[:-1]
+        keep = np.zeros(len(h), dtype=bool)
+        keep[order[first]] = True
+
+        # cross-batch (task-scoped, deterministic across retries)
+        try:
+            task_id = ray.get_runtime_context().get_task_id()
+        except Exception:
+            task_id = None
+        st = _prededup_state((run_key, wave, task_id), cache_size)
+        for ch, cd in [(st["h"], st["d"])] + st["pend"]:
+            if len(ch):
+                pos = np.minimum(np.searchsorted(ch, h), len(ch) - 1)
+                keep &= ~((ch[pos] == h) & (cd[pos] <= d))
+        if not keep.any():
+            return batch.slice(0, 0)
+
+        hk, dk = h[keep], d[keep]
+        seen_set.propose(hk, dk, wave)
+
+        # amortized compaction: batches queue as SORTED ``pend`` chunks
+        # (each probed above) and fold into the main array only when they
+        # outgrow it or fragment (O(log) compactions per task)
+        po = np.argsort(hk, kind="stable")
+        st["pend"].append((hk[po], dk[po]))
+        st["pend_n"] += len(hk)
+        if len(st["pend"]) > 16 or st["pend_n"] >= max(65536, len(st["h"])):
+            merged_h = np.concatenate([st["h"]] + [p[0] for p in st["pend"]])
+            merged_d = np.concatenate([st["d"]] + [p[1] for p in st["pend"]])
+            mo = np.lexsort((merged_d, merged_h))
+            merged_h, merged_d = merged_h[mo], merged_d[mo]
+            mfirst = np.ones(len(merged_h), dtype=bool)
+            mfirst[1:] = merged_h[1:] != merged_h[:-1]
+            st["pend"], st["pend_n"] = [], 0
+            if int(mfirst.sum()) > st["cap"]:
+                st["h"] = np.empty(0, np.uint64)  # bounded: best-effort reset
+                st["d"] = np.empty(0, np.int64)
+            else:
+                st["h"] = merged_h[mfirst]
+                st["d"] = merged_d[mfirst]
+        return batch.filter(pa.array(keep)) if not keep.all() else batch
 
     return propose
 

@@ -141,3 +141,74 @@ def test_seen_set_checkpoint_roundtrip(ray_session, tmp_path):
     ]
     assert not seen2.contains_urls(["u0"], before_wave=2)[0]  # wave preserved
     seen2.shutdown()
+
+
+def test_propose_prededup_semantics(ray_session):
+    """B6 (UrlDeduplicator.scala best-effort pre-dedup): within a batch the
+    propose stage keeps one row per url hash at MIN depth; across batches of
+    the same task it drops rows already passed at equal-or-lower depth but
+    NEVER a strictly lower-depth row (which the claim phase must see)."""
+    import pyarrow as pa
+
+    from abwcf_ray.state.seen import SeenSet
+    from abwcf_ray.stages.transform import _PREDEDUP, make_propose
+
+    seen = SeenSet(num_shards=2)
+    _PREDEDUP.clear()
+    stage = make_propose(seen, wave=0, run_key="t1", cache_size=1000)
+
+    b1 = pa.table(
+        {
+            "url": pa.array(["https://a/x", "https://a/x", "https://b/y"]),
+            "host": pa.array(["https://a", "https://a", "https://b"]),
+            "depth": pa.array([3, 1, 2], pa.int32()),
+        }
+    )
+    out1 = stage(b1)
+    # intra-batch: one row per hash, min depth kept
+    assert sorted(zip(out1.column("url").to_pylist(), out1.column("depth").to_pylist())) == [
+        ("https://a/x", 1),
+        ("https://b/y", 2),
+    ]
+
+    # equal/higher depth duplicate across batches -> dropped
+    b2 = pa.table(
+        {
+            "url": pa.array(["https://a/x", "https://c/z"]),
+            "host": pa.array(["https://a", "https://c"]),
+            "depth": pa.array([5, 0], pa.int32()),
+        }
+    )
+    out2 = stage(b2)
+    assert out2.column("url").to_pylist() == ["https://c/z"]
+
+    # STRICTLY LOWER depth re-discovery must pass through
+    b3 = pa.table(
+        {
+            "url": pa.array(["https://a/x"]),
+            "host": pa.array(["https://a"]),
+            "depth": pa.array([0], pa.int32()),
+        }
+    )
+    out3 = stage(b3)
+    assert out3.column("url").to_pylist() == ["https://a/x"]
+
+    # a different run key shares nothing (no cross-run contamination)
+    stage_other = make_propose(seen, wave=0, run_key="t2", cache_size=1000)
+    out_other = stage_other(b2)
+    assert sorted(out_other.column("url").to_pylist()) == ["https://a/x", "https://c/z"]
+
+    # the cache is bounded: a tiny cap forces resets; duplicate-only batches
+    # still drop (recent pend chunks probe) and NEW urls still pass through
+    small = make_propose(seen, wave=0, run_key="t3", cache_size=1)
+    for _ in range(3):
+        small(b1)
+    assert small(b1).num_rows == 0  # pure duplicates of earlier batches
+    b4 = pa.table(
+        {
+            "url": pa.array(["https://new/1"]),
+            "host": pa.array(["https://new"]),
+            "depth": pa.array([4], pa.int32()),
+        }
+    )
+    assert small(b4).column("url").to_pylist() == ["https://new/1"]
