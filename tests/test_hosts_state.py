@@ -180,3 +180,82 @@ def test_merge_fetched_vectorized_semantics():
     got = budgets_for_delays(delays, 10.0)
     want = [budget_for_delay(int(x), 10.0) for x in delays]
     assert got.tolist() == want
+
+
+def test_columnar_state_matches_dict_model():
+    """Model-based check: random merge/expiry/payload sequences on the
+    columnar HostsState must agree with a naive dict model (the round-2
+    implementation's semantics)."""
+    import numpy as np
+
+    from abwcf_ray.functions.hashing import hash64
+    from abwcf_ray.state.hosts import MODE_ALL, MODE_NONE, MODE_SOME
+
+    rng = np.random.default_rng(7)
+    MODES = ["ALLOW_ALL", "ALLOW_NONE", "ALLOW_SOME"]
+    CODE = {"ALLOW_ALL": MODE_ALL, "ALLOW_NONE": MODE_NONE, "ALLOW_SOME": MODE_SOME}
+    state = HostsState(CFG)
+    model: dict[str, tuple[str, str, int, float, str | None]] = {}
+
+    def random_batch(n):
+        hs = [f"https://m{int(i)}.example" for i in rng.integers(0, 40, n)]
+        modes = [MODES[i] for i in rng.integers(0, 3, n)]
+        rules = ["disallow: /p%d" % i if m == "ALLOW_SOME" else "" for i, m in enumerate(modes)]
+        delays = rng.integers(0, 5000, n).tolist()
+        valids = (rng.random(n) * 100).round(2).tolist()
+        outcomes = [["ok", "unavailable", "unreachable"][i] for i in rng.integers(0, 3, n)]
+        return hs, modes, rules, delays, valids, outcomes
+
+    for _ in range(12):
+        n = int(rng.integers(1, 25))
+        hs, modes, rules, delays, valids, outcomes = random_batch(n)
+        state.merge_fetched(
+            pa.table(
+                {
+                    "host": pa.array(hs),
+                    "rule_mode": pa.array(modes),
+                    "robot_rules": pa.array(rules),
+                    "crawl_delay_ms": pa.array(delays, pa.int64()),
+                    "valid_until_s": pa.array(valids, pa.float64()),
+                    "outcome": pa.array(outcomes),
+                }
+            )
+        )
+        # batch-set semantics (matches merge_fetched): duplicate hosts in a
+        # batch keep the LAST row; unreachable-reuse consults the PRE-batch
+        # state (the pipeline never sends a host twice in one merge)
+        pre = dict(model)
+        last = {h: (m, r, d, v, o) for h, m, r, d, v, o in zip(hs, modes, rules, delays, valids, outcomes)}
+        for h, (m, r, d, v, o) in last.items():
+            if o == "unreachable" and h in pre:
+                om, orr, od, _, _ = pre[h]
+                model[h] = (om, orr, od, v, o)  # reuse rules, new TTL
+            else:
+                model[h] = (m, r, d, v, o)
+
+        now = float(rng.random() * 100)
+        # missing_or_expired
+        probe = [f"https://m{i}.example" for i in range(45)]
+        want = [h for h in probe if h not in model or model[h][3] <= now]
+        assert state.missing_or_expired(probe, now) == want
+
+        # payloads: live set + modes + budgets
+        live = {h: t for h, t in model.items() if t[3] > now}
+        rp = state.rules_payload(now)
+        hh = hash64(list(live)) if live else np.empty(0, np.uint64)
+        assert sorted(rp["hash"].tolist()) == sorted(hh.tolist())
+        mode_by_hash = {int(x): CODE[live[h][0]] for x, h in zip(hh, live)}
+        assert {int(a): int(b) for a, b in zip(rp["hash"], rp["mode"])} == mode_by_hash
+        sp = state.sched_payload(now, 10.0)
+        from abwcf_ray.stages.schedule import budget_for_delay
+
+        k_by_hash = {int(x): budget_for_delay(live[h][2], 10.0) for x, h in zip(hh, live)}
+        assert {int(a): int(b) for a, b in zip(sp["hash"], sp["k"])} == k_by_hash
+
+        # bucketed split is a partition of the rules payload
+        bp = state.bucketed_rules_payload(now, bits=3)
+        assert sorted(int(x) for b in bp for x in b["hash"]) == sorted(
+            int(x) for x in rp["hash"]
+        )
+        for bi, b in enumerate(bp):
+            assert all(int(x) >> 61 == bi for x in b["hash"])
