@@ -62,6 +62,22 @@ def main() -> None:
     out["bucketed_rules_payload_1m_s"] = round(time.perf_counter() - t0, 3)
     assert sum(len(b["hash"]) for b in buckets) == len(payload["hash"])
 
+    # crossover evidence for CrawlConfig.hosts_broadcast_max: the broadcast
+    # path's hidden per-WORKER cost is building _HostRulesIndex (flat rule
+    # table + compiled regexes) over the whole live table; the bucketed
+    # join pays it per PARTITION over 1/2^bits of the hosts instead
+    from abwcf_ray.stages.transform import _HostRulesIndex
+
+    t0 = time.perf_counter()
+    _HostRulesIndex(payload)
+    out["rules_index_full_1m_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _HostRulesIndex(buckets[0])
+    out["rules_index_one_bucket_s"] = round(time.perf_counter() - t0, 4)
+    import pickle
+
+    out["rules_payload_pickle_mb"] = round(len(pickle.dumps(payload)) / 1e6, 1)
+
     t0 = time.perf_counter()
     state.missing_or_expired(hosts[:100_000], now_s=0.0)
     out["missing_or_expired_100k_s"] = round(time.perf_counter() - t0, 3)
