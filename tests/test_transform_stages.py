@@ -261,3 +261,33 @@ def test_bucketed_robots_filter_matches_broadcast(ray_session):
     rej_b, _ = ray.get(acc_b.drain.remote())
     assert got_s == want_s and len(want_s) < len(want)
     assert sorted(rej_a.tolist()) == sorted(rej_b.tolist()) and len(rej_a)
+
+
+@given(
+    scheme=st.sampled_from(["http", "HTTP", "https", "HtTpS", "ftp"]),
+    host=st.from_regex(r"[A-Za-z0-9][A-Za-z0-9.\-]{0,15}", fullmatch=True),
+    port=st.sampled_from(["", ":443", ":80", ":0443", ":8080", ":080", ":0"]),
+    segs=st.lists(
+        st.text(alphabet=string.ascii_letters + string.digits + "_-", min_size=1, max_size=6),
+        min_size=0,
+        max_size=4,
+    ),
+    trailing=st.booleans(),
+)
+@settings(max_examples=400)
+def test_normalize_rescue_pass_matches_scalar(scheme, host, port, segs, trailing):
+    """The vectorized rescue pass (lowercase scheme/host, default-port
+    strip, ''->'/' path) must agree with normalize_url for every config —
+    it fires on exactly the scheme://host[:port]<canonical-path> grammar."""
+    path = "".join("/" + s for s in segs) + ("/" if trailing and segs else "")
+    url = f"{scheme}://{host}{port}{path}"
+    for cfg in (NormalizationConfig(), STRICT_NORMALIZATION, NormalizationConfig(False, False, False)):
+        want = normalize_url(url, cfg)
+        out = _norm_batch([url], CrawlConfig(normalization=cfg))
+        got = out.column("url").to_pylist()
+        if want is None:
+            assert got == []
+        else:
+            # the stage additionally requires a host-extract hit; every
+            # normalized url carries scheme://authority so it must survive
+            assert got == [want], (url, want, got)
