@@ -142,10 +142,31 @@ class _FrontierChain:
 
     def sources(self) -> list[str]:
         # read_parquet's multi-path form takes FILES; expand each dir (the
-        # listing is O(chain length × part files), driver-side, cheap)
+        # listing is O(chain length × part files), driver-side, cheap).
+        # rglob: a compacted base is status-split into discovered/ +
+        # settled/ subdirs (see _compact_frontier)
         out: list[str] = []
         for d in [self.base] + self.deltas:
-            out.extend(str(p) for p in sorted(Path(d).glob("*.parquet")))
+            out.extend(str(p) for p in sorted(Path(d).rglob("*.parquet")))
+        return out
+
+    def eligible_sources(self) -> list[str]:
+        """Parts that can contain ELIGIBLE (Discovered, unflipped) rows:
+        the base's discovered/ split if it has one (compaction writes the
+        frontier status-partitioned, so a mature crawl's eligible scan is
+        O(Discovered), not O(frontier)) plus every delta (deltas are new
+        rows, all Discovered). Falls back to every part for an un-split
+        base (the init frontier) or an empty split."""
+        out: list[str] = []
+        disc = Path(self.base) / "discovered"
+        base_parts = (
+            sorted(str(p) for p in disc.rglob("*.parquet")) if disc.exists() else []
+        )
+        if not base_parts:
+            base_parts = sorted(str(p) for p in Path(self.base).rglob("*.parquet"))
+        out.extend(base_parts)
+        for d in self.deltas:
+            out.extend(str(p) for p in sorted(Path(d).rglob("*.parquet")))
         return out
 
     def flips_merged(self) -> np.ndarray:
@@ -226,16 +247,41 @@ def _write_flips(path: Path, processed: np.ndarray, disallowed: np.ndarray) -> i
 def _compact_frontier(chain: _FrontierChain, dest: Path) -> None:
     """Fold base + deltas + flips into a fresh materialized frontier at
     ``dest`` and reset the chain onto it. O(frontier) — runs only every
-    ``frontier_compact_every`` waves or at drain, never steady-state."""
-    ds = rd.read_parquet(chain.sources())
-    if len(chain.cum_processed) or len(chain.cum_disallowed):
-        ds = ds.map_batches(
-            make_update_status(
-                ray.put(chain.cum_processed), ray.put(chain.cum_disallowed)
-            ),
-            batch_format="pyarrow",
-        )
-    ds.write_parquet(str(dest))
+    ``frontier_compact_every`` waves or at drain, never steady-state.
+
+    The output is STATUS-SPLIT: ``dest/discovered`` holds the rows still
+    eligible for selection, ``dest/settled`` everything else. A mature
+    crawl's frontier is dominated by Processed rows, so splitting at the
+    (already O(frontier)) compaction makes every subsequent wave's
+    eligible scan O(Discovered) instead of O(frontier)
+    (``_FrontierChain.eligible_sources``) — the Ray analog of the
+    reference DB's status index. Two streaming passes over the chain (one
+    per split) keep compaction memory flat instead of materializing the
+    frontier in the object store."""
+
+    def _folded():
+        ds = rd.read_parquet(chain.sources())
+        if len(chain.cum_processed) or len(chain.cum_disallowed):
+            ds = ds.map_batches(
+                make_update_status(
+                    ray.put(chain.cum_processed), ray.put(chain.cum_disallowed)
+                ),
+                batch_format="pyarrow",
+            )
+        return ds
+
+    def keep_discovered(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["status"], STATUS_DISCOVERED))
+
+    def keep_settled(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(pc.equal(batch["status"], STATUS_DISCOVERED)))
+
+    _folded().map_batches(keep_discovered, batch_format="pyarrow").write_parquet(
+        str(dest / "discovered")
+    )
+    _folded().map_batches(keep_settled, batch_format="pyarrow").write_parquet(
+        str(dest / "settled")
+    )
     chain.reset(dest)
 
 
@@ -546,7 +592,9 @@ def run_crawl(
         # logical frontier = base ∪ deltas, minus rows flipped since the
         # last compaction (broadcast sorted hashes, politeness-bounded)
         flips_ref = ray.put(chain.flips_merged())
-        frontier = rd.read_parquet(chain.sources())
+        # eligible scan reads only parts that can hold Discovered rows —
+        # O(Discovered) once the base has a status-split compaction
+        frontier = rd.read_parquet(chain.eligible_sources())
         eligible = frontier.map_batches(
             make_eligible_filter(flips_ref), batch_format="pyarrow"
         )

@@ -330,3 +330,27 @@ def test_bucketed_hosts_wave_matches_oracle(ray_session, corpus, tmp_path_factor
         got[["url", "status", "depth", "priority"]].astype({"depth": "int64"}),
         exp.astype({"depth": "int64"}),
     )
+
+
+def test_compaction_status_split_prunes_eligible_scan(ray_session, corpus, tmp_path_factory):
+    """Compaction writes the frontier status-split (discovered/ + settled/)
+    and the next wave's eligible scan reads ONLY the discovered split +
+    deltas — O(Discovered), not O(frontier), on a mature crawl."""
+    from abwcf_ray.pipelines.crawl import _FrontierChain, _parquet_rows, run_crawl
+
+    cfg = CrawlConfig(**{**CFG.__dict__, "frontier_compact_every": 2})
+    out = tmp_path_factory.mktemp("split")
+    run_crawl(cfg, corpus, out, log=lambda *_: None)
+    mats = [d for d in sorted(out.glob("wave_*/frontier")) if (d / "settled").exists()]
+    assert mats, "no status-split compaction found"
+    base = mats[0]
+    assert _parquet_rows(base / "settled") > 0  # fetched pages became settled
+    chain = _FrontierChain(out, base)
+    elig = set(chain.eligible_sources())
+    allp = set(chain.sources())
+    assert elig < allp  # strict subset: settled parts excluded
+    assert all("settled" not in p for p in elig)
+    # the split is lossless: discovered + settled == full frontier rows
+    assert _parquet_rows(base) == _parquet_rows(base / "discovered") + _parquet_rows(
+        base / "settled"
+    )
