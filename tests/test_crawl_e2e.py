@@ -354,3 +354,34 @@ def test_compaction_status_split_prunes_eligible_scan(ray_session, corpus, tmp_p
     assert _parquet_rows(base) == _parquet_rows(base / "discovered") + _parquet_rows(
         base / "settled"
     )
+
+
+def test_resume_from_status_split_base(ray_session, corpus, tmp_path_factory, oracle):
+    """Kill AFTER a mid-run compaction (status-split base) and resume: the
+    chain must rebuild from the split frontier and finish identically."""
+    from abwcf_ray.pipelines.crawl import run_crawl
+
+    out = tmp_path_factory.mktemp("resume_split")
+    cfg_short = CrawlConfig(
+        **{**CFG.__dict__, "max_waves": 3, "frontier_compact_every": 2}
+    )
+    run_crawl(cfg_short, corpus, out, log=lambda *_: None)
+    assert any(
+        (d / "settled").exists() for d in out.glob("wave_*/frontier")
+    ), "fixture must compact before the kill for this test to bite"
+    cfg_full = CrawlConfig(**{**CFG.__dict__, "frontier_compact_every": 2})
+    summary = run_crawl(cfg_full, corpus, out, resume=True, log=lambda *_: None)
+    got = _final_frontier(out, summary)
+    exp = (
+        pd.DataFrame(
+            [(u, s, d, p) for u, (s, d, p) in oracle.frontier.items()],
+            columns=["url", "status", "depth", "priority"],
+        )
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["url", "status", "depth", "priority"]].astype({"depth": "int64"}),
+        exp.astype({"depth": "int64"}),
+    )
