@@ -120,6 +120,68 @@ def _parquet_rows(directory: Path) -> int:
     return sum(pq.read_metadata(f).num_rows for f in directory.rglob("*.parquet"))
 
 
+class _HostLedger:
+    """Columnar Discovered-per-host ledger: parallel arrays sorted by
+    ``hash64(host)`` (hash, count, host string). Per-wave updates (selected
+    − rejects + claims) are politeness-bounded vectorized merges; the
+    per-wave reads — eligible hosts, eligible total, negative-drift check —
+    are numpy masks, never an O(#hosts) Python comprehension (the same
+    flaw class the round-2 hosts-table dict had, fixed the same way)."""
+
+    __slots__ = ("h", "c", "host")
+
+    def __init__(self) -> None:
+        self.h = np.empty(0, np.uint64)
+        self.c = np.empty(0, np.int64)
+        self.host = np.empty(0, object)
+
+    @classmethod
+    def from_counts(cls, hosts, counts) -> "_HostLedger":
+        led = cls()
+        led.apply(hosts, counts)
+        return led
+
+    def apply(self, hosts, deltas) -> None:
+        hosts = np.asarray(list(hosts), dtype=object)
+        if not len(hosts):
+            return
+        hh = hash64(hosts)
+        dd = np.asarray(deltas, dtype=np.int64)
+        order = np.argsort(hh, kind="stable")
+        hh, dd, hosts = hh[order], dd[order], hosts[order]
+        uniq = np.ones(len(hh), dtype=bool)
+        uniq[1:] = hh[1:] != hh[:-1]
+        if not uniq.all():
+            dd = np.add.reduceat(dd, np.flatnonzero(uniq))
+            hh, hosts = hh[uniq], hosts[uniq]
+        if len(self.h):
+            pos = np.minimum(np.searchsorted(self.h, hh), len(self.h) - 1)
+            found = self.h[pos] == hh
+            np.add.at(self.c, pos[found], dd[found])
+        else:
+            found = np.zeros(len(hh), dtype=bool)
+        if not found.all():
+            new = ~found
+            mh = np.concatenate([self.h, hh[new]])
+            o = np.argsort(mh, kind="stable")
+            self.h = mh[o]
+            self.c = np.concatenate([self.c, dd[new]])[o]
+            self.host = np.concatenate([self.host, hosts[new]])[o]
+
+    def eligible(self) -> tuple[np.ndarray, int]:
+        """(host strings with count > 0, Σ eligible counts) — one mask."""
+        mask = self.c > 0
+        return self.host[mask], int(self.c[mask].sum())
+
+    def has_negative(self) -> bool:
+        return bool(len(self.c)) and bool((self.c < 0).any())
+
+    def prune(self) -> None:
+        mask = self.c > 0
+        if not mask.all():
+            self.h, self.c, self.host = self.h[mask], self.c[mask], self.host[mask]
+
+
 class _FrontierChain:
     """Driver-side ledger of the frontier checkpoint chain.
 
@@ -532,7 +594,9 @@ def run_crawl(
         # the seed pass already knows wave 0's Discovered-per-host ledger —
         # skip wave 0's full frontier scan for the host histogram
         seed_counts = frontier0.column("host").to_pandas().value_counts()
-        seed_ledger = {h: int(n) for h, n in seed_counts.items()}
+        seed_ledger = _HostLedger.from_counts(
+            seed_counts.index.to_numpy(dtype=object), seed_counts.to_numpy()
+        )
 
     process_fetched = make_process_fetched_stage(cfg)
     normalize = make_normalize_stage(cfg)
@@ -556,7 +620,7 @@ def run_crawl(
     # partial-counts scan (first wave after a resume). Driver memory is
     # O(#live hosts) — the same bound as the hosts table itself
     # (state/hosts.py:19-22 documents the 10^8-host bucketed path).
-    host_ledger: dict[str, int] | None = None
+    host_ledger: _HostLedger | None = None
     # previous frontier's row count, carried wave-over-wave so n_new never
     # needs a full metadata rescan of the previous checkpoint
     prev_frontier_rows: int | None = None
@@ -601,20 +665,19 @@ def run_crawl(
 
         # ---- host-prep (C3/C4/A3) ---------------------------------------
         if host_ledger is not None:
-            hosts_needed = [h for h, c in host_ledger.items() if c > 0]
-            n_eligible = int(sum(c for c in host_ledger.values() if c > 0))
+            hosts_needed, n_eligible = host_ledger.eligible()
         else:
             # shuffle-free host histogram: per-batch partials, driver merge
             partials = _collect_arrow(
                 eligible.map_batches(partial_host_counts, batch_format="pyarrow")
             )
+            host_ledger = _HostLedger()
             if partials is not None:
                 host_counts = partials.to_pandas().groupby("host", sort=False)["n"].sum()
-                host_ledger = {h: int(n) for h, n in host_counts.items()}
-            else:
-                host_ledger = {}
-            hosts_needed = list(host_ledger)
-            n_eligible = int(sum(host_ledger.values()))
+                host_ledger.apply(
+                    host_counts.index.to_numpy(dtype=object), host_counts.to_numpy()
+                )
+            hosts_needed, n_eligible = host_ledger.eligible()
         _mark("host_histogram")
         n_robots = _host_prep(cfg, hosts_state, corpus.robots_path, hosts_needed, now_s)
         wdir.mkdir(parents=True, exist_ok=True)
@@ -884,19 +947,26 @@ def run_crawl(
 
         # ---- host ledger update (exact arithmetic, no frontier rescan) --
         sel_counts = sel_df["host"].value_counts()
-        for h, c in sel_counts.items():
-            host_ledger[h] = host_ledger.get(h, 0) - int(c)
-        for h, c in disallowed_counts.items():
-            host_ledger[h] = host_ledger.get(h, 0) - int(c)
-        for h, c in new_host_counts.items():
-            host_ledger[h] = host_ledger.get(h, 0) + int(c)
-        if host_ledger and min(host_ledger.values()) < 0:
+        host_ledger.apply(
+            sel_counts.index.to_numpy(dtype=object), -sel_counts.to_numpy()
+        )
+        if disallowed_counts:
+            host_ledger.apply(
+                list(disallowed_counts),
+                -np.fromiter(disallowed_counts.values(), np.int64),
+            )
+        if new_host_counts:
+            host_ledger.apply(
+                list(new_host_counts),
+                np.fromiter(new_host_counts.values(), np.int64),
+            )
+        if host_ledger.has_negative():
             # defensive: arithmetic drift would starve a host of robots
             # prep forever — drop the ledger and rescan next wave
             log(f"[crawl] wave {wave}: host ledger went negative; rescanning")
             host_ledger = None
-        elif host_ledger is not None:
-            host_ledger = {h: c for h, c in host_ledger.items() if c > 0}
+        else:
+            host_ledger.prune()
 
         # periodic compaction: bound the chain length and the broadcast
         # flips array (the only O(frontier) write, amortized over
