@@ -618,8 +618,8 @@ def run_crawl(
     # (seeds + claims − selected − rejects, each politeness-bounded) so the
     # host histogram never rescans the frontier. None -> rebuild by one
     # partial-counts scan (first wave after a resume). Driver memory is
-    # O(#live hosts) — the same bound as the hosts table itself
-    # (state/hosts.py:19-22 documents the 10^8-host bucketed path).
+    # O(#live hosts) in COLUMNAR arrays (_HostLedger) — the same bound and
+    # the same shape as the hosts table itself (state/hosts.py).
     host_ledger: _HostLedger | None = None
     # previous frontier's row count, carried wave-over-wave so n_new never
     # needs a full metadata rescan of the previous checkpoint

@@ -92,6 +92,20 @@ def main() -> None:
     state2.restore(ckpt)
     out["restore_1m_s"] = round(time.perf_counter() - t0, 3)
 
+    # the wave-path host ledger at 1M hosts (columnar; crawl._HostLedger)
+    from abwcf_ray.pipelines.crawl import _HostLedger
+    import numpy as np
+
+    t0 = time.perf_counter()
+    led = _HostLedger.from_counts(hosts, np.ones(N_HOSTS, np.int64))
+    out["ledger_build_1m_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    led.apply(hosts[:5000], -np.ones(5000, np.int64))  # a politeness wave
+    eligible_hosts, n_eligible = led.eligible()
+    led.prune()
+    out["ledger_wave_update_1m_s"] = round(time.perf_counter() - t0, 3)
+    assert n_eligible == N_HOSTS - 5000
+
     print(json.dumps(out))
 
 
