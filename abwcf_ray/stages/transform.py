@@ -297,6 +297,14 @@ class _HostRulesIndex:
         from abwcf_ray.functions.robots import _pattern_to_regex
 
         self.regex_by_pattern = {p: _pattern_to_regex(p) for p in set(pats)}
+        # Rust-regex forms for the polars match pass: rule regexes are
+        # ^ + escaped literals + .* (+ \Z for '$'-anchored rules) — the
+        # only translation needed is \Z -> \z; anything Rust rejects at
+        # match time falls back to the Python re form per pattern
+        self.rust_by_pattern = {
+            p: rx.pattern.replace("\\Z", "\\z")
+            for p, rx in self.regex_by_pattern.items()
+        }
 
 
 def _rules_state(hosts_ref) -> _HostRulesIndex:
@@ -333,21 +341,37 @@ def _allowed_mask(
 
     some = modes == MODE_SOME
     if some.any():
-        urls = batch.column("url").to_pandas().astype("string")
+        import polars as pl
+
         some_ix = np.flatnonzero(some)
         # vectorized path(+query) extraction (matcher target, RFC 9309),
         # urlsplit-equivalent: empty path -> "/", query reattached with "?"
-        # only when non-empty (parity test: test_robots.py)
-        rest = (
-            urls.iloc[some_ix]
-            .str.replace(_AUTHORITY_RE, "", regex=True)
-            .str.replace(_FRAGMENT_RE, "", regex=True)
-            .reset_index(drop=True)
+        # only when non-empty (parity test: test_robots.py). Runs on polars
+        # Rust-regex kernels (the pandas str ops here were per-row re calls
+        # and the hottest cost of the candidate chain's lenient pass).
+        some_urls = batch.column("url").combine_chunks().take(pa.array(some_ix))
+        paths_pl = (
+            pl.DataFrame({"u": pl.from_arrow(some_urls)})
+            .lazy()
+            .with_columns(
+                rest=pl.col("u")
+                .str.replace(_AUTHORITY_RE.pattern, "")
+                .str.replace(_FRAGMENT_RE.pattern, "")
+            )
+            .with_columns(
+                p=pl.col("rest").str.extract(r"^([^?]*)", 1).fill_null(""),
+                q=pl.col("rest").str.extract(r"^[^?]*\?(.*)$", 1),
+            )
+            .with_columns(
+                p=pl.when(pl.col("p") == "").then(pl.lit("/")).otherwise(pl.col("p"))
+            )
+            .select(
+                t=pl.when(pl.col("q").is_null() | (pl.col("q") == ""))
+                .then(pl.col("p"))
+                .otherwise(pl.col("p") + pl.lit("?") + pl.col("q"))
+            )
+            .collect()["t"]
         )
-        parts = rest.str.extract(_PATH_QUERY_RE)
-        path_part = parts[0].replace("", "/")
-        query = parts[1]
-        paths = path_part.where(query.isna() | (query == ""), path_part + "?" + query)
         rows = pd.DataFrame(
             {
                 "row": np.arange(len(some_ix), dtype=np.int64),
@@ -358,15 +382,28 @@ def _allowed_mask(
         exploded = rows.merge(index.rules_df, on="hhash", how="inner")
         res = np.ones(len(some_ix), dtype=bool)
         if len(exploded):
-            target = paths.iloc[exploded["row"].to_numpy()].reset_index(drop=True)
+            rows_np = exploded["row"].to_numpy()
             match = np.zeros(len(exploded), dtype=bool)
-            # one vectorized regex pass per DISTINCT pattern
+            # one vectorized regex pass per DISTINCT pattern (Rust regex;
+            # per-pattern fallback to Python re if a pattern won't compile)
             for pattern, grp in exploded.groupby("pattern", sort=False).groups.items():
                 pos = np.asarray(grp)
-                rx = index.regex_by_pattern[pattern]
-                match[pos] = (
-                    target.iloc[pos].str.match(rx).fillna(False).to_numpy(dtype=bool)
-                )
+                sub = paths_pl.gather(rows_np[pos])
+                rust = index.rust_by_pattern.get(pattern)
+                if rust is not None:
+                    try:
+                        m = sub.str.contains(rust).fill_null(False).to_numpy()
+                    except Exception:
+                        index.rust_by_pattern[pattern] = rust = None
+                if rust is None:
+                    rx = index.regex_by_pattern[pattern]
+                    m = (
+                        sub.to_pandas()
+                        .str.match(rx)
+                        .fillna(False)
+                        .to_numpy(dtype=bool)
+                    )
+                match[pos] = m
             hit = exploded[match]
             if len(hit):
                 # most-specific wins, allow beats disallow on ties: sort by
@@ -376,7 +413,7 @@ def _allowed_mask(
                     .drop_duplicates("row", keep="last")
                 )
                 res[winner["row"].to_numpy()] = winner["allow"].to_numpy(dtype=bool)
-        res[(paths == "/robots.txt").to_numpy(dtype=bool)] = True
+        res[(paths_pl == "/robots.txt").to_numpy()] = True
         allowed[some_ix] = res
     if return_unknown:
         return allowed, ~found

@@ -138,3 +138,62 @@ def test_vectorized_target_parity_query_only_urls(ray_session):
     assert (got == want).all(), list(zip(urls, got, want))
     # the disallow actually bites somewhere (guard against vacuous parity)
     assert not want.all()
+
+
+import string as _string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    pats=st.lists(
+        st.text(alphabet=_string.ascii_lowercase + "/*$._-%~", min_size=1, max_size=10),
+        min_size=1,
+        max_size=4,
+    ),
+    allows=st.lists(st.booleans(), min_size=4, max_size=4),
+    urls_suffix=st.lists(
+        st.text(alphabet=_string.ascii_lowercase + "/?=&._-%~", min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_vectorized_rules_match_scalar_hypothesis(ray_session, pats, allows, urls_suffix):
+    """Random rule patterns (incl. '*' wildcards and '$' anchors) x random
+    urls: the vectorized filter (Rust-regex match pass) must agree with the
+    scalar RobotRules.is_allowed for every row."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from abwcf_ray.functions.robots import ALLOW_SOME, RobotRules
+    from abwcf_ray.state.hosts import rules_payload_from_dict
+    from abwcf_ray.stages.transform import _RULES_STATE, _allowed_mask
+
+    host = "https://hyp.example"
+    rules = RobotRules(
+        mode=ALLOW_SOME,
+        rules=tuple(
+            (p, a)
+            for p, a in zip(
+                sorted(set(pats), key=lambda p: (-len(p), p)), allows
+            )
+        ),
+        crawl_delay_ms=0,
+    )
+    urls = [host + ("/" + s if not s.startswith("/") else s) for s in urls_suffix]
+    payload = rules_payload_from_dict(
+        {host: (rules.mode, rules.serialize_rules(), rules.crawl_delay_ms)}
+    )
+    _RULES_STATE.clear()
+    batch = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "host": pa.array([host] * len(urls), pa.string()),
+        }
+    )
+    got = _allowed_mask(ray.put(payload), batch, True)
+    want = np.array([rules.is_allowed(u) for u in urls])
+    assert (got == want).all(), list(zip(urls, got, want))
