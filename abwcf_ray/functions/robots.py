@@ -44,6 +44,22 @@ def _pattern_to_regex(pattern: str) -> re.Pattern:
     return re.compile("^" + body + (r"\Z" if anchored else ""))
 
 
+def _pattern_to_rust(pattern: str) -> str:
+    """Rust-regex (polars) form of a robots rule — built from the RULE, not
+    by string-rewriting the compiled Python pattern: a blanket
+    ``.replace('\\Z', '\\z')`` on the compiled form would also rewrite an
+    escaped literal backslash-Z inside the rule's path (``\\\\Z`` ends in
+    the same two characters), silently changing what the rule matches. The
+    end anchor differs by dialect only (`\\Z` in Python, `\\z` in Rust);
+    Rust-rejected escapes fall back to the Python form per pattern at the
+    call site."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    body = ".*".join(re.escape(part) for part in pattern.split("*"))
+    return "^" + body + (r"\z" if anchored else "")
+
+
 @dataclass
 class RobotRules:
     """Parsed, clamped per-host rules (the rebuild's ``HostInformation`` payload)."""

@@ -294,17 +294,14 @@ class _HostRulesIndex:
                 "plen": np.array([len(p) for p in pats], dtype=np.int32),
             }
         )
-        from abwcf_ray.functions.robots import _pattern_to_regex
+        from abwcf_ray.functions.robots import _pattern_to_regex, _pattern_to_rust
 
         self.regex_by_pattern = {p: _pattern_to_regex(p) for p in set(pats)}
-        # Rust-regex forms for the polars match pass: rule regexes are
-        # ^ + escaped literals + .* (+ \Z for '$'-anchored rules) — the
-        # only translation needed is \Z -> \z; anything Rust rejects at
-        # match time falls back to the Python re form per pattern
-        self.rust_by_pattern = {
-            p: rx.pattern.replace("\\Z", "\\z")
-            for p, rx in self.regex_by_pattern.items()
-        }
+        # Rust-regex forms for the polars match pass, built from each RULE
+        # (not by rewriting the compiled Python pattern — see
+        # _pattern_to_rust); anything Rust rejects at match time falls back
+        # to the Python re form per pattern
+        self.rust_by_pattern = {p: _pattern_to_rust(p) for p in set(pats)}
 
 
 def _rules_state(hosts_ref) -> _HostRulesIndex:
@@ -474,16 +471,22 @@ def apply_robots_filter_bucketed(
     of a whole-table broadcast (state/hosts.py module docstring; the
     crossover knob is ``CrawlConfig.hosts_broadcast_max``).
 
-    The candidate/eligible stream is repartitioned by
+    The candidate/eligible stream is range-partitioned (``sort``) by
     ``hash64(host) >> (64 - bits)`` — the same contiguous hash ranges
-    ``HostsState.bucketed_rules_payload`` splits the hosts table into — and
-    each partition evaluates ONE bucket's payload, so no worker ever
-    deserializes or regex-compiles rules outside its bucket. The groupby is
-    an all-to-all exchange of the (politeness-bounded) candidate rows; at
-    sandbox host counts the broadcast path wins, which is why this path
-    sits behind the size threshold. Semantics are identical to the
-    broadcast filters (tests/test_transform_stages.py equivalence test) —
-    the per-bucket callable IS the broadcast filter over a sliced payload.
+    ``HostsState.bucketed_rules_payload`` splits the hosts table into — so
+    each worker's batches span at most a few adjacent buckets and no node
+    pulls payloads outside its key range. Evaluation stays a STREAMING
+    ``map_batches`` (a batch straddling a bucket boundary is split inside
+    the callable): a ``groupby().map_groups`` here would materialize each
+    bucket's ENTIRE row set as one in-memory group, and this path only
+    activates past ``hosts_broadcast_max``, where the input is the whole
+    eligible frontier — 1/2^bits of that per group is an OOM hazard at
+    exactly the scale the path exists for. The sort is an all-to-all
+    exchange of the (politeness-bounded) candidate rows; at sandbox host
+    counts the broadcast path wins, which is why this path sits behind the
+    size threshold. Semantics are identical to the broadcast filters
+    (tests/test_transform_stages.py equivalence test) — the per-bucket
+    callable IS the broadcast filter over a sliced payload.
     """
     from abwcf_ray.functions.hashing import hash64
 
@@ -493,20 +496,24 @@ def apply_robots_filter_bucketed(
         b = (hash64(batch.column("host")) >> shift).astype(np.int64)
         return batch.append_column("hbucket", pa.array(b, pa.int64()))
 
-    def filter_group(batch: pa.Table) -> pa.Table:
+    def filter_buckets(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch
-        b = int(batch.column("hbucket")[0].as_py())
-        batch = batch.drop_columns(["hbucket"])
-        ref = bucket_refs[b]
-        if strict:
-            return make_strict_robots_filter(ref, reject_accum)(batch)
-        return make_lenient_robots_filter(ref)(batch)
+            return batch.drop_columns(["hbucket"])
+        b = batch.column("hbucket").to_numpy()
+        out = []
+        for bucket in np.unique(b):
+            sub = batch.filter(pa.array(b == bucket)).drop_columns(["hbucket"])
+            ref = bucket_refs[int(bucket)]
+            if strict:
+                out.append(make_strict_robots_filter(ref, reject_accum)(sub))
+            else:
+                out.append(make_lenient_robots_filter(ref)(sub))
+        return pa.concat_tables(out)
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("hbucket")
-        .map_groups(filter_group, batch_format="pyarrow")
+        .sort("hbucket")
+        .map_batches(filter_buckets, batch_format="pyarrow")
     )
 
 
@@ -729,13 +736,18 @@ def make_eligible_filter(flips_ref: "ray.ObjectRef"):
 # --------------------------------------------------------------------------
 # B6 — approximate pre-dedup cache (UrlDeduplicator.scala: a best-effort
 # LRU in front of the exact PageManager dedup; "best-effort only",
-# UrlDeduplicator.scala:13). State is keyed by (run, ray task), NOT shared
-# across tasks: a task processes its input blocks in a deterministic order,
-# so a retried task reproduces the exact same drops — required because the
-# candidate set is materialized and then claimed by block token; a
-# lineage-recomputed block that dropped MORE rows than its first attempt
-# would orphan urls the seen shards already registered. Cross-task
-# duplicates still reach the shards and are swallowed there (exact F1).
+# UrlDeduplicator.scala:13). The cache gates ONLY the propose RPC into the
+# seen shards — it never filters rows out of the returned block, so every
+# output block is a pure function of its input block and task retries /
+# lineage recomputes trivially reproduce it (no dependence on task identity
+# or worker-process survival). Skipping an RPC is always safe because
+# SeenShard.propose is a commutative, idempotent min-depth merge: a
+# (hash, depth) already sent at equal-or-lower depth is a no-op at the
+# shard. Cross-batch duplicate ROWS flow through to the claim phase, which
+# arbitrates them exactly (competing claimants carry identical rows —
+# hash identity is the repo-wide url-identity convention). The cache is
+# therefore process-wide per (run, wave): sharing across tasks only
+# increases RPC savings, never changes any block's content.
 _PREDEDUP: dict = {}
 
 
@@ -761,17 +773,19 @@ def make_propose(seen_set, wave: int, run_key: str = "", cache_size: int = 2_000
 
     - within a batch: exact vectorized dedup, keep the min-depth row per
       url hash (identical hashes carry identical urls — hash identity is
-      the repo-wide convention);
-    - across batches of the SAME task: drop a row whose hash was already
-      passed through at an equal-or-lower depth (safe: the earlier row is
-      in the stream, and the claim phase keeps only the wave-min-depth row
-      per hash anyway). The cache clears when it exceeds ``cache_size``
-      (best-effort, like the reference's bounded LRU).
+      the repo-wide convention). This is a PURE row filter: the claim
+      phase keeps only the wave-min-depth row per hash anyway, so the
+      final frontier is unchanged.
+    - across batches (process-wide cache): SKIP the propose RPC for a
+      (hash, depth) already sent at equal-or-lower depth — but keep the
+      row in the output block, so block content never depends on cache
+      state and retries/lineage recomputes are exactly reproducible. The
+      cache clears when it exceeds ``cache_size`` (best-effort, like the
+      reference's bounded LRU).
 
-    Both steps only remove rows the exact claim arbitration would discard,
-    so the final frontier is unchanged; what they cut is duplicate
-    (hash, depth) traffic into the seen shards — hot urls are linked from
-    many pages of the same wave."""
+    What the cache cuts is duplicate (hash, depth) traffic into the seen
+    shards — hot urls are linked from many pages of the same wave; the
+    surviving duplicate ROWS are arbitrated exactly by claim (F1)."""
 
     def propose(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -787,42 +801,38 @@ def make_propose(seen_set, wave: int, run_key: str = "", cache_size: int = 2_000
         keep = np.zeros(len(h), dtype=bool)
         keep[order[first]] = True
 
-        # cross-batch (task-scoped, deterministic across retries)
-        try:
-            task_id = ray.get_runtime_context().get_task_id()
-        except Exception:
-            task_id = None
-        st = _prededup_state((run_key, wave, task_id), cache_size)
+        hk, dk = h[keep], d[keep]
+        # cross-batch RPC gate (never filters output rows — see _PREDEDUP)
+        st = _prededup_state((run_key, wave), cache_size)
+        rpc = np.ones(len(hk), dtype=bool)
         for ch, cd in [(st["h"], st["d"])] + st["pend"]:
             if len(ch):
-                pos = np.minimum(np.searchsorted(ch, h), len(ch) - 1)
-                keep &= ~((ch[pos] == h) & (cd[pos] <= d))
-        if not keep.any():
-            return batch.slice(0, 0)
+                pos = np.minimum(np.searchsorted(ch, hk), len(ch) - 1)
+                rpc &= ~((ch[pos] == hk) & (cd[pos] <= dk))
+        if rpc.any():
+            hp, dp = hk[rpc], dk[rpc]
+            seen_set.propose(hp, dp, wave)
 
-        hk, dk = h[keep], d[keep]
-        seen_set.propose(hk, dk, wave)
-
-        # amortized compaction: batches queue as SORTED ``pend`` chunks
-        # (each probed above) and fold into the main array only when they
-        # outgrow it or fragment (O(log) compactions per task)
-        po = np.argsort(hk, kind="stable")
-        st["pend"].append((hk[po], dk[po]))
-        st["pend_n"] += len(hk)
-        if len(st["pend"]) > 16 or st["pend_n"] >= max(65536, len(st["h"])):
-            merged_h = np.concatenate([st["h"]] + [p[0] for p in st["pend"]])
-            merged_d = np.concatenate([st["d"]] + [p[1] for p in st["pend"]])
-            mo = np.lexsort((merged_d, merged_h))
-            merged_h, merged_d = merged_h[mo], merged_d[mo]
-            mfirst = np.ones(len(merged_h), dtype=bool)
-            mfirst[1:] = merged_h[1:] != merged_h[:-1]
-            st["pend"], st["pend_n"] = [], 0
-            if int(mfirst.sum()) > st["cap"]:
-                st["h"] = np.empty(0, np.uint64)  # bounded: best-effort reset
-                st["d"] = np.empty(0, np.int64)
-            else:
-                st["h"] = merged_h[mfirst]
-                st["d"] = merged_d[mfirst]
+            # amortized compaction: proposed chunks queue as SORTED ``pend``
+            # chunks (each probed above) and fold into the main array only
+            # when they outgrow it or fragment (O(log) compactions)
+            po = np.argsort(hp, kind="stable")
+            st["pend"].append((hp[po], dp[po]))
+            st["pend_n"] += len(hp)
+            if len(st["pend"]) > 16 or st["pend_n"] >= max(65536, len(st["h"])):
+                merged_h = np.concatenate([st["h"]] + [p[0] for p in st["pend"]])
+                merged_d = np.concatenate([st["d"]] + [p[1] for p in st["pend"]])
+                mo = np.lexsort((merged_d, merged_h))
+                merged_h, merged_d = merged_h[mo], merged_d[mo]
+                mfirst = np.ones(len(merged_h), dtype=bool)
+                mfirst[1:] = merged_h[1:] != merged_h[:-1]
+                st["pend"], st["pend_n"] = [], 0
+                if int(mfirst.sum()) > st["cap"]:
+                    st["h"] = np.empty(0, np.uint64)  # bounded: best-effort reset
+                    st["d"] = np.empty(0, np.int64)
+                else:
+                    st["h"] = merged_h[mfirst]
+                    st["d"] = merged_d[mfirst]
         return batch.filter(pa.array(keep)) if not keep.all() else batch
 
     return propose

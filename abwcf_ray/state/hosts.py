@@ -233,8 +233,20 @@ _MODE_NAMES = np.array([ALLOW_ALL, ALLOW_NONE, ALLOW_SOME], dtype=object)
 
 
 def _mode_codes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Vectorized mode-string -> uint8 code (one arrow index_in pass)."""
-    return pc.index_in(col, _MODE_VALUES).to_numpy(zero_copy_only=False).astype(np.uint8)
+    """Vectorized mode-string -> uint8 code (one arrow index_in pass).
+
+    Raises on a mode outside the three known values (e.g. a corrupted or
+    hand-edited checkpoint read through restore→merge): index_in yields a
+    null there, which would otherwise round-trip NaN→uint8 into garbage
+    and silently assign the host an arbitrary mode."""
+    idx = pc.index_in(col, _MODE_VALUES)
+    if idx.null_count:
+        bad = pc.filter(col, pc.is_null(idx))
+        raise ValueError(
+            f"unknown robots mode value(s): {set(bad.to_pylist())!r} "
+            f"(expected one of {_MODE_NAMES.tolist()!r})"
+        )
+    return idx.to_numpy(zero_copy_only=False).astype(np.uint8)
 
 
 def budgets_for_delays(delays: np.ndarray, wave_duration_s: float) -> np.ndarray:

@@ -259,3 +259,21 @@ def test_columnar_state_matches_dict_model():
         )
         for bi, b in enumerate(bp):
             assert all(int(x) >> 61 == bi for x in b["hash"])
+
+
+def test_merge_fetched_rejects_unknown_mode():
+    """A corrupted/hand-edited checkpoint with a mode outside the three
+    known values must raise, not silently round-trip NaN->uint8 garbage
+    into an arbitrary mode (state/hosts._mode_codes)."""
+    state = HostsState(CFG)
+    bad = pa.table(
+        {
+            "host": pa.array(["https://h.example"]),
+            "rule_mode": pa.array(["ALLOW_SOMETIMES"]),  # not a known mode
+            "robot_rules": pa.array([""]),
+            "crawl_delay_ms": pa.array([1000], pa.int64()),
+            "valid_until_s": pa.array([1e9], pa.float64()),
+        }
+    )
+    with pytest.raises(ValueError, match="unknown robots mode"):
+        state.merge_fetched(bad)

@@ -197,3 +197,29 @@ def test_vectorized_rules_match_scalar_hypothesis(ray_session, pats, allows, url
     got = _allowed_mask(ray.put(payload), batch, True)
     want = np.array([rules.is_allowed(u) for u in urls])
     assert (got == want).all(), list(zip(urls, got, want))
+
+
+def test_rust_pattern_literal_backslash_z():
+    """A rule whose path literally contains backslash-Z must match the same
+    URLs on the Rust (polars) fast path as on the Python re fallback: the
+    old blanket ``pattern.replace('\\Z', '\\z')`` rewrote the tail of the
+    ESCAPED literal, silently changing the matched byte."""
+    import polars as pl
+
+    from abwcf_ray.functions.robots import _pattern_to_regex, _pattern_to_rust
+
+    targets = ["/a\\Zb", "/a\\zb", "/aZb", "/x", "/a\\Z", "/a\\z"]
+    s = pl.Series(targets)
+    for rule in ["/a\\Z", "/a\\Zb$", "/a*\\Z", "/a\\Z$"]:
+        py = _pattern_to_regex(rule)
+        rust = _pattern_to_rust(rule)
+        want = [bool(py.match(t)) for t in targets]
+        got = s.str.contains(rust).fill_null(False).to_list()
+        assert got == want, (rule, rust, py.pattern, want, got)
+    # and the anchor itself still translates: '$'-anchored rules match
+    # end-of-string on both engines
+    py = _pattern_to_regex("/exact$")
+    rust = _pattern_to_rust("/exact$")
+    s2 = pl.Series(["/exact", "/exactly", "/exact/"])
+    assert s2.str.contains(rust).to_list() == [True, False, False]
+    assert [bool(py.match(t)) for t in s2.to_list()] == [True, False, False]

@@ -145,15 +145,29 @@ def test_seen_set_checkpoint_roundtrip(ray_session, tmp_path):
 
 def test_propose_prededup_semantics(ray_session):
     """B6 (UrlDeduplicator.scala best-effort pre-dedup): within a batch the
-    propose stage keeps one row per url hash at MIN depth; across batches of
-    the same task it drops rows already passed at equal-or-lower depth but
-    NEVER a strictly lower-depth row (which the claim phase must see)."""
+    propose stage keeps one row per url hash at MIN depth (a pure row
+    filter); across batches the cache only SKIPS redundant propose RPCs for
+    (hash, depth) already sent at equal-or-lower depth — output blocks are a
+    pure function of their input, so a retried / lineage-recomputed task
+    reproduces its block exactly regardless of cache state."""
     import pyarrow as pa
 
     from abwcf_ray.state.seen import SeenSet
     from abwcf_ray.stages.transform import _PREDEDUP, make_propose
 
-    seen = SeenSet(num_shards=2)
+    class RecordingSeen:
+        """Wraps SeenSet.propose to observe which (hash, depth) hit the RPC."""
+
+        def __init__(self, inner):
+            self.inner = inner
+            self.calls = []
+
+        def propose(self, hashes, depths, wave):
+            self.calls.append((hashes.copy(), depths.copy()))
+            self.inner.propose(hashes, depths, wave)
+
+    inner = SeenSet(num_shards=2)
+    seen = RecordingSeen(inner)
     _PREDEDUP.clear()
     stage = make_propose(seen, wave=0, run_key="t1", cache_size=1000)
 
@@ -170,8 +184,10 @@ def test_propose_prededup_semantics(ray_session):
         ("https://a/x", 1),
         ("https://b/y", 2),
     ]
+    assert len(seen.calls) == 1 and len(seen.calls[0][0]) == 2
 
-    # equal/higher depth duplicate across batches -> dropped
+    # equal/higher depth duplicate across batches: row STAYS in the output
+    # (block content is cache-independent) but its RPC is skipped
     b2 = pa.table(
         {
             "url": pa.array(["https://a/x", "https://c/z"]),
@@ -180,9 +196,12 @@ def test_propose_prededup_semantics(ray_session):
         }
     )
     out2 = stage(b2)
-    assert out2.column("url").to_pylist() == ["https://c/z"]
+    assert sorted(out2.column("url").to_pylist()) == ["https://a/x", "https://c/z"]
+    assert len(seen.calls) == 2
+    assert len(seen.calls[1][0]) == 1  # only c/z proposed; a/x@5 skipped
+    assert seen.calls[1][1].tolist() == [0]
 
-    # STRICTLY LOWER depth re-discovery must pass through
+    # STRICTLY LOWER depth re-discovery must reach the shard
     b3 = pa.table(
         {
             "url": pa.array(["https://a/x"]),
@@ -192,6 +211,16 @@ def test_propose_prededup_semantics(ray_session):
     )
     out3 = stage(b3)
     assert out3.column("url").to_pylist() == ["https://a/x"]
+    assert len(seen.calls) == 3 and seen.calls[2][1].tolist() == [0]
+
+    # replaying the SAME block through a fresh stage (simulated task retry /
+    # lineage recompute with warm process cache) reproduces it byte-for-byte
+    # even though every RPC is now skipped
+    retry = make_propose(seen, wave=0, run_key="t1", cache_size=1000)
+    n_calls = len(seen.calls)
+    assert retry(b1).equals(out1)
+    assert retry(b2).equals(out2)
+    assert len(seen.calls) == n_calls  # all RPCs cache-skipped
 
     # a different run key shares nothing (no cross-run contamination)
     stage_other = make_propose(seen, wave=0, run_key="t2", cache_size=1000)
@@ -199,11 +228,14 @@ def test_propose_prededup_semantics(ray_session):
     assert sorted(out_other.column("url").to_pylist()) == ["https://a/x", "https://c/z"]
 
     # the cache is bounded: a tiny cap forces resets; duplicate-only batches
-    # still drop (recent pend chunks probe) and NEW urls still pass through
+    # still skip their RPCs (recent pend chunks probe) and NEW urls still
+    # reach the shard
     small = make_propose(seen, wave=0, run_key="t3", cache_size=1)
     for _ in range(3):
         small(b1)
-    assert small(b1).num_rows == 0  # pure duplicates of earlier batches
+    n_calls = len(seen.calls)
+    assert small(b1).num_rows == 2  # intra-batch dedup only; rows kept
+    assert len(seen.calls) == n_calls  # ...but no RPC fired
     b4 = pa.table(
         {
             "url": pa.array(["https://new/1"]),
@@ -212,3 +244,6 @@ def test_propose_prededup_semantics(ray_session):
         }
     )
     assert small(b4).column("url").to_pylist() == ["https://new/1"]
+    assert len(seen.calls) == n_calls + 1
+
+    inner.shutdown()
