@@ -80,6 +80,52 @@ def test_fingerprint_stability(docs):
     assert out["fingerprint"].astype("uint64").nunique() > 1
 
 
+def test_fingerprint_matches_scalar_reference():
+    """Differential check of the batch fingerprint kernel against a plain
+    per-document computation of the same token-hash-mix scheme (FNV-style
+    combine over each ``window``-gram of token hashes, min over grams)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from abwcf_ray.functions.hashing import hash64
+    from abwcf_ray.stages.dedup import _FNV_OFFSET64, _FNV_PRIME64
+    from abwcf_ray.stages.text import add_fingerprint
+
+    window = 4
+    texts = [
+        "a b c d e f g",          # longer than the window
+        "a b c",                  # shorter -> one gram over all tokens
+        "x",                      # single token
+        "",                       # empty -> fp 0
+        "a b c d e f g",          # duplicate of row 0
+        "  spaced   out   tokens   here   now ",
+    ]
+
+    def scalar_fp(t: str) -> int:
+        toks = t.split()
+        if not toks:
+            return 0
+        H = hash64(toks)
+        n = len(toks)
+        grams = (
+            [H] if n < window
+            else [H[j : j + window] for j in range(n - window + 1)]
+        )
+        best = None
+        for g in grams:
+            c = _FNV_OFFSET64
+            for h in g:
+                c = np.uint64((c ^ h) * _FNV_PRIME64)
+            best = c if best is None else min(best, c)
+        return int(best)
+
+    batch = pa.table({"text": pa.array(texts, pa.string())})
+    got = add_fingerprint(batch, window=window).column("fingerprint").to_pylist()
+    want = [scalar_fp(t) for t in texts]
+    assert got == want
+    assert got[0] == got[4] and got[3] == 0
+
+
 def test_exact_dedup(docs):
     from abwcf_ray.stages.dedup import exact_dedup
 
