@@ -78,14 +78,20 @@ class CrawlConfig:
 
     # Partitioning / parallelism (derive from cluster size where possible)
     seen_shards: int = 8
+    # side-channel accumulator pools (reject set / new-host counts): shard
+    # count for state.seen.RejectSink / HostCountSink — sized so a
+    # reject-heavy wave (a large frontier slice flipping Disallowed) never
+    # serializes through one actor queue
+    accum_shards: int = 8
     corpus_buckets: int = 32
     batch_size: int = 8192
     fetch_concurrency: int | None = None  # None -> let Ray autoscale tasks
 
     # B6 — approximate pre-dedup (UrlDeduplicator.scala: best-effort LRU in
-    # front of the exact dedup): per-task cache of proposed (url_hash,
-    # min_depth); duplicate candidates are dropped before the seen-shard
-    # RPC. The cache resets past this many distinct hashes (bounded memory,
+    # front of the exact dedup): per-process cache of proposed (url_hash,
+    # min_depth) that SKIPS redundant seen-shard propose RPCs (it never
+    # filters rows — block content stays a pure function of block input).
+    # The cache resets past this many distinct hashes (bounded memory,
     # best-effort like the reference's LRU).
     prededup_cache_size: int = 2_000_000
 

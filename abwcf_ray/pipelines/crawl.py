@@ -82,7 +82,7 @@ from abwcf_ray.stages.transform import (
 )
 from abwcf_ray.stages.transform import partial_host_counts
 from abwcf_ray.state.hosts import HostsState, RobotsFetchSim
-from abwcf_ray.state.seen import RejectAccumulator, SeenSet, TokenHostCountAccumulator
+from abwcf_ray.state.seen import HostCountSink, RejectSink, SeenSet
 
 # Hosts fetched per wave below this threshold are resolved on the driver
 # (measured: 20k sim-lookups+parses take ~0.5 s, while spinning the Ray
@@ -602,8 +602,8 @@ def run_crawl(
     normalize = make_normalize_stage(cfg)
     scope = make_scope_filter_stage(cfg)
 
-    reject_accum = RejectAccumulator.remote()
-    host_accum = TokenHostCountAccumulator.remote()
+    reject_accum = RejectSink(cfg.accum_shards)
+    host_accum = HostCountSink(cfg.accum_shards)
     # fetch substrate: prefer the hash-sorted layout (row-group-pruned reads,
     # O(selected) per wave); fall back to the full-corpus broadcast semi-join
     # scan for corpora without it. The fallback read op is created ONCE:
@@ -721,7 +721,7 @@ def run_crawl(
                 batch_format="pyarrow",
             )
         selected_raw = select_wave(allowed, sched_ref, n_eligible_hint=n_eligible)
-        disallowed_hashes, disallowed_counts = ray.get(reject_accum.drain.remote())
+        disallowed_hashes, disallowed_counts = reject_accum.drain()
         n_selected = len(selected_raw)
         budget_left = cfg.max_pages - total_fetched
         metrics["n_disallowed"] = int(len(disallowed_hashes))
@@ -935,7 +935,7 @@ def run_crawl(
         if not any(delta_dir.glob("*.parquet")):
             # zero-claim wave: keep the dir readable in the chain union
             pq.write_table(FRONTIER_SCHEMA.empty_table(), delta_dir / "part-empty.parquet")
-        new_host_counts = ray.get(host_accum.drain.remote())
+        new_host_counts = host_accum.drain()
         flips_path = wdir / "flips.parquet"
         _write_flips(flips_path, sel_sorted, disallowed_hashes)
         chain.add_wave(delta_dir, flips_path, sel_sorted, disallowed_hashes)

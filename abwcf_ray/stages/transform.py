@@ -450,10 +450,10 @@ def make_strict_robots_filter(hosts_ref, reject_accum=None):
             rej_arr = pa.array(rejected_mask)
             rejected = hash64(pc.filter(batch.column("url"), rej_arr))
             rej_hosts = pc.filter(batch.column("host"), rej_arr).to_pylist()
-            # synchronous add: guarantees the accumulator has applied this
-            # batch's rejects before the pass is considered complete
-            # (hash-keyed, so task retries are idempotent)
-            ray.get(reject_accum.add.remote(rejected, rej_hosts))
+            # RejectSink.add: parallel hash-sharded adds with one barrier —
+            # applied before the pass completes (hash-keyed, so task
+            # retries are idempotent); see state/seen.RejectSink
+            reject_accum.add(rejected, rej_hosts)
         return batch.filter(pa.array(mask))
 
     return strict_robots
@@ -857,9 +857,6 @@ def claim_batch(
     out = batch.filter(pa.array(mask))
     if host_accum is not None and out.num_rows:
         vc = out.column("host").to_pandas().value_counts()
-        ray.get(
-            host_accum.add.remote(
-                token, vc.index.tolist(), [int(x) for x in vc.to_numpy()]
-            )
-        )
+        # HostCountSink.add: parallel hash(host)-sharded, token-idempotent
+        host_accum.add(token, vc.index.tolist(), [int(x) for x in vc.to_numpy()])
     return out

@@ -247,3 +247,31 @@ def test_propose_prededup_semantics(ray_session):
     assert len(seen.calls) == n_calls + 1
 
     inner.shutdown()
+
+
+def test_sharded_sinks_merge_and_idempotence(ray_session):
+    """RejectSink / HostCountSink (sharded side-channel accumulators):
+    drain merges shard-disjoint slices exactly; hash-keyed re-adds and
+    token-keyed retried contributions cannot double-count."""
+    import numpy as np
+
+    from abwcf_ray.state.seen import HostCountSink, RejectSink
+
+    rs = RejectSink(3)
+    h = np.arange(100, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    hosts = [f"https://h{i % 5}" for i in range(100)]
+    rs.add(h, hosts)
+    rs.add(h[:40], hosts[:40])  # retried batch: same keys, no double count
+    arr, counts = rs.drain()
+    assert len(arr) == 100 and (np.diff(arr.astype(np.int64)) != 0).all()
+    assert sum(counts.values()) == 100 and counts["https://h0"] == 20
+    arr2, counts2 = rs.drain()  # drained -> empty
+    assert len(arr2) == 0 and counts2 == {}
+
+    hs = HostCountSink(3)
+    hs.add(0, ["https://a", "https://b"], [3, 4])
+    hs.add(1, ["https://a"], [5])
+    hs.add(0, ["https://a", "https://b"], [3, 4])  # retried token 0
+    merged = hs.drain()
+    assert merged == {"https://a": 8, "https://b": 4}
+    assert hs.drain() == {}

@@ -146,7 +146,7 @@ def test_strict_filter_defers_unknown_hosts(ray_session):
     import ray
 
     from abwcf_ray.functions.robots import parse_robots_txt
-    from abwcf_ray.state.seen import RejectAccumulator
+    from abwcf_ray.state.seen import RejectSink
     from abwcf_ray.stages.transform import make_strict_robots_filter
     from abwcf_ray.functions.hashing import hash64
 
@@ -157,7 +157,7 @@ def test_strict_filter_defers_unknown_hosts(ray_session):
     payload = rules_payload_from_dict(
         {known: (rules.mode, rules.serialize_rules(), rules.crawl_delay_ms)}
     )
-    accum = RejectAccumulator.remote()
+    accum = RejectSink(2)
     stage = make_strict_robots_filter(ray.put(payload), accum)
     batch = pa.table(
         {
@@ -173,7 +173,7 @@ def test_strict_filter_defers_unknown_hosts(ray_session):
     )
     out = stage(batch)
     assert out.column("url").to_pylist() == ["https://known.example/ok"]
-    rejected, rej_counts = ray.get(accum.drain.remote())
+    rejected, rej_counts = accum.drain()
     # only the known-rules reject is in the accumulator; the unknown host
     # is deferred, not Disallowed
     assert set(rejected.tolist()) == {int(hash64(["https://known.example/private/x"])[0])}
@@ -191,7 +191,7 @@ def test_bucketed_robots_filter_matches_broadcast(ray_session):
     from abwcf_ray.functions.hashing import hash64
     from abwcf_ray.functions.robots import parse_robots_txt
     from abwcf_ray.state.hosts import HostsState, RobotsFetchSim  # noqa: F401
-    from abwcf_ray.state.seen import RejectAccumulator
+    from abwcf_ray.state.seen import RejectSink
     from abwcf_ray.stages.transform import (
         apply_robots_filter_bucketed,
         make_lenient_robots_filter,
@@ -247,18 +247,18 @@ def test_bucketed_robots_filter_matches_broadcast(ray_session):
     assert got == want and len(want) < cand.num_rows
 
     # strict (fail-close + reject side-channel)
-    acc_a = RejectAccumulator.remote()
+    acc_a = RejectSink(2)
     want_s = sorted(
         make_strict_robots_filter(payload_ref, acc_a)(cand).column("url").to_pylist()
     )
-    rej_a, _ = ray.get(acc_a.drain.remote())
-    acc_b = RejectAccumulator.remote()
+    rej_a, _ = acc_a.drain()
+    acc_b = RejectSink(2)
     got_s = sorted(
         apply_robots_filter_bucketed(ds, bucket_refs, bits, strict=True, reject_accum=acc_b)
         .to_pandas()["url"]
         .tolist()
     )
-    rej_b, _ = ray.get(acc_b.drain.remote())
+    rej_b, _ = acc_b.drain()
     assert got_s == want_s and len(want_s) < len(want)
     assert sorted(rej_a.tolist()) == sorted(rej_b.tolist()) and len(rej_a)
 
