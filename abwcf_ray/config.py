@@ -84,6 +84,10 @@ class CrawlConfig:
     # serializes through one actor queue
     accum_shards: int = 8
     corpus_buckets: int = 32
+    # above this many eligible rows the wave's selected set is ranked with
+    # a distributed Ray sort (stages/schedule.rank_selected_ds) instead of
+    # driver pandas — identical output, parity-tested
+    rank_distributed_min: int = 1_000_000
     batch_size: int = 8192
     fetch_concurrency: int | None = None  # None -> let Ray autoscale tasks
 

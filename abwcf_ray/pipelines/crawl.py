@@ -62,7 +62,7 @@ from abwcf_ray.stages.fetch import (
     make_fetch_scan,
     plan_pruned_fetch,
 )
-from abwcf_ray.stages.schedule import rank_selected, select_wave
+from abwcf_ray.stages.schedule import rank_selected, rank_selected_ds, select_wave
 from abwcf_ray.stages.transform import (
     FRONTIER_SCHEMA,
     STATUS_DISALLOWED,
@@ -720,7 +720,17 @@ def run_crawl(
                 make_strict_robots_filter(hosts_ref, reject_accum),
                 batch_format="pyarrow",
             )
-        selected_raw = select_wave(allowed, sched_ref, n_eligible_hint=n_eligible)
+        # past rank_distributed_min eligible rows the selected set may be
+        # too large to sort on the driver: keep it distributed and rank it
+        # with a Ray sort (rank_selected_ds); below, the driver pandas path
+        # is lower-latency (both produce identical frames — parity test in
+        # tests/test_schedule_seen.py)
+        rank_distributed = n_eligible > cfg.rank_distributed_min
+        selected_raw = select_wave(
+            allowed, sched_ref, n_eligible_hint=n_eligible, as_dataset=rank_distributed
+        )
+        if rank_distributed:
+            selected_raw = rank_selected_ds(selected_raw)
         disallowed_hashes, disallowed_counts = reject_accum.drain()
         n_selected = len(selected_raw)
         budget_left = cfg.max_pages - total_fetched
@@ -757,10 +767,10 @@ def run_crawl(
             log(f"[crawl] wave {wave}: frontier drained, stopping")
             break
 
-        # canonical ordering + budget trim (driver-side: the selected set is
-        # politeness-bounded; at 10^8-host scale this becomes a distributed
-        # sort by (priority desc, url asc) + limit)
-        sel_df = rank_selected(selected_raw)
+        # canonical ordering + budget trim: driver pandas on small waves
+        # (politeness-bounded selected set); past rank_distributed_min the
+        # ranking already ran as a distributed Ray sort (rank_selected_ds)
+        sel_df = selected_raw if rank_distributed else rank_selected(selected_raw)
         if len(sel_df) > budget_left:
             sel_df = sel_df.iloc[: int(budget_left)].copy()
         sel_df["wave"] = np.int32(wave)

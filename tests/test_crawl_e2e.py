@@ -385,3 +385,24 @@ def test_resume_from_status_split_base(ray_session, corpus, tmp_path_factory, or
         got[["url", "status", "depth", "priority"]].astype({"depth": "int64"}),
         exp.astype({"depth": "int64"}),
     )
+
+
+def test_distributed_rank_wave_matches_oracle(ray_session, corpus, oracle, tmp_path_factory):
+    """Forcing the distributed selected-set ranking (rank_distributed_min=0
+    -> every wave takes the Ray-sort rank_selected_ds path) must reproduce
+    the oracle fetch order and final frontier exactly — threshold parity
+    for the huge-wave path."""
+    import dataclasses
+
+    from abwcf_ray.pipelines.crawl import run_crawl
+
+    cfg = dataclasses.replace(CFG, rank_distributed_min=0)
+    out = tmp_path_factory.mktemp("crawl_distrank")
+    summary = run_crawl(cfg, corpus, out, log=lambda *_: None)
+    for wave, expected in enumerate(oracle.order):
+        sel = pads.dataset(str(out / f"wave_{wave:04d}" / "selected")).to_table().to_pandas()
+        sel = sel.sort_values("global_rank")
+        got = list(zip(sel["host"], sel["rank_in_host"], sel["url"]))
+        assert got == expected, f"wave {wave} fetch order diverges (distributed rank)"
+    got_f = _final_frontier(out, summary)
+    assert len(got_f) == len(oracle.frontier)

@@ -275,3 +275,31 @@ def test_sharded_sinks_merge_and_idempotence(ray_session):
     merged = hs.drain()
     assert merged == {"https://a": 8, "https://b": 4}
     assert hs.drain() == {}
+
+
+def test_rank_selected_distributed_parity(ray_session):
+    """rank_selected_ds (distributed Ray sort + block-assembled rank
+    columns) must equal rank_selected (driver pandas) row-for-row and
+    dtype-for-dtype, on a skewed multi-block selected set."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.schedule import rank_selected, rank_selected_ds
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    host_ids = rng.integers(0, 37, n)
+    # heavy-hitter host + priority ties to exercise the url tiebreak
+    host_ids[: n // 4] = 5
+    t = pa.table(
+        {
+            "url": pa.array([f"https://h{h}.example/p{i:05d}" for i, h in enumerate(host_ids)]),
+            "host": pa.array([f"https://h{h}.example" for h in host_ids]),
+            "depth": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+            "priority": pa.array(rng.integers(0, 50, n).astype(np.int64), pa.int64()),
+        }
+    )
+    want = rank_selected(t.to_pandas())
+    got = rank_selected_ds(rd.from_arrow(t).repartition(9))
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()].reset_index(drop=True), want
+    )
