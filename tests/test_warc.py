@@ -264,3 +264,33 @@ def test_crawl_over_warc_ingested_corpus_matches_oracle(ray_session, tmp_path):
         exp.astype({"depth": "int64"}),
     )
     assert summary.total_fetched > 0
+
+
+def test_gz_shard_streaming_peak_memory(tmp_path):
+    """A multi-member .warc.gz shard parses at O(record) peak memory: the
+    decompressed shard (here ~60 MB of highly compressible bodies) must
+    never materialize as one buffer (round-3 VERDICT 'Missing' #4)."""
+    import tracemalloc
+
+    from abwcf_ray.sources.warc import _iter_warc_stream, _open_warc_stream
+
+    body = b"x" * 500_000  # 0.5 MB per record, 120 records = 60 MB raw
+    rows = [
+        {"url": f"https://m.example/{i}", "warc_ts": 1_700_000_000_000_000 + i, "html": body}
+        for i in range(120)
+    ]
+    p = tmp_path / "big.warc.gz"
+    write_warc_shard(p, rows, compress=True)
+    blob = p.read_bytes()
+    assert len(blob) < 5_000_000  # compresses tiny
+
+    tracemalloc.start()
+    n = 0
+    for rec in _iter_warc_stream(_open_warc_stream(blob)):
+        assert rec["html"] == body
+        n += 1
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert n == 120
+    # streaming: peak ~ a few records; whole-shard decompression would be >= 60 MB
+    assert peak < 20_000_000, f"peak {peak} bytes suggests whole-shard materialization"
