@@ -117,6 +117,12 @@ class CrawlConfig:
     # deltas, the wave folds base+deltas+flips into a fresh materialized
     # frontier (bounds read fan-in and the broadcast flips array).
     frontier_compact_every: int = 8
+    # hard bound on the broadcast flips array, in cumulative flip hashes
+    # (8 B each): compaction also fires once the chain's flips exceed this
+    # many entries, regardless of delta count — a 10^7-page wave cadence
+    # cannot grow the broadcast past ~this x 8 bytes (~128 MB at the
+    # default) between compactions (round-3 VERDICT 'Next round' #8)
+    frontier_compact_max_flips: int = 16_000_000
 
     # Priority function: "breadth_first_hash" (deterministic default),
     # "breadth_first", "depth_first", "random" (seeded) — or a CALLABLE

@@ -978,10 +978,15 @@ def run_crawl(
         else:
             host_ledger.prune()
 
-        # periodic compaction: bound the chain length and the broadcast
+        # periodic compaction: bound the chain length AND the broadcast
         # flips array (the only O(frontier) write, amortized over
-        # frontier_compact_every waves)
-        if len(chain.deltas) >= cfg.frontier_compact_every:
+        # frontier_compact_every waves; the flips-size trigger is a hard
+        # byte bound — 10^7-page waves fill it long before the delta count)
+        n_flips = len(chain.cum_processed) + len(chain.cum_disallowed)
+        if (
+            len(chain.deltas) >= cfg.frontier_compact_every
+            or n_flips >= cfg.frontier_compact_max_flips
+        ):
             _compact_frontier(chain, wdir / "frontier")
             _mark("frontier_compact")
 

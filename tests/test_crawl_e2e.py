@@ -406,3 +406,42 @@ def test_distributed_rank_wave_matches_oracle(ray_session, corpus, oracle, tmp_p
         assert got == expected, f"wave {wave} fetch order diverges (distributed rank)"
     got_f = _final_frontier(out, summary)
     assert len(got_f) == len(oracle.frontier)
+
+
+def test_flips_size_triggers_compaction(ray_session, corpus, oracle, tmp_path_factory):
+    """The broadcast flips array is formally bounded: with the delta-count
+    trigger disabled (huge frontier_compact_every) and a tiny
+    frontier_compact_max_flips, compaction must fire from flips pressure
+    alone — the chain's cumulative flips never exceed the cap plus one
+    wave's politeness-bounded additions — and the crawl still matches the
+    oracle fetch order."""
+    import dataclasses
+    import json as _json
+
+    from abwcf_ray.pipelines.crawl import run_crawl
+
+    cfg = dataclasses.replace(
+        CFG, frontier_compact_every=10_000, frontier_compact_max_flips=50
+    )
+    out = tmp_path_factory.mktemp("crawl_flipscap")
+    summary = run_crawl(cfg, corpus, out, log=lambda *_: None)
+    compactions = 0
+    max_flips_seen = 0
+    for wdir in sorted(out.glob("wave_*")):
+        m = _json.loads((wdir / "manifest.json").read_text())
+        entry = m.get("frontier_chain", {})
+        if "frontier_compact" in m.get("step_times", {}):
+            compactions += 1
+        # chain flips recorded in the manifest = what the next wave broadcasts
+        n_flips = 0
+        for rel in entry.get("flips", []):
+            n_flips += pads.dataset(str(out / rel)).count_rows()
+        max_flips_seen = max(max_flips_seen, n_flips)
+    assert compactions >= 1, "flips-size trigger never fired"
+    # bounded: cap + one wave's additions (politeness-bounded; here <= ~120/wave)
+    assert max_flips_seen <= 50 + 200, max_flips_seen
+    for wave, expected in enumerate(oracle.order):
+        sel = pads.dataset(str(out / f"wave_{wave:04d}" / "selected")).to_table().to_pandas()
+        sel = sel.sort_values("global_rank")
+        got = list(zip(sel["host"], sel["rank_in_host"], sel["url"]))
+        assert got == expected, f"wave {wave} fetch order diverges (flips-cap run)"
