@@ -227,6 +227,186 @@ def run_bench() -> dict:
     return result
 
 
+def run_steady() -> dict:
+    """Multi-wave steady-state benchmark (round-3 VERDICT 'Next round' #1):
+    run GRAFT_STEADY_WAVES (default 30) politeness waves over a GROWING
+    frontier (a quarter of the corpus seeded, discoveries fill the rest)
+    and measure the delta-chain design's central claim — per-wave cost
+    stays flat as the frontier matures, compaction stays an amortized
+    fraction, and the chain-read overhead (base + K deltas) is bounded.
+
+    The fixture corpus has a power-law host-size distribution (like the
+    web), so the politeness load per wave decays as small hosts drain —
+    per-wave WALL time therefore tracks the load down. The claim under
+    test is that cost tracks LOAD and never the FRONTIER (which grows
+    monotonically all run): the load-independent overhead per wave
+    (everything but the fetch/parse/candidate pass and the selection —
+    frontier tee, host histogram/prep, seen checkpoint, manifest) must
+    stay flat while the frontier multiplies.
+
+    Reported aggregates:
+    - ``overhead_by_third``: mean per-wave overhead_s over the first /
+      middle / last third of non-compaction waves, with the frontier rows
+      at each third — the flat-cost-vs-growing-frontier evidence;
+    - ``flatness``: max/median duration over SATURATED non-compaction
+      waves (n_selected within 20% of the max) when several exist;
+    - ``compaction_share``: Σ frontier_compact step time / total wave time;
+    - ``duration_by_chain_len``: mean non-compaction wave duration grouped
+      by the chain's delta count — the measured chain-read overhead;
+    - ``max_flips_broadcast``: the largest cumulative flips array any wave
+      broadcast (bounded by frontier_compact_max_flips + one wave)."""
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    os.environ.setdefault("RAYON_NUM_THREADS", "1")
+
+    import shutil
+
+    import pyarrow.dataset as pads
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from abwcf_ray.config import CrawlConfig
+    from abwcf_ray.pipelines.crawl import run_crawl
+
+    corpus = _corpus()
+    n_waves = int(os.environ.get("GRAFT_STEADY_WAVES", "30"))
+    cfg = CrawlConfig(
+        max_waves=n_waves,
+        # k_h = 1 per politeness window: every host contributes one page
+        # per wave, so each host's ~50-page queue (600k pages / 12k hosts)
+        # sustains politeness-SATURATED comparable waves for the whole run
+        # — the flatness measurement needs waves of equal politeness load,
+        # not a draining frontier
+        wave_duration_s=float(os.environ.get("GRAFT_STEADY_WAVE_S", "1.0")),
+        seen_shards=16,
+        corpus_buckets=corpus.num_buckets,
+        max_crawl_depth=64,
+    )
+    all_urls = (
+        pads.dataset(corpus.pages_dir).to_table(columns=["url"]).column("url").to_pylist()
+    )
+    # growing frontier: a 1/16 seed slice, discoveries multiply the
+    # frontier severalfold over the run (the overhead-vs-frontier claim
+    # needs real growth to test against)
+    seeds = all_urls[:: int(os.environ.get("GRAFT_STEADY_SEED_STRIDE", "16"))]
+    out_dir = Path(f"/tmp/abwcf_bench_steady_{NUM_CPUS}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    summary = run_crawl(cfg, corpus, out_dir, seeds=seeds, log=lambda *_: None)
+    wall = time.perf_counter() - t0
+
+    waves = []
+    for w in summary.per_wave:
+        entry = w.get("frontier_chain", {})
+        flips_rows = 0
+        for rel in entry.get("flips", []):
+            try:
+                flips_rows += pads.dataset(str(out_dir / rel)).count_rows()
+            except Exception:
+                pass
+        st = w.get("step_times", {})
+        # load-proportional steps: the fused fetch/parse/candidate pass and
+        # the politeness selection; everything else is per-wave overhead
+        # that must NOT grow with the frontier
+        load_s = st.get("fetch_candidates", 0.0) + st.get("select", 0.0)
+        overhead_s = (
+            (w.get("duration_s") or 0.0) - load_s - st.get("frontier_compact", 0.0)
+        )
+        waves.append(
+            {
+                "wave": w.get("wave"),
+                "duration_s": w.get("duration_s"),
+                "n_selected": w.get("n_selected", 0),
+                "n_new": w.get("n_new", 0),
+                "n_frontier": w.get("n_frontier"),
+                "chain_deltas": len(entry.get("deltas", [])),
+                "flips_broadcast_rows": flips_rows,
+                "compact_s": st.get("frontier_compact", 0.0),
+                "overhead_s": round(overhead_s, 3),
+                "step_times": st,
+            }
+        )
+
+    sel_max = max((w["n_selected"] for w in waves), default=0)
+    noncompact = [w for w in waves if w["compact_s"] == 0.0]
+    saturated = [w for w in noncompact if sel_max and w["n_selected"] >= 0.8 * sel_max]
+    durs = sorted(w["duration_s"] for w in saturated)
+    median = durs[len(durs) // 2] if durs else None
+    flatness = round(max(durs) / median, 3) if durs and median else None
+    compact_total = sum(w["compact_s"] for w in waves)
+    total_dur = sum(w["duration_s"] for w in waves) or 1e-9
+    by_chain: dict[int, list[float]] = {}
+    for w in noncompact:
+        by_chain.setdefault(w["chain_deltas"], []).append(w["duration_s"])
+    # overhead vs frontier growth: thirds of the non-compaction run
+    thirds = []
+    n3 = max(1, len(noncompact) // 3)
+    for i in range(3):
+        chunk = noncompact[i * n3 : (i + 1) * n3] if i < 2 else noncompact[2 * n3 :]
+        if chunk:
+            thirds.append(
+                {
+                    "waves": [chunk[0]["wave"], chunk[-1]["wave"]],
+                    "mean_overhead_s": round(
+                        sum(w["overhead_s"] for w in chunk) / len(chunk), 3
+                    ),
+                    "mean_frontier_rows": int(
+                        sum(w["n_frontier"] or 0 for w in chunk) / len(chunk)
+                    ),
+                    "mean_selected": int(
+                        sum(w["n_selected"] for w in chunk) / len(chunk)
+                    ),
+                }
+            )
+    result = {
+        "metric": f"steady-state crawl: {len(waves)} waves, growing frontier "
+        f"(corpus n_pages={corpus.n_pages}, seeds={len(seeds)})",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "num_cpus": NUM_CPUS,
+        "waves": len(waves),
+        "total_fetched": summary.total_fetched,
+        "final_frontier_rows": summary.final_frontier_rows,
+        "saturated_waves": len(saturated),
+        "median_wave_s": median,
+        "min_wave_s": durs[0] if durs else None,
+        "max_wave_s": durs[-1] if durs else None,
+        "flatness_max_over_median": flatness,
+        "compaction_share": round(compact_total / total_dur, 4),
+        "compaction_waves": sum(1 for w in waves if w["compact_s"] > 0),
+        "max_flips_broadcast_rows": max(
+            (w["flips_broadcast_rows"] for w in waves), default=0
+        ),
+        "overhead_by_third": thirds,
+        "frontier_growth": round(
+            (waves[-1]["n_frontier"] or 1) / max(1, waves[0]["n_frontier"] or 1), 2
+        )
+        if waves
+        else None,
+        "duration_by_chain_len": {
+            str(k): round(sum(v) / len(v), 3) for k, v in sorted(by_chain.items())
+        },
+        "per_wave": [
+            {k: w[k] for k in (
+                "wave", "duration_s", "overhead_s", "n_selected", "n_new",
+                "n_frontier", "chain_deltas", "flips_broadcast_rows", "compact_s",
+            )}
+            for w in waves
+        ],
+    }
+    ray.shutdown()
+    return result
+
+
 def _parse_kernel_worker(args):
     """Pure-Python parse over a fixed page set — the hardware-calibration
     kernel. No Ray, no engine stages: just the same parse_document the wave
@@ -432,6 +612,8 @@ def run_scaling(legs: tuple[int, int] | None = None) -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--steady" in sys.argv:
+        print(json.dumps(run_steady()))
     elif "--hw-probe" in sys.argv:
         n = int(sys.argv[sys.argv.index("--hw-probe") + 1])
         v = hw_percore_once(n)
