@@ -124,6 +124,18 @@ class CrawlConfig:
     # default) between compactions (round-3 VERDICT 'Next round' #8)
     frontier_compact_max_flips: int = 16_000_000
 
+    # E2 — bandwidth split (reference.conf:137,144; FetcherManager.scala:66):
+    # the reference divides a per-node bandwidth budget among fetchers and
+    # caps concurrent fetchers at total // min-per-fetcher (5 MB/s /
+    # 200 kB/s -> <= 25). A fetch-sim has no wall-clock bandwidth to
+    # throttle, but the budget's BINDING consequence — the concurrent-
+    # fetcher cap — is enforced for real: when a budget is set, the fetch
+    # stage runs with Ray concurrency = derived max fetchers (recorded in
+    # the wave manifest). None = uncapped (sim default). Results are
+    # identical either way; only fetch parallelism changes.
+    total_bandwidth_budget_bps: int | None = None
+    min_bandwidth_per_fetcher_bps: int = 200_000
+
     # Priority function: "breadth_first_hash" (deterministic default),
     # "breadth_first", "depth_first", "random" (seeded) — or a CALLABLE
     # ``batch(pa.Table[url, host, depth]) -> int64 ndarray`` (the rebuild of

@@ -802,6 +802,18 @@ def run_crawl(
             (sel_sorted, sel_df["depth"].to_numpy()[sel_order].astype(np.int32))
         )
         (wdir / "processed").mkdir(parents=True, exist_ok=True)
+        # E2 — bandwidth split: the budget's binding consequence is the
+        # concurrent-fetcher cap (FetcherManager.scala:66); apply it as the
+        # fetch stage's Ray concurrency (results identical, parallelism
+        # bounded; see CrawlConfig.total_bandwidth_budget_bps)
+        max_fetchers = None
+        if cfg.total_bandwidth_budget_bps:
+            max_fetchers = max(
+                1,
+                int(cfg.total_bandwidth_budget_bps)
+                // max(1, int(cfg.min_bandwidth_per_fetcher_bps)),
+            )
+            metrics["max_fetchers"] = max_fetchers
         if use_pruned:
             from abwcf_ray.stages.fetch import make_fetch_process_tee
 
@@ -819,6 +831,7 @@ def run_crawl(
                         cfg.max_content_length,
                     ),
                     batch_format="pyarrow",
+                    **({"concurrency": max_fetchers} if max_fetchers else {}),
                 )
             else:
                 # zero-item wave: keep the checkpoint readable (resume and
@@ -847,6 +860,7 @@ def run_crawl(
             fetched = corpus_ds.map_batches(
                 make_fetch_scan(sel_ref, cfg.max_content_length),
                 batch_format="pyarrow",
+                **({"concurrency": max_fetchers} if max_fetchers else {}),
             )
             fetched.map_batches(
                 process_fetched, batch_format="pyarrow"

@@ -445,3 +445,31 @@ def test_flips_size_triggers_compaction(ray_session, corpus, oracle, tmp_path_fa
         sel = sel.sort_values("global_rank")
         got = list(zip(sel["host"], sel["rank_in_host"], sel["url"]))
         assert got == expected, f"wave {wave} fetch order diverges (flips-cap run)"
+
+
+def test_bandwidth_budget_caps_fetchers(ray_session, corpus, oracle, tmp_path_factory):
+    """E2 (reference.conf:137,144 / FetcherManager.scala:66): a bandwidth
+    budget caps concurrent fetchers at total // min-per-fetcher. The cap
+    is recorded in the wave manifest and the crawl output is IDENTICAL to
+    the uncapped run (parallelism-only knob)."""
+    import dataclasses
+    import json as _json
+
+    from abwcf_ray.pipelines.crawl import run_crawl
+
+    cfg = dataclasses.replace(
+        CFG,
+        total_bandwidth_budget_bps=1_000_000,  # 1 MB/s / 200 kB/s -> 5 fetchers
+        min_bandwidth_per_fetcher_bps=200_000,
+    )
+    out = tmp_path_factory.mktemp("crawl_bw")
+    summary = run_crawl(cfg, corpus, out, log=lambda *_: None)
+    m0 = _json.loads((out / "wave_0000" / "manifest.json").read_text())
+    assert m0["max_fetchers"] == 5
+    for wave, expected in enumerate(oracle.order):
+        sel = pads.dataset(str(out / f"wave_{wave:04d}" / "selected")).to_table().to_pandas()
+        sel = sel.sort_values("global_rank")
+        got = list(zip(sel["host"], sel["rank_in_host"], sel["url"]))
+        assert got == expected, f"wave {wave} fetch order diverges (bandwidth cap)"
+    got_f = _final_frontier(out, summary)
+    assert len(got_f) == len(oracle.frontier)
