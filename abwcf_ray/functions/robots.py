@@ -36,11 +36,18 @@ ALLOW_NONE = "ALLOW_NONE"
 ALLOW_SOME = "ALLOW_SOME"
 
 
-def _pattern_to_regex(pattern: str) -> re.Pattern:
+def _pattern_body(pattern: str) -> tuple[str, bool]:
+    """(escaped regex body with '*'→'.*', is-'$'-anchored) for a robots
+    rule — the ONE place rule translation lives; the Python and Rust
+    builders differ only in the end-anchor token they append."""
     anchored = pattern.endswith("$")
     if anchored:
         pattern = pattern[:-1]
-    body = ".*".join(re.escape(part) for part in pattern.split("*"))
+    return ".*".join(re.escape(part) for part in pattern.split("*")), anchored
+
+
+def _pattern_to_regex(pattern: str) -> re.Pattern:
+    body, anchored = _pattern_body(pattern)
     return re.compile("^" + body + (r"\Z" if anchored else ""))
 
 
@@ -53,10 +60,7 @@ def _pattern_to_rust(pattern: str) -> str:
     end anchor differs by dialect only (`\\Z` in Python, `\\z` in Rust);
     Rust-rejected escapes fall back to the Python form per pattern at the
     call site."""
-    anchored = pattern.endswith("$")
-    if anchored:
-        pattern = pattern[:-1]
-    body = ".*".join(re.escape(part) for part in pattern.split("*"))
+    body, anchored = _pattern_body(pattern)
     return "^" + body + (r"\z" if anchored else "")
 
 

@@ -239,6 +239,7 @@ def read_warc(paths: str | list[str], records_per_block: int = 2048):
     def parse_batch(batch: pa.Table):
         import warnings
 
+        yielded_any = False
         for blob, path in zip(
             batch.column("bytes").to_pylist(), batch.column("path").to_pylist()
         ):
@@ -250,6 +251,7 @@ def read_warc(paths: str | list[str], records_per_block: int = 2048):
                     cols[f].append(rec[f])
                 if len(cols["url"]) >= records_per_block:
                     yield _records_table(cols)
+                    yielded_any = True
                     cols = {f: [] for f in _PAGE_FIELDS}
             if not got_any:
                 warnings.warn(
@@ -259,6 +261,12 @@ def read_warc(paths: str | list[str], records_per_block: int = 2048):
                 )
             if cols["url"]:
                 yield _records_table(cols)
+                yielded_any = True
+        if not yielded_any:
+            # all shards in this batch were empty/corrupt: emit a TYPED
+            # empty block so the dataset keeps the pages schema (an
+            # all-empty corpus must stay readable/writable downstream)
+            yield _records_table({f: [] for f in _PAGE_FIELDS})
 
     return ds.map_batches(parse_batch, batch_format="pyarrow", batch_size=1)
 

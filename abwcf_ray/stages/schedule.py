@@ -168,11 +168,20 @@ def rank_selected_ds(selected) -> pd.DataFrame:
 
     @ray.remote
     def block_meta(block):
+        if block.num_rows == 0:  # empty sort output blocks carry NO schema
+            return 0, np.empty(0, np.uint64), np.empty(0, np.int64)
         hh = hash64(block.column("host"))
         uh, counts = np.unique(hh, return_counts=True)
         return block.num_rows, uh, counts
 
     metas = ray.get([block_meta.remote(r) for r in refs])
+    # drop empty blocks: a zero-row selection sorts into one SCHEMA-LESS
+    # block that would crash the rank pass (and contributes nothing)
+    keep = [i for i, m in enumerate(metas) if m[0] > 0]
+    if not keep:
+        return rank_selected(pd.DataFrame({c: [] for c in _SELECT_COLS}))
+    refs = [refs[i] for i in keep]
+    metas = [metas[i] for i in keep]
     g_offsets = np.concatenate([[0], np.cumsum([m[0] for m in metas])])[:-1]
 
     # host-count prefix across blocks: merge each block's (hash, count)

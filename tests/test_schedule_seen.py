@@ -303,3 +303,24 @@ def test_rank_selected_distributed_parity(ray_session):
     pd.testing.assert_frame_equal(
         got[want.columns.tolist()].reset_index(drop=True), want
     )
+
+
+def test_rank_selected_distributed_empty(ray_session):
+    """A zero-row selection sorts into one SCHEMA-LESS block; the
+    distributed ranking must return a properly-shaped empty frame instead
+    of crashing on the missing host column."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.schedule import rank_selected_ds
+
+    empty = pa.table(
+        {
+            "url": pa.array([], pa.string()),
+            "host": pa.array([], pa.string()),
+            "depth": pa.array([], pa.int32()),
+            "priority": pa.array([], pa.int64()),
+        }
+    )
+    out = rank_selected_ds(rd.from_arrow(empty))
+    assert len(out) == 0
+    assert {"url", "host", "depth", "priority", "global_rank", "rank_in_host"} <= set(out.columns)

@@ -294,3 +294,26 @@ def test_gz_shard_streaming_peak_memory(tmp_path):
     assert n == 120
     # streaming: peak ~ a few records; whole-shard decompression would be >= 60 MB
     assert peak < 20_000_000, f"peak {peak} bytes suggests whole-shard materialization"
+
+
+def test_read_warc_all_empty_shards_keeps_schema(ray_session, tmp_path):
+    """A corpus whose shards are ALL corrupt/empty must still come back as
+    a TYPED empty dataset (the pages schema), not a schema-less zero-block
+    dataset — the 'silently empty corpus' guard."""
+    import warnings
+
+    from abwcf_ray.sources.warc import read_warc
+
+    for i in range(2):
+        (tmp_path / f"bad{i}.warc").write_bytes(b"not a warc at all")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ds = read_warc(str(tmp_path))
+        # the dataset must carry the TYPED pages schema (Ray's to_pandas
+        # drops column metadata from all-empty bundles, so assert on the
+        # dataset schema — what write_parquet and projections consume)
+        names = set(ds.schema().names)
+        assert ds.count() == 0
+    assert names == {
+        "url", "warc_ts", "html", "status", "content_type", "location", "x_robots_tag"
+    }
