@@ -485,7 +485,9 @@ def verify_edges_distributed(
         def route_payload(batch: pa.Table) -> pa.Table:
             srcs, dsts, s_sorted, s_idx, d_sorted, d_idx = ray.get(bc)
             ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            pls = batch.column(payload_col).to_pylist()
+            pl_col = batch.column(payload_col)
+            if isinstance(pl_col, pa.ChunkedArray):
+                pl_col = pl_col.combine_chunks()
             out_edge, out_side, out_pos = [], [], []
             for sorted_arr, idx_arr, side in ((s_sorted, s_idx, 1), (d_sorted, d_idx, 0)):
                 lo = np.searchsorted(sorted_arr, ids, side="left")
@@ -511,7 +513,11 @@ def verify_edges_distributed(
                     "src": pa.array(srcs[e], pa.int64()),
                     "dst": pa.array(dsts[e], pa.int64()),
                     "side": pa.array(sd, pa.int64()),
-                    payload_col: pa.array([pls[i] for i in bpos], payload_type),
+                    # arrow take: copies only the referenced lists — no
+                    # to_pylist round-trip of the whole payload column
+                    payload_col: pl_col.take(pa.array(bpos, pa.int64())).cast(
+                        payload_type
+                    ),
                 }
             )
 
