@@ -893,7 +893,16 @@ def run_crawl(
                 make_lenient_robots_filter(hosts_ref), batch_format="pyarrow"
             )
         cand_m = cand_pre.map_batches(
-            make_propose(seen, wave, run_key=str(wdir), cache_size=cfg.prededup_cache_size),
+            # run_key includes the shard-POOL token: a resumed run re-runs
+            # the same (wdir, wave) with a fresh pool, and stale RPC-skip
+            # cache entries in surviving workers would lose candidates
+            # (see SeenSet.cache_token)
+            make_propose(
+                seen,
+                wave,
+                run_key=f"{wdir}:{seen.cache_token()}",
+                cache_size=cfg.prededup_cache_size,
+            ),
             batch_format="pyarrow",
         ).materialize()
         _mark("fetch_candidates")

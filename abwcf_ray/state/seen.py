@@ -360,6 +360,16 @@ class SeenSet:
         self.num_shards = num_shards
         self.shards = [SeenShard.remote() for _ in range(num_shards)]
 
+    def cache_token(self) -> str:
+        """Unique per shard-POOL instance (the first shard's actor id).
+        The propose-RPC-skip cache (stages/transform._PREDEDUP) must key on
+        this: a resumed/restored run re-executes the same (out_dir, wave)
+        with a FRESH pool whose wave-min state is empty, and a cache entry
+        left in a surviving worker process by the previous pool would skip
+        proposes the new shards have never seen — silently losing those
+        candidates at claim time."""
+        return self.shards[0]._actor_id.hex()
+
     # -- routing ----------------------------------------------------------
     def _route(self, hashes: np.ndarray) -> list[np.ndarray]:
         shard_ids = hashes % np.uint64(self.num_shards)

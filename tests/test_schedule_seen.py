@@ -324,3 +324,84 @@ def test_rank_selected_distributed_empty(ray_session):
     out = rank_selected_ds(rd.from_arrow(empty))
     assert len(out) == 0
     assert {"url", "host", "depth", "priority", "global_rank", "rank_in_host"} <= set(out.columns)
+
+
+def test_topk_arrow_matches_pandas():
+    """topk_per_host_arrow (the hot polars stage) and topk_per_host (the
+    pandas reference) must select the identical rows, including priority
+    ties broken by url and hosts absent from the payload (default k)."""
+    import ray
+
+    from abwcf_ray.stages.schedule import topk_per_host, topk_per_host_arrow
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    hid = rng.integers(0, 40, n)
+    t = pa.table(
+        {
+            "url": pa.array([f"https://h{h}.example/p{i%7}/{i:05d}" for i, h in enumerate(hid)]),
+            "host": pa.array([f"https://h{h}.example" for h in hid]),
+            "depth": pa.array(rng.integers(0, 4, n).astype(np.int32), pa.int32()),
+            "priority": pa.array(rng.integers(0, 20, n).astype(np.int64), pa.int64()),  # many ties
+        }
+    )
+    delays = {f"https://h{h}.example": 1000 * (1 + h % 5) for h in range(30)}  # 10 hosts unknown
+    payload = sched_payload_from_delays(delays, 10.0)
+    want = (
+        topk_per_host(t.to_pandas(), payload)
+        .sort_values(["host", "priority", "url"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    got = (
+        topk_per_host_arrow(t, payload)
+        .to_pandas()
+        .sort_values(["host", "priority", "url"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_prededup_cache_does_not_leak_across_pools(ray_session):
+    """A resumed run re-executes the same (out_dir, wave) against a FRESH
+    shard pool; RPC-skip cache entries left by the previous pool must not
+    suppress proposes the new pool has never seen (they would silently
+    lose candidates at claim). cache_token() keys the cache per pool."""
+    import pyarrow as pa
+
+    from abwcf_ray.state.seen import SeenSet
+    from abwcf_ray.stages.transform import _PREDEDUP, make_propose
+
+    class Recording:
+        def __init__(self, inner):
+            self.inner, self.calls = inner, 0
+
+        def propose(self, h, d, wave):
+            self.calls += 1
+            self.inner.propose(h, d, wave)
+
+    b = pa.table(
+        {
+            "url": pa.array(["https://a/x", "https://b/y"]),
+            "host": pa.array(["https://a", "https://b"]),
+            "depth": pa.array([1, 2], pa.int32()),
+        }
+    )
+    _PREDEDUP.clear()
+    pool_a = Recording(SeenSet(2))
+    run_a = make_propose(
+        pool_a, wave=3, run_key=f"/out:{pool_a.inner.cache_token()}"
+    )
+    run_a(b)
+    assert pool_a.calls == 1
+
+    # crash + resume: same out dir and wave, NEW pool
+    pool_b = Recording(SeenSet(2))
+    run_b = make_propose(
+        pool_b, wave=3, run_key=f"/out:{pool_b.inner.cache_token()}"
+    )
+    run_b(b)
+    assert pool_b.calls == 1, "fresh pool must receive its own proposes"
+    # and tokens genuinely differ
+    assert pool_a.inner.cache_token() != pool_b.inner.cache_token()
+    pool_a.inner.shutdown()
+    pool_b.inner.shutdown()
