@@ -412,6 +412,30 @@ def _q_embedding_dedup(sf_dir: str):
     return embedding_dedup(ds, threshold=0.99, planes=8)
 
 
+def _q_embedding_dedup_exact(sf_dir: str):
+    """Degenerate-parameter embedding near-dup: ``planes=0`` collapses the
+    random-hyperplane LSH to ONE bucket, so the candidate set is exhaustive
+    (recall 1 by construction — no probabilistic argument needed, unlike
+    minhash_dedup_exact's perm-count bound) and the pipeline reduces to
+    exact all-pairs cosine dedup run through the FULL machinery: slim
+    bucket explode -> partitioned pair generation -> distributed exact
+    cosine verify (unit-vector payloads cross the exchange once) ->
+    connected components -> label assignment. SQL-checkable with
+    list_cosine_similarity + a recursive-CTE transitive closure. Threshold
+    0.4 sits in a measured gap of the testdata's pairwise-cosine
+    distribution (nearest pairs 0.3994 / 0.4010 at sf0.001, 0.3999 /
+    0.4005 at sf0.01), so float32-vs-float64 rounding cannot flip a pair."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.dedup import embedding_dedup
+
+    _quiet()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_dedup(ds, threshold=0.4, planes=0, tables=1)
+    out["is_dup"] = out["is_dup"].astype(np.int64)
+    return out
+
+
 def _q_ngram_dedup(sf_dir: str):
     """n-gram Jaccard dedup at threshold=1.0 with k=1 shingles: duplicate
     <=> EQUAL token sets — distributed LSH candidates + exact set-equality
@@ -544,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dedup": _q_ngram_dedup,
         "curation": _q_curation,
         "embedding_dedup": _q_embedding_dedup,
+        "embedding_dedup_exact": _q_embedding_dedup_exact,
         "langid_fingerprint": _q_langid_fingerprint,
         "lang_id": _q_lang_id,
         "knn_ivf_exact": _q_knn_ivf_exact,
@@ -701,6 +726,27 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) OVER (PARTITION BY k) AS cluster,
                    CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY k) AS BIGINT) AS is_dup
             FROM keyed
+        """,
+        "embedding_dedup_exact": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            ),
+            sym AS (
+                SELECT src, dst FROM pairs
+                UNION
+                SELECT dst AS src, src AS dst FROM pairs
+            ),
+            reach(id, r) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+            )
+            SELECT id AS vec_id,
+                   MIN(r) AS cluster,
+                   CAST(id <> MIN(r) AS BIGINT) AS is_dup
+            FROM reach GROUP BY id
         """,
         "knn_ivf_exact": """
             WITH q AS (
