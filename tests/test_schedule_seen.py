@@ -337,9 +337,18 @@ def test_topk_arrow_matches_pandas():
     rng = np.random.default_rng(5)
     n = 3000
     hid = rng.integers(0, 40, n)
+    # a few non-ASCII path chars exercise the UTF-8-byte-order-equals-
+    # codepoint-order claim the polars sort relies on (multi-byte chars
+    # tie-broken against ASCII and against each other)
+    deco = ["", "é", "ü", "中", "z"]
     t = pa.table(
         {
-            "url": pa.array([f"https://h{h}.example/p{i%7}/{i:05d}" for i, h in enumerate(hid)]),
+            "url": pa.array(
+                [
+                    f"https://h{h}.example/p{i%7}/{deco[i % 5]}{i:05d}"
+                    for i, h in enumerate(hid)
+                ]
+            ),
             "host": pa.array([f"https://h{h}.example" for h in hid]),
             "depth": pa.array(rng.integers(0, 4, n).astype(np.int32), pa.int32()),
             "priority": pa.array(rng.integers(0, 20, n).astype(np.int64), pa.int64()),  # many ties
