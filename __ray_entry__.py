@@ -492,6 +492,101 @@ def _q_lang_id(sf_dir: str):
     return ds.select_columns(["doc_id", "lang_id"]).to_pandas()
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Exact per-language quota sample (40 docs/lang) via the two-level
+    sampler (per-block partial top-quota + exact sharded merge) — the
+    deterministic Knuth sampling key makes the selected set SQL-checkable."""
+    from abwcf_ray.stages.sample import stratified_sample
+
+    _quiet()
+    out = stratified_sample(
+        _docs(sf_dir, ["doc_id", "lang"]), 40, strata_col="lang"
+    ).to_pandas()
+    return out[["doc_id", "lang"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_sample_rate(sf_dir: str):
+    """Shuffle-free deterministic 35% hash sample (pure row filter)."""
+    from abwcf_ray.stages.sample import sample_by_rate
+
+    _quiet()
+    return sample_by_rate(_docs(sf_dir, ["doc_id"]), 0.35).to_pandas()
+
+
+def _q_repetition_signals(sf_dir: str):
+    """Gopher-style word/bigram repetition quality signals. Fractions are
+    single IEEE divisions of exact integer counts on both sides, so the
+    float columns hash-match without a rounding step."""
+    from abwcf_ray.stages.text import add_repetition_signals
+
+    _quiet()
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_repetition_signals, batch_format="pyarrow"
+    )
+    return ds.select_columns(
+        ["doc_id", "n_words", "top_word_frac", "dup_word_frac", "top_bigram_frac"]
+    ).to_pandas()
+
+
+def _q_pii_scrub(sf_dir: str):
+    """PII redaction over documents with deterministic synthetic contact
+    strings appended (the fixture corpus contains no PII, so the query
+    CONSTRUCTS it — identically in SQL — to make the redaction
+    non-degenerate: emails on doc_id%3!=1, phones on doc_id%3!=0)."""
+    from abwcf_ray.stages.text import scrub_pii
+
+    _quiet()
+
+    def synth(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch.column("text").to_pandas().astype("string").fillna("")
+        sd = pd.Series(d).astype(str)
+        m = d % 3
+        email = (" reach user" + sd + "@mail.example").where(m != 1, "")
+        phone = (" call +1-555-" + pd.Series(1000 + d % 9000).astype(str)).where(
+            m != 0, ""
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pa.array((t + email.values + phone.values).tolist(), pa.string()),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(synth, batch_format="pyarrow")
+    out = ds.map_batches(scrub_pii, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "text_clean", "n_emails", "n_phones"]).to_pandas()
+
+
+_DECONTAM_K = 4  # word 4-grams: non-degenerate on the fixture (real runs use 13)
+_DECONTAM_MOD = 20  # benchmark set = docs with doc_id % 20 == 0
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (broadcast semi-join on word-gram hashes):
+    returns the CLEAN corpus (docs sharing no word 4-gram with the
+    benchmark slice) plus each doc's distinct-gram count. Gram identity is
+    the 64-bit token-hash mix — string-exact up to 64-bit collisions, the
+    same soundness contract as the ngram_dedup oracle."""
+    from abwcf_ray.stages.decontam import decontaminate
+
+    _quiet()
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def bench_slice(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(d % _DECONTAM_MOD == 0))
+
+    bench_texts = (
+        ds.map_batches(bench_slice, batch_format="pyarrow").to_pandas()["text"].tolist()
+    )
+    out = decontaminate(ds, bench_texts, k=_DECONTAM_K).to_pandas()
+    clean = out[~out["contaminated"]]
+    return clean[["doc_id", "n_grams"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_knn_ivf_exact(sf_dir: str):
     """Degenerate-parameter IVF: ``nprobe == nlist`` probes every inverted
     list, so the approximate path must return EXACTLY the brute-force
@@ -572,6 +667,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_fingerprint": _q_langid_fingerprint,
         "lang_id": _q_lang_id,
         "knn_ivf_exact": _q_knn_ivf_exact,
+        "stratified_sample": _q_stratified_sample,
+        "sample_rate": _q_sample_rate,
+        "repetition_signals": _q_repetition_signals,
+        "pii_scrub": _q_pii_scrub,
+        "decontaminate": _q_decontaminate,
         "crawl_wave": _q_crawl,
     }
 
@@ -815,5 +915,99 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, neighbor_id, rank FROM ranked WHERE rank < 5
+        """,
+        "stratified_sample": """
+            WITH keyed AS (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                       ) AS r
+                FROM documents
+            )
+            SELECT doc_id, lang FROM keyed WHERE r <= 40
+        """,
+        # integer key compared to the float threshold in DOUBLE on both
+        # sides (numpy casts uint64 < float the same way) — no CAST, so
+        # there is no truncation boundary to disagree on
+        "sample_rate": """
+            SELECT doc_id FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 < 0.35 * 4294967296
+        """,
+        "repetition_signals": r"""
+            WITH w AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+            wc AS (SELECT doc_id, wd, COUNT(*) AS c FROM tok GROUP BY doc_id, wd),
+            wagg AS (
+                SELECT doc_id, MAX(c) AS mx,
+                       SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+                FROM wc GROUP BY doc_id
+            ),
+            bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)),
+                                             i -> ws[i] || ' ' || ws[i+1])) AS b
+                FROM w
+            ),
+            bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+            bagg AS (SELECT doc_id, MAX(c) AS bmx FROM bc GROUP BY doc_id)
+            SELECT w.doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   COALESCE(wagg.mx, 0) / GREATEST(len(ws), 1)::DOUBLE AS top_word_frac,
+                   COALESCE(wagg.dup, 0) / GREATEST(len(ws), 1)::DOUBLE AS dup_word_frac,
+                   COALESCE(bagg.bmx, 0) / GREATEST(len(ws) - 1, 1)::DOUBLE AS top_bigram_frac
+            FROM w LEFT JOIN wagg USING (doc_id) LEFT JOIN bagg USING (doc_id)
+        """,
+        "pii_scrub": r"""
+            WITH synth AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 <> 1
+                               THEN ' reach user' || doc_id || '@mail.example'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 3 <> 0
+                               THEN ' call +1-555-' || (1000 + doc_id % 9000)
+                               ELSE '' END AS text
+                FROM documents
+            ),
+            emailed AS (
+                SELECT doc_id,
+                       CAST(length(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS text
+                FROM synth
+            )
+            SELECT doc_id,
+                   regexp_replace(text, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}',
+                                  '<PHONE>', 'g') AS text_clean,
+                   n_emails,
+                   CAST(length(regexp_extract_all(text,
+                       '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}')) AS BIGINT) AS n_phones
+            FROM emailed
+        """,
+        "decontaminate": r"""
+            WITH w AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(CASE
+                           WHEN len(ws) >= 4 THEN list_transform(
+                               range(1, len(ws) - 2),
+                               i -> array_to_string(ws[i:i+3], ' '))
+                           WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                           ELSE [] END) AS gram
+                FROM w
+            ),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+            cont AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (gram)),
+            ng AS (SELECT doc_id, COUNT(DISTINCT gram) AS n_grams FROM g GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(ng.n_grams, 0) AS n_grams
+            FROM documents d LEFT JOIN ng USING (doc_id)
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM cont)
         """,
     }

@@ -105,6 +105,90 @@ def add_lang_id(batch: pa.Table) -> pa.Table:
     return batch.append_column("lang_id", pa.array(langs.tolist(), pa.string()))
 
 
+def add_repetition_signals(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    adapted to word granularity because the fixture documents are
+    single-line): per document, the fraction of word occurrences taken by
+    the most frequent word (``top_word_frac``), by its most frequent word
+    bigram over bigram count (``top_bigram_frac``), and by all words that
+    occur more than once (``dup_word_frac``). High values flag boilerplate
+    and degenerate repetition.
+
+    Fully vectorized: one explode + two C-level groupbys; no per-row
+    Python. Fractions are raw float64 divisions of exact integer counts —
+    bit-identical to the SQL oracle's ``cnt / n`` (IEEE 754 division, no
+    rounding step to disagree on)."""
+    texts = batch.column("text").to_pandas().astype("string").fillna("")
+    words = texts.str.findall(_WS_RE.pattern)
+    n = words.str.len().astype("int64")
+    denom = n.clip(lower=1).to_numpy(dtype=np.float64)
+    ex = words.explode().dropna()
+
+    if len(ex):
+        vc = ex.groupby([ex.index, ex]).size()
+        per_doc = vc.groupby(level=0)
+        mx = per_doc.max().reindex(texts.index, fill_value=0).to_numpy(np.float64)
+        dup = (
+            vc[vc > 1]
+            .groupby(level=0)
+            .sum()
+            .reindex(texts.index, fill_value=0)
+            .to_numpy(np.float64)
+        )
+        nxt = ex.groupby(level=0).shift(-1)
+        bg = (ex + " " + nxt).dropna()
+    else:
+        mx = dup = np.zeros(len(texts))
+        bg = pd.Series([], dtype=object)
+    if len(bg):
+        bvc = bg.groupby([bg.index, bg]).size()
+        bmx = (
+            bvc.groupby(level=0)
+            .max()
+            .reindex(texts.index, fill_value=0)
+            .to_numpy(np.float64)
+        )
+    else:
+        bmx = np.zeros(len(texts))
+    bdenom = np.maximum((n - 1).to_numpy(dtype=np.float64), 1.0)
+
+    out = batch
+    for name, arr in [
+        ("n_words", pa.array(n.to_numpy(np.int64), pa.int64())),
+        ("top_word_frac", pa.array(mx / denom, pa.float64())),
+        ("dup_word_frac", pa.array(dup / denom, pa.float64())),
+        ("top_bigram_frac", pa.array(bmx / bdenom, pa.float64())),
+    ]:
+        out = out.append_column(name, arr)
+    return out
+
+
+# PII patterns: RE2-compatible so the pyarrow kernel (RE2) and the DuckDB
+# oracle (also RE2) match byte-for-byte. Kept deliberately simple — the
+# point is the vectorized scrub stage, not a production PII taxonomy.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}"
+
+
+def scrub_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Redact emails then phone numbers (in that order — the counts the SQL
+    oracle computes depend on it) with compiled RE2 kernels; appends
+    ``text_clean``, ``n_emails``, ``n_phones``. Pure per-row map: shuffle-
+    free, vectorized end-to-end (pyarrow.compute, no Python loop)."""
+    import pyarrow.compute as pc
+
+    col = batch.column(text_col)
+    n_emails = pc.cast(pc.count_substring_regex(col, PII_EMAIL_RE), pa.int64())
+    clean = pc.replace_substring_regex(col, PII_EMAIL_RE, "<EMAIL>")
+    n_phones = pc.cast(pc.count_substring_regex(clean, PII_PHONE_RE), pa.int64())
+    clean = pc.replace_substring_regex(clean, PII_PHONE_RE, "<PHONE>")
+    return (
+        batch.append_column("text_clean", clean)
+        .append_column("n_emails", n_emails)
+        .append_column("n_phones", n_phones)
+    )
+
+
 def add_fingerprint(batch: pa.Table, window: int = 4) -> pa.Table:
     """Rolling-hash document fingerprint (winnowing-style): hash every
     ``window``-gram of whitespace tokens, keep the minimum — robust to small

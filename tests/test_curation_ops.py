@@ -1,0 +1,243 @@
+"""Sampling, repetition-signal, PII-scrub, and decontamination operators
+(the round-4 curation additions) vs brute-force oracles."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+def _knuth(ids: np.ndarray) -> np.ndarray:
+    return (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+
+
+# --------------------------------------------------------------------------
+# sampling
+# --------------------------------------------------------------------------
+def test_sample_by_rate_matches_brute_force(docs):
+    from abwcf_ray.stages.sample import sample_by_rate
+
+    out = sample_by_rate(docs, 0.3).to_pandas()
+    df = docs.to_pandas()
+    exp = df[_knuth(df["doc_id"].to_numpy()) < 0.3 * 2**32]
+    assert sorted(out["doc_id"]) == sorted(exp["doc_id"])
+    assert 0 < len(out) < len(df)
+
+
+def test_sample_by_rate_per_stratum(docs):
+    from abwcf_ray.stages.sample import sample_by_rate
+
+    rates = {"en": 0.5, "de": 0.0}
+    out = sample_by_rate(docs, rates, strata_col="lang").to_pandas()
+    df = docs.to_pandas()
+    k = _knuth(df["doc_id"].to_numpy())
+    thr = df["lang"].map(rates).fillna(1.0).to_numpy()
+    exp = df[k < thr * 2**32]
+    assert sorted(out["doc_id"]) == sorted(exp["doc_id"])
+    assert (out["lang"] != "de").all()  # rate 0 drops the stratum entirely
+
+
+def _expected_stratified(df: pd.DataFrame, quota) -> pd.DataFrame:
+    df = df.assign(_k=_knuth(df["doc_id"].to_numpy()))
+    df = df.sort_values(["lang", "_k", "doc_id"])
+    if isinstance(quota, dict):
+        return pd.concat(
+            [g.head(quota.get(lang, 0)) for lang, g in df.groupby("lang")]
+        )
+    return df.groupby("lang").head(quota)
+
+
+def test_stratified_sample_exact_quota(docs):
+    from abwcf_ray.stages.sample import stratified_sample
+
+    out = stratified_sample(docs, 7, strata_col="lang").to_pandas()
+    exp = _expected_stratified(docs.to_pandas(), 7)
+    assert sorted(out["doc_id"]) == sorted(exp["doc_id"])
+    assert (out.groupby("lang").size() <= 7).all()
+    assert "_skey" not in out.columns
+
+
+def test_stratified_sample_dict_quota_and_merge_paths(docs):
+    """Dict quotas are a whitelist (unlisted strata -> 0 rows), and the
+    driver-merge and distributed-merge paths select the identical set."""
+    from abwcf_ray.stages.sample import stratified_sample
+
+    quota = {"en": 5, "fr": 2}
+    exp = _expected_stratified(docs.to_pandas(), quota)
+    small = stratified_sample(docs, quota, strata_col="lang").to_pandas()
+    dist = stratified_sample(
+        docs, quota, strata_col="lang", driver_merge_max_rows=0
+    ).to_pandas()
+    assert sorted(small["doc_id"]) == sorted(exp["doc_id"])
+    assert sorted(dist["doc_id"]) == sorted(exp["doc_id"])
+    assert set(small["lang"]) <= {"en", "fr"}
+
+
+def test_stratified_sample_block_layout_invariant(docs, ray_session):
+    """The selected set must not depend on block boundaries (the property
+    the Knuth key buys: deterministic across cluster sizes/layouts)."""
+    from abwcf_ray.stages.sample import stratified_sample
+
+    a = stratified_sample(docs.repartition(1), 9, strata_col="lang").to_pandas()
+    b = stratified_sample(docs.repartition(13), 9, strata_col="lang").to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
+# --------------------------------------------------------------------------
+# repetition signals
+# --------------------------------------------------------------------------
+def _brute_repetition(text: str) -> tuple[int, float, float, float]:
+    ws = re.findall(r"\S+", text)
+    n = len(ws)
+    from collections import Counter
+
+    wc = Counter(ws)
+    bc = Counter(" ".join(p) for p in zip(ws, ws[1:]))
+    mx = max(wc.values(), default=0)
+    dup = sum(c for c in wc.values() if c > 1)
+    bmx = max(bc.values(), default=0)
+    return n, mx / max(n, 1), dup / max(n, 1), bmx / max(n - 1, 1)
+
+
+def test_repetition_signals_match_brute_force(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.text import add_repetition_signals
+
+    texts = [
+        "a a a a",  # all-duplicate degenerate
+        "x y x y x y",  # dominant bigram
+        "unique words only here",
+        "one",  # single word: no bigrams
+        "",  # empty
+        "tok",
+    ]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    out = (
+        ds.map_batches(add_repetition_signals, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    for _, row in out.iterrows():
+        n, twf, dwf, tbf = _brute_repetition(texts[int(row["doc_id"])])
+        assert row["n_words"] == n
+        assert row["top_word_frac"] == pytest.approx(twf, abs=0)
+        assert row["dup_word_frac"] == pytest.approx(dwf, abs=0)
+        assert row["top_bigram_frac"] == pytest.approx(tbf, abs=0)
+
+
+def test_repetition_signals_on_fixture(docs):
+    from abwcf_ray.stages.text import add_repetition_signals
+
+    out = docs.map_batches(add_repetition_signals, batch_format="pyarrow").to_pandas()
+    assert ((out["top_word_frac"] > 0) & (out["top_word_frac"] <= 1)).all()
+    assert (out["dup_word_frac"] <= 1).all()
+    # the fixture's small vocab guarantees repetition somewhere
+    assert (out["dup_word_frac"] > 0).any()
+
+
+# --------------------------------------------------------------------------
+# PII scrub
+# --------------------------------------------------------------------------
+def test_scrub_pii_matches_re_sub(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.text import PII_EMAIL_RE, PII_PHONE_RE, scrub_pii
+
+    texts = [
+        "write to alice.smith+tag@sub.example.org today",
+        "call +44-207-9460123 or +1-555-0100",
+        "both bob@x.io and +33-123-456789 here",
+        "no pii at all",
+        "not-an-email@ and +1-55-123 stay",  # below the patterns' thresholds
+    ]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    out = ds.map_batches(scrub_pii, batch_format="pyarrow").to_pandas()
+    for _, row in out.sort_values("doc_id").iterrows():
+        t = texts[int(row["doc_id"])]
+        exp_emails = len(re.findall(PII_EMAIL_RE, t))
+        clean = re.sub(PII_EMAIL_RE, "<EMAIL>", t)
+        exp_phones = len(re.findall(PII_PHONE_RE, clean))
+        clean = re.sub(PII_PHONE_RE, "<PHONE>", clean)
+        assert row["text_clean"] == clean
+        assert row["n_emails"] == exp_emails
+        assert row["n_phones"] == exp_phones
+    assert out["n_emails"].dtype == np.int64 and out["n_phones"].dtype == np.int64
+
+
+# --------------------------------------------------------------------------
+# decontamination
+# --------------------------------------------------------------------------
+def test_decontaminate_planted_overlaps(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.decontam import decontaminate
+
+    bench = ["the quick brown fox jumps over the dog"]
+    corpus = [
+        "the quick brown fox jumps elsewhere",  # shares 'the quick brown fox'
+        "quick brown fox sleeps all day long here",  # no full 4-gram overlap
+        "totally unrelated text about ray data pipelines",
+        "prefix words then the quick brown fox jumps",  # overlap mid-doc
+        "",  # empty doc: no grams, never contaminated
+    ]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(corpus)), "text": corpus}))
+    out = (
+        decontaminate(ds, bench, k=4).to_pandas().sort_values("doc_id")
+    )
+    assert out["contaminated"].tolist() == [True, False, False, True, False]
+    assert out["n_grams"].tolist() == [3, 5, 4, 5, 0]  # n_tokens - k + 1, distinct
+
+
+def test_decontaminate_short_doc_rule(ray_session):
+    """Docs with 1 <= n_tokens < k form ONE gram over all tokens — they are
+    contaminated iff the benchmark contains that exact short sequence
+    (mirrors the shingle kernel's short-doc rule and the SQL oracle)."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.decontam import decontaminate
+
+    bench = ["tiny doc"]
+    corpus = ["tiny doc", "tiny", "tiny doc here"]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(3), "text": corpus}))
+    out = decontaminate(ds, bench, k=13).to_pandas().sort_values("doc_id")
+    assert out["contaminated"].tolist() == [True, False, False]
+
+
+def test_decontaminate_brute_force_on_fixture(docs):
+    """Clean set parity against pure-Python token-window sets at k=4 with
+    the doc_id%20 benchmark slice (the __ray_entry__ query's shape)."""
+    from abwcf_ray.stages.decontam import decontaminate
+
+    df = docs.to_pandas()
+
+    def grams(text: str, k: int = 4) -> set:
+        ws = re.findall(r"\S+", text or "")
+        if len(ws) >= k:
+            return {tuple(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+        return {tuple(ws)} if ws else set()
+
+    bench_rows = df[df["doc_id"] % 20 == 0]
+    bench_set = set().union(*[grams(t) for t in bench_rows["text"]]) if len(
+        bench_rows
+    ) else set()
+    exp_clean = {
+        int(r.doc_id) for r in df.itertuples() if not (grams(r.text) & bench_set)
+    }
+    out = decontaminate(docs, bench_rows["text"].tolist(), k=4).to_pandas()
+    got_clean = set(out[~out["contaminated"]]["doc_id"].astype(int))
+    assert got_clean == exp_clean
+    assert len(got_clean) < len(df)  # non-degenerate: something was flagged
