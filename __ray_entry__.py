@@ -587,6 +587,30 @@ def _q_decontaminate(sf_dir: str):
     return clean[["doc_id", "n_grams"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_curation_full(sf_dir: str):
+    """The fully-composed curation pipeline: quality -> repetition ->
+    decontamination -> exact dedup -> per-lang quota sample, one streaming
+    filter pass + two bounded exchanges, SQL-oracled end-to-end."""
+    from abwcf_ray.pipelines.curate import curate_full
+
+    _quiet()
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def bench_slice(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(d % _DECONTAM_MOD == 0))
+
+    bench_texts = (
+        ds.map_batches(bench_slice, batch_format="pyarrow").to_pandas()["text"].tolist()
+    )
+    out = curate_full(
+        ds, bench_texts, decontam_k=_DECONTAM_K, quota=25
+    ).to_pandas()
+    return out[["doc_id", "lang", "dup_count"]].sort_values("doc_id").reset_index(
+        drop=True
+    )
+
+
 def _q_knn_ivf_exact(sf_dir: str):
     """Degenerate-parameter IVF: ``nprobe == nlist`` probes every inverted
     list, so the approximate path must return EXACTLY the brute-force
@@ -672,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": _q_repetition_signals,
         "pii_scrub": _q_pii_scrub,
         "decontaminate": _q_decontaminate,
+        "curation_full": _q_curation_full,
         "crawl_wave": _q_crawl,
     }
 
@@ -1009,5 +1034,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(ng.n_grams, 0) AS n_grams
             FROM documents d LEFT JOIN ng USING (doc_id)
             WHERE d.doc_id NOT IN (SELECT doc_id FROM cont)
+        """,
+        "curation_full": r"""
+            WITH q AS (
+                SELECT doc_id, text, lang,
+                       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+                       CAST(length(regexp_extract_all(text, '[A-Za-zÀ-ÿ]')) AS BIGINT) AS n_alpha,
+                       CAST(length(text) AS BIGINT) AS n_chars
+                FROM documents
+            ),
+            qf AS (
+                SELECT doc_id, text, lang, n_words FROM q
+                WHERE n_words >= 5 AND n_words <= 100000 AND 2*n_alpha >= n_chars
+            ),
+            tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS wd FROM qf),
+            wc AS (SELECT doc_id, wd, COUNT(*) AS c FROM tok GROUP BY doc_id, wd),
+            mxt AS (SELECT doc_id, MAX(c) AS mx FROM wc GROUP BY doc_id),
+            rf AS (
+                SELECT qf.doc_id, qf.text, qf.lang FROM qf JOIN mxt USING (doc_id)
+                WHERE mxt.mx * 8 <= qf.n_words * 1
+            ),
+            wall AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+            gb AS (
+                SELECT unnest(CASE
+                    WHEN len(ws) >= 4 THEN list_transform(
+                        range(1, len(ws) - 2), i -> array_to_string(ws[i:i+3], ' '))
+                    WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                    ELSE [] END) AS gram
+                FROM wall WHERE doc_id % 20 = 0
+            ),
+            bench AS (SELECT DISTINCT gram FROM gb),
+            wrf AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM rf),
+            grf AS (
+                SELECT doc_id, unnest(CASE
+                    WHEN len(ws) >= 4 THEN list_transform(
+                        range(1, len(ws) - 2), i -> array_to_string(ws[i:i+3], ' '))
+                    WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                    ELSE [] END) AS gram
+                FROM wrf
+            ),
+            cont AS (SELECT DISTINCT doc_id FROM grf JOIN bench USING (gram)),
+            clean AS (
+                SELECT rf.doc_id, rf.text, rf.lang FROM rf
+                WHERE rf.doc_id NOT IN (SELECT doc_id FROM cont)
+            ),
+            dd AS (
+                SELECT MIN(lpad(CAST(doc_id AS VARCHAR), 20, '0') || '|' || lang) AS ml,
+                       COUNT(*) AS dup_count
+                FROM clean GROUP BY text
+            ),
+            reps AS (
+                SELECT CAST(substr(ml, 1, 20) AS BIGINT) AS doc_id,
+                       substr(ml, 22) AS lang, dup_count
+                FROM dd
+            ),
+            keyed AS (
+                SELECT doc_id, lang, dup_count,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                       ) AS r
+                FROM reps
+            )
+            SELECT doc_id, lang, dup_count FROM keyed WHERE r <= 25
         """,
     }

@@ -217,6 +217,57 @@ def test_decontaminate_short_doc_rule(ray_session):
     assert out["contaminated"].tolist() == [True, False, False]
 
 
+def test_curate_full_matches_brute_force(docs):
+    """The composed pipeline (quality -> repetition -> decontam -> dedup ->
+    stratified sample) vs a pure-Python re-derivation on the fixture."""
+    from collections import Counter
+
+    from abwcf_ray.pipelines.curate import curate_full
+
+    df = docs.to_pandas()
+
+    def grams(text: str, k: int = 4) -> set:
+        ws = re.findall(r"\S+", text or "")
+        if len(ws) >= k:
+            return {tuple(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+        return {tuple(ws)} if ws else set()
+
+    bench_rows = df[df["doc_id"] % 20 == 0]
+    bench_set = set().union(*[grams(t) for t in bench_rows["text"]])
+
+    survivors = []
+    for r in df.itertuples():
+        ws = re.findall(r"\S+", r.text)
+        n_alpha = len(re.findall(r"[A-Za-zÀ-ÿ]", r.text))
+        if not (5 <= len(ws) <= 100_000 and 2 * n_alpha >= len(r.text)):
+            continue
+        if max(Counter(ws).values(), default=0) * 8 > len(ws):
+            continue
+        if grams(r.text) & bench_set:
+            continue
+        survivors.append(r)
+    by_text: dict = {}
+    for r in survivors:
+        cur = by_text.setdefault(r.text, [r.doc_id, r.lang, 0])
+        cur[2] += 1
+        if r.doc_id < cur[0]:
+            cur[0], cur[1] = r.doc_id, r.lang
+    reps = pd.DataFrame(by_text.values(), columns=["doc_id", "lang", "dup_count"])
+    reps["_k"] = _knuth(reps["doc_id"].to_numpy())
+    exp = reps.sort_values(["lang", "_k", "doc_id"]).groupby("lang").head(3)
+
+    out = curate_full(
+        docs, bench_rows["text"].tolist(), decontam_k=4, quota=3
+    ).to_pandas()
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    exps = exp[["doc_id", "lang", "dup_count"]].sort_values("doc_id").reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "lang", "dup_count"]], exps, check_dtype=False
+    )
+
+
 def test_decontaminate_brute_force_on_fixture(docs):
     """Clean set parity against pure-Python token-window sets at k=4 with
     the doc_id%20 benchmark slice (the __ray_entry__ query's shape)."""
