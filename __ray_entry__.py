@@ -587,6 +587,32 @@ def _q_decontaminate(sf_dir: str):
     return clean[["doc_id", "n_grams"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_mixture_epochs(sf_dir: str):
+    """Deterministic epoch replication for data mixtures: en upsampled
+    2.5x, de downsampled to 0.5x, everything else 1.0 — copy counts are a
+    pure function of (lang weight, Knuth key), so SQL reproduces them."""
+    from abwcf_ray.stages.sample import replicate_by_weight
+
+    _quiet()
+    out = replicate_by_weight(
+        _docs(sf_dir, ["doc_id", "lang"]), {"en": 2.5, "de": 0.5}
+    ).to_pandas()
+    return out[["doc_id", "lang", "epoch"]].sort_values(
+        ["doc_id", "epoch"]
+    ).reset_index(drop=True)
+
+
+def _q_chunk_docs(sf_dir: str):
+    """Fixed-size token chunking (sequence-packing prep): 32-word windows,
+    remainder kept; fully vectorized (polars list.slice with expression
+    offsets — no per-chunk Python)."""
+    from abwcf_ray.stages.packing import chunk_documents
+
+    _quiet()
+    out = chunk_documents(_docs(sf_dir, ["doc_id", "text"]), 32).to_pandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
 def _q_curation_full(sf_dir: str):
     """The fully-composed curation pipeline: quality -> repetition ->
     decontamination -> exact dedup -> per-lang quota sample, one streaming
@@ -697,6 +723,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "decontaminate": _q_decontaminate,
         "curation_full": _q_curation_full,
+        "mixture_epochs": _q_mixture_epochs,
+        "chunk_docs": _q_chunk_docs,
         "crawl_wave": _q_crawl,
     }
 
@@ -1097,5 +1125,36 @@ def oracle_sql() -> dict[str, str]:
                 FROM reps
             )
             SELECT doc_id, lang, dup_count FROM keyed WHERE r <= 25
+        """,
+        "mixture_epochs": """
+            WITH w AS (
+                SELECT doc_id, lang,
+                       CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 0.5
+                                 ELSE 1.0 END AS wt,
+                       (doc_id * 2654435761) % 4294967296 AS k
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, lang,
+                       CAST(floor(wt) + CASE WHEN k < (wt - floor(wt)) * 4294967296
+                                             THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+                FROM w
+            )
+            SELECT doc_id, lang, unnest(range(n_copies)) AS epoch
+            FROM c WHERE n_copies > 0
+        """,
+        "chunk_docs": r"""
+            WITH w AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+            ),
+            c AS (
+                SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+                       unnest(range((CAST(len(ws) AS BIGINT) + 31) // 32)) AS chunk_id
+                FROM w WHERE len(ws) > 0
+            )
+            SELECT doc_id, chunk_id,
+                   array_to_string(ws[chunk_id*32+1 : CAST(least((chunk_id+1)*32, n) AS BIGINT)], ' ') AS chunk_text,
+                   CAST(least(n - chunk_id*32, 32) AS BIGINT) AS n_tokens
+            FROM c
         """,
     }

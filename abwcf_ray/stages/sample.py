@@ -153,6 +153,38 @@ def stratified_sample(
     )
 
 
+def replicate_by_weight(
+    ds, weights: dict, strata_col: str = "lang", id_col: str = "doc_id"
+):
+    """Deterministic epoch replication for training-data mixtures (the
+    "source weights / epochs" step of LLM mixes): a row whose stratum has
+    weight ``w`` is emitted ``floor(w)`` times, plus once more iff its
+    Knuth key falls below ``frac(w) * 2^32`` — so a stratum's expected
+    multiplicity is exactly ``w``, reproducibly (same doc always gets the
+    same copy count, independent of layout/cluster size). Strata absent
+    from ``weights`` keep weight 1.0. Adds an ``epoch`` column (0-based
+    copy index).
+
+    Pure map-side flat-map: vectorized ``np.repeat`` over arrow take
+    indices, no shuffle, exact under retries."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        key = sample_key(batch.column(id_col).to_numpy(zero_copy_only=False))
+        strata = batch.column(strata_col).to_pandas()
+        w = strata.map(weights).fillna(1.0).to_numpy(dtype=np.float64)
+        base = np.floor(w)
+        extra = key < (w - base) * float(1 << 32)
+        copies = (base + extra).astype(np.int64)
+        idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), copies)
+        out = batch.take(pa.array(idx))
+        total = int(copies.sum())
+        starts = np.concatenate([[0], np.cumsum(copies)])[:-1]
+        epoch = np.arange(total, dtype=np.int64) - np.repeat(starts, copies)
+        return out.append_column("epoch", pa.array(epoch, pa.int64()))
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
 def _strip_key(ds):
     return ds.map_batches(
         lambda t: t.drop_columns(["_skey"]) if "_skey" in t.column_names else t,

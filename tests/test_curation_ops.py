@@ -97,6 +97,96 @@ def test_stratified_sample_block_layout_invariant(docs, ray_session):
 
 
 # --------------------------------------------------------------------------
+# mixture replication + chunking
+# --------------------------------------------------------------------------
+def test_replicate_by_weight_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.sample import replicate_by_weight
+
+    df = pd.DataFrame(
+        {"doc_id": range(60), "lang": ["en", "de", "fr"] * 20}
+    )
+    w = {"en": 2.5, "de": 0.5, "fr": 1.0}
+    out = replicate_by_weight(rd.from_pandas(df).repartition(4), w).to_pandas()
+    key = _knuth(df["doc_id"].to_numpy())
+    exp = [
+        int(w[r.lang]) + (key[i] < (w[r.lang] - int(w[r.lang])) * 2**32)
+        for i, r in enumerate(df.itertuples())
+    ]
+    got = out.groupby("doc_id").size().reindex(df["doc_id"], fill_value=0)
+    assert list(got) == exp
+    # epochs are a clean 0..n-1 per doc, and expectation ~= weight
+    for d, c in zip(df["doc_id"], exp):
+        assert sorted(out[out["doc_id"] == d]["epoch"]) == list(range(c))
+    en = out[out["lang"] == "en"]
+    assert 2 * 20 <= len(en) <= 3 * 20  # 2.5x in expectation, 2-3 per doc
+
+
+def test_replicate_layout_invariant(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.sample import replicate_by_weight
+
+    df = pd.DataFrame({"doc_id": range(100), "lang": ["en"] * 100})
+    a = replicate_by_weight(rd.from_pandas(df).repartition(1), {"en": 1.5}).to_pandas()
+    b = replicate_by_weight(rd.from_pandas(df).repartition(9), {"en": 1.5}).to_pandas()
+    assert sorted(zip(a["doc_id"], a["epoch"])) == sorted(zip(b["doc_id"], b["epoch"]))
+
+
+def test_chunk_documents_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.packing import chunk_documents
+
+    texts = [
+        "a b c d e f g",
+        "x y",
+        "",
+        "   \t ",
+        "one two three four five six",
+        "solo",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = (
+        chunk_documents(rd.from_pandas(df).repartition(3), chunk_tokens=3)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    exp = []
+    for r in df.itertuples():
+        ws = re.findall(r"\S+", r.text)
+        for j in range((len(ws) + 2) // 3):
+            seg = ws[j * 3 : (j + 1) * 3]
+            exp.append((r.doc_id, j, " ".join(seg), len(seg)))
+    expdf = pd.DataFrame(
+        exp, columns=["doc_id", "chunk_id", "chunk_text", "n_tokens"]
+    )
+    pd.testing.assert_frame_equal(out, expdf, check_dtype=False)
+
+
+def test_chunk_documents_token_conservation(docs):
+    """Every token of every doc lands in exactly one chunk, in order."""
+    from abwcf_ray.stages.packing import chunk_documents
+
+    out = chunk_documents(docs, chunk_tokens=16).to_pandas()
+    df = docs.to_pandas()
+    rebuilt = (
+        out.sort_values(["doc_id", "chunk_id"])
+        .groupby("doc_id")["chunk_text"]
+        .agg(" ".join)
+    )
+    for r in df.itertuples():
+        norm = " ".join(re.findall(r"\S+", r.text))
+        if norm:
+            assert rebuilt[r.doc_id] == norm
+        else:
+            assert r.doc_id not in rebuilt.index
+    assert (out["n_tokens"] >= 1).all() and (out["n_tokens"] <= 16).all()
+
+
+# --------------------------------------------------------------------------
 # repetition signals
 # --------------------------------------------------------------------------
 def _brute_repetition(text: str) -> tuple[int, float, float, float]:
