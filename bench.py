@@ -197,6 +197,25 @@ def run_bench() -> dict:
     )
     queries["text_analysis"] = round(time.perf_counter() - t0, 3)
 
+    # the composed curation pipeline (quality -> repetition -> decontam ->
+    # dedup -> stratified sample); benchmark slice built OUTSIDE the timer
+    import pyarrow as pa
+
+    from abwcf_ray.pipelines.curate import curate_full
+
+    def _bench_slice(b):
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(d % 20 == 0))
+
+    bench_texts = (
+        docs.map_batches(_bench_slice, batch_format="pyarrow")
+        .to_pandas()["text"]
+        .tolist()
+    )
+    t0 = time.perf_counter()
+    curate_full(docs, bench_texts, decontam_k=4, quota=25).count()
+    queries["curation_full"] = round(time.perf_counter() - t0, 3)
+
     embs = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
     qdf = embs.sort("vec_id").limit(8).to_pandas()
     t0 = time.perf_counter()
