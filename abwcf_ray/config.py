@@ -99,6 +99,13 @@ class CrawlConfig:
     # best-effort like the reference's LRU).
     prededup_cache_size: int = 2_000_000
 
+    # Cross-wave novel-content filter (stages/novel.py): when True, each
+    # wave additionally writes wave_N/novel/ — the processed html rows
+    # whose extracted text was never seen in ANY earlier wave (content-hash
+    # seen set sharded like the URL seen set; min-url winner within the
+    # wave). Off by default: the reference consumes every fetch.
+    dedup_content: bool = False
+
     # Robots-filter join strategy: up to this many LIVE hosts the filters
     # read one broadcast rules payload (numpy columns are zero-copy per
     # node; only ALLOW_SOME rules strings are per-worker). Above it the

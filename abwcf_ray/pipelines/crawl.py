@@ -521,6 +521,7 @@ def run_crawl(
     out.mkdir(parents=True, exist_ok=True)
     prioritize = make_prioritize_stage(cfg)
     seen = SeenSet(cfg.seen_shards)
+    content_seen = SeenSet(cfg.seen_shards) if cfg.dedup_content else None
     hosts_state = HostsState(cfg)
     summary = CrawlSummary(out_dir=str(out))
     total_fetched = 0
@@ -545,6 +546,8 @@ def run_crawl(
             start_wave = manifest["wave"] + 1
             total_fetched = manifest["total_fetched"]
             seen.restore(last / "seen")
+            if content_seen is not None and (last / "content_seen").exists():
+                content_seen.restore(last / "content_seen")
             hosts_state.restore(last / "hosts.parquet")
             summary.per_wave = [
                 json.loads((d / "manifest.json").read_text()) for d in completed
@@ -749,6 +752,8 @@ def run_crawl(
             (wdir / "processed").mkdir(parents=True, exist_ok=True)
             (wdir / "selected").mkdir(parents=True, exist_ok=True)
             seen.checkpoint(wdir / "seen")
+            if content_seen is not None:
+                content_seen.checkpoint(wdir / "content_seen")
             n_frontier = _parquet_rows(wdir / "frontier")
             metrics.update(
                 n_selected=0,
@@ -939,6 +944,16 @@ def run_crawl(
             status_hist[404] = status_hist.get(404, 0) + (n_selected - n_matched)
         n_extracted = int(pc.sum(flags.column("is_html")).as_py() or 0)
         _mark("extract_write")
+
+        # ---- cross-wave novel-content filter (optional, stages/novel.py) -
+        if content_seen is not None:
+            from abwcf_ray.stages.novel import novel_extracted
+
+            _, n_novel = novel_extracted(
+                wdir / "processed", wdir / "novel", content_seen, wave
+            )
+            metrics["n_novel"] = n_novel
+            _mark("novel_filter")
         # ---- frontier delta checkpoint (O(changed), never a rewrite) ----
         # new Discovered rows append as this wave's delta; status flips
         # (selected -> Processed, rejected -> Disallowed; both politeness-
@@ -1014,6 +1029,8 @@ def run_crawl(
             _mark("frontier_compact")
 
         seen.checkpoint(wdir / "seen")
+        if content_seen is not None:
+            content_seen.checkpoint(wdir / "content_seen")
         _mark("seen_ckpt")
         total_fetched += n_selected
         lineage = {
@@ -1060,6 +1077,8 @@ def run_crawl(
     summary.final_frontier_rows = int(prev_frontier_rows or 0)
     summary.seen_size = seen.size()
     seen.shutdown()
+    if content_seen is not None:
+        content_seen.shutdown()
     return summary
 
 
