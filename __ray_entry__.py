@@ -613,6 +613,50 @@ def _q_chunk_docs(sf_dir: str):
     return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
 
 
+def _q_novel_content(sf_dir: str):
+    """The cross-wave novel-content machinery (stages/novel.py) outside the
+    crawl: documents split into two synthetic waves (even/odd doc_id),
+    processed-checkpoint-shaped parquet on disk, a real content SeenSet
+    across both calls — the SQL oracle recomputes first-occurrence-by-wave
+    with min-url arbitration."""
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from abwcf_ray.state.seen import SeenSet
+    from abwcf_ray.stages.novel import novel_extracted
+
+    _quiet()
+    df = _docs(sf_dir, ["doc_id", "text"]).to_pandas()
+    d = df["doc_id"].to_numpy()
+    df["url"] = [f"https://h{i % _HOSTS}.example/p{i}" for i in d]
+    df["is_html"] = True
+    base = Path("/tmp/abwcf_novel_q")
+    shutil.rmtree(base, ignore_errors=True)
+    for w in (0, 1):
+        wdir = base / f"w{w}" / "processed"
+        wdir.mkdir(parents=True, exist_ok=True)
+        part = df[d % 2 == w][["url", "text", "is_html"]]
+        _pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            wdir / "part-0000.parquet",
+        )
+    content_seen = SeenSet(2)
+    frames = []
+    for w in (0, 1):
+        novel_extracted(base / f"w{w}" / "processed", base / f"w{w}" / "novel",
+                        content_seen, wave=w)
+        files = sorted((base / f"w{w}" / "novel").glob("*.parquet"))
+        if files:
+            got = _pq.read_table([str(f) for f in files]).to_pandas()
+            got["wave"] = np.int64(w)
+            frames.append(got[["url", "wave"]])
+    content_seen.shutdown()
+    out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        {"url": [], "wave": []}
+    )
+    return out.sort_values(["wave", "url"]).reset_index(drop=True)
+
+
 def _q_curation_full(sf_dir: str):
     """The fully-composed curation pipeline: quality -> repetition ->
     decontamination -> exact dedup -> per-lang quota sample, one streaming
@@ -723,6 +767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "decontaminate": _q_decontaminate,
         "curation_full": _q_curation_full,
+        "novel_content": _q_novel_content,
         "mixture_epochs": _q_mixture_epochs,
         "chunk_docs": _q_chunk_docs,
         "crawl_wave": _q_crawl,
@@ -1125,6 +1170,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM reps
             )
             SELECT doc_id, lang, dup_count FROM keyed WHERE r <= 25
+        """,
+        "novel_content": """
+            WITH d AS (
+                SELECT doc_id, text,
+                       'https://h' || (doc_id % 97) || '.example/p' || doc_id AS url,
+                       doc_id % 2 AS wave
+                FROM documents
+            ),
+            w0 AS (SELECT MIN(url) AS url FROM d WHERE wave = 0 GROUP BY text),
+            t0 AS (SELECT DISTINCT text FROM d WHERE wave = 0),
+            w1 AS (
+                SELECT MIN(url) AS url FROM d
+                WHERE wave = 1 AND text NOT IN (SELECT text FROM t0)
+                GROUP BY text
+            )
+            SELECT url, CAST(0 AS BIGINT) AS wave FROM w0
+            UNION ALL
+            SELECT url, CAST(1 AS BIGINT) AS wave FROM w1
         """,
         "mixture_epochs": """
             WITH w AS (
