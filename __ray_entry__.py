@@ -505,6 +505,28 @@ def _q_stratified_sample(sf_dir: str):
     return out[["doc_id", "lang"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_host_cap(sf_dir: str):
+    """Per-host document cap (the C4/Gopher per-domain limit) = stratified
+    quota sampling with host strata — run with the driver merge DISABLED so
+    the hash(stratum)-sharded distributed merge path itself is SQL-oracled
+    (97 strata exercise real fan-out, unlike the 5-lang case)."""
+    from abwcf_ray.stages.sample import stratified_sample
+
+    _quiet()
+
+    def with_host(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "host", pa.array([f"h{i % _HOSTS}.example" for i in d], pa.string())
+        )
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(with_host, batch_format="pyarrow")
+    out = stratified_sample(
+        ds, 3, strata_col="host", driver_merge_max_rows=0
+    ).to_pandas()
+    return out[["doc_id", "host"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_sample_rate(sf_dir: str):
     """Shuffle-free deterministic 35% hash sample (pure row filter)."""
     from abwcf_ray.stages.sample import sample_by_rate
@@ -763,6 +785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_exact": _q_knn_ivf_exact,
         "stratified_sample": _q_stratified_sample,
         "sample_rate": _q_sample_rate,
+        "host_cap": _q_host_cap,
         "repetition_signals": _q_repetition_signals,
         "pii_scrub": _q_pii_scrub,
         "decontaminate": _q_decontaminate,
@@ -1031,6 +1054,17 @@ def oracle_sql() -> dict[str, str]:
         "sample_rate": """
             SELECT doc_id FROM documents
             WHERE (doc_id * 2654435761) % 4294967296 < 0.35 * 4294967296
+        """,
+        "host_cap": """
+            WITH keyed AS (
+                SELECT doc_id, 'h' || (doc_id % 97) || '.example' AS host,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id % 97
+                           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                       ) AS r
+                FROM documents
+            )
+            SELECT doc_id, host FROM keyed WHERE r <= 3
         """,
         "repetition_signals": r"""
             WITH w AS (
