@@ -38,6 +38,25 @@ import pyarrow.parquet as pq
 _HOSTS = 97
 _WAVE_S = 10.0
 
+# the paragraph queries' constructed multi-paragraph corpus — the SQL twin
+# of _built_paragraph_corpus (see its docstring)
+_BUILT_PARA_SQL = """
+            built AS (
+                SELECT a.doc_id,
+                       a.text
+                       || CASE WHEN a.doc_id % 3 <> 0
+                               THEN chr(10) || b.text ELSE '' END
+                       || CASE WHEN a.doc_id % 5 = 0
+                               THEN chr(10) ELSE '' END
+                       || CASE WHEN a.doc_id % 4 <> 0
+                               THEN chr(10) || c.text ELSE '' END AS text
+                FROM documents a
+                JOIN documents b
+                  ON b.doc_id = (a.doc_id * 7 + 1) % (SELECT COUNT(*) FROM documents)
+                JOIN documents c
+                  ON c.doc_id = (a.doc_id * 13 + 2) % (SELECT COUNT(*) FROM documents)
+            )"""
+
 
 def _quiet():
     from ray.data import DataContext
@@ -635,6 +654,68 @@ def _q_chunk_docs(sf_dir: str):
     return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
 
 
+def _built_paragraph_corpus(sf_dir: str):
+    """Deterministic multi-paragraph corpus for the paragraph operators:
+    the fixture documents are single-line and all-distinct, so (like
+    ``_q_pii_scrub``) the query CONSTRUCTS the duplication — identically
+    in SQL: doc i's text is text(i), then text((7i+1)%N) when i%3!=0,
+    then a blank line when i%5==0, then text((13i+2)%N) when i%4!=0.
+    Each distinct paragraph then occurs 1-3 times corpus-wide."""
+    import pandas as pd
+    import ray.data as rd
+
+    base = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ids = base["doc_id"].to_numpy()
+    n = len(ids)
+    if not (ids == np.arange(n)).all():
+        raise AssertionError("paragraph queries require contiguous doc_ids")
+    txt = base["text"].tolist()
+    built = []
+    for i in ids:
+        t = txt[i]
+        if i % 3 != 0:
+            t += "\n" + txt[(i * 7 + 1) % n]
+        if i % 5 == 0:
+            t += "\n"
+        if i % 4 != 0:
+            t += "\n" + txt[(i * 13 + 2) % n]
+        built.append(t)
+    return rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": built}))
+
+
+def _q_paragraph_dedup(sf_dir: str):
+    """First-wins exact paragraph dedup (RefinedWeb/MassiveText-style line
+    dedup): paragraph text never enters an exchange — 16-byte (hash, okey)
+    occurrence pairs settle winners inside coarse hash partitions, then
+    the drop set broadcasts (doc-co-partitioned reassembly past the
+    broadcast bound). Blank lines are always kept."""
+    from abwcf_ray.stages.paragraphs import paragraph_dedup
+
+    _quiet()
+    out = paragraph_dedup(_built_paragraph_corpus(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_boilerplate(sf_dir: str):
+    """Corpus-frequency boilerplate removal (CCNet-style): paragraphs
+    occurring >= 3 times corpus-wide are stripped from every document.
+    Occurrences never shuffle: per-batch partial counts -> native Sum ->
+    the frequent-hash set broadcasts as a sorted array and drops are
+    re-derived map-side."""
+    from abwcf_ray.stages.paragraphs import remove_boilerplate
+
+    _quiet()
+    out = remove_boilerplate(
+        _built_paragraph_corpus(sf_dir), min_df=3
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_novel_content(sf_dir: str):
     """The cross-wave novel-content machinery (stages/novel.py) outside the
     crawl: documents split into two synthetic waves (even/odd doc_id),
@@ -793,6 +874,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "novel_content": _q_novel_content,
         "mixture_epochs": _q_mixture_epochs,
         "chunk_docs": _q_chunk_docs,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "boilerplate": _q_boilerplate,
         "crawl_wave": _q_crawl,
     }
 
@@ -1253,5 +1336,58 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(ws[chunk_id*32+1 : CAST(least((chunk_id+1)*32, n) AS BIGINT)], ' ') AS chunk_text,
                    CAST(least(n - chunk_id*32, 32) AS BIGINT) AS n_tokens
             FROM c
+        """,
+        "paragraph_dedup": f"""
+            WITH {_BUILT_PARA_SQL},
+            paras AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS para,
+                       unnest(range(0, len(string_split(text, chr(10))))) AS para_idx
+                FROM built
+            ),
+            keyed AS (
+                SELECT doc_id, para, para_idx,
+                       doc_id * 1048576 + para_idx AS okey
+                FROM paras
+            ),
+            firsts AS (
+                SELECT para, MIN(okey) AS first_key
+                FROM keyed WHERE para <> '' GROUP BY para
+            ),
+            flagged AS (
+                SELECT k.doc_id, k.para, k.para_idx,
+                       (k.para = '' OR k.okey = f.first_key) AS kept
+                FROM keyed k LEFT JOIN firsts f USING (para)
+            )
+            SELECT doc_id,
+                   COUNT(*) AS n_paras,
+                   COUNT(*) FILTER (WHERE kept) AS n_kept,
+                   COALESCE(STRING_AGG(CASE WHEN kept THEN para END,
+                                       chr(10) ORDER BY para_idx), '') AS text
+            FROM flagged GROUP BY doc_id
+        """,
+        "boilerplate": f"""
+            WITH {_BUILT_PARA_SQL},
+            paras AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS para,
+                       unnest(range(0, len(string_split(text, chr(10))))) AS para_idx
+                FROM built
+            ),
+            freq AS (
+                SELECT para FROM paras
+                WHERE para <> '' GROUP BY para HAVING COUNT(*) >= 3
+            ),
+            flagged AS (
+                SELECT p.doc_id, p.para, p.para_idx,
+                       (p.para = '' OR f.para IS NULL) AS kept
+                FROM paras p LEFT JOIN freq f USING (para)
+            )
+            SELECT doc_id,
+                   COUNT(*) AS n_paras,
+                   COUNT(*) FILTER (WHERE kept) AS n_kept,
+                   COALESCE(STRING_AGG(CASE WHEN kept THEN para END,
+                                       chr(10) ORDER BY para_idx), '') AS text
+            FROM flagged GROUP BY doc_id
         """,
     }
