@@ -701,6 +701,27 @@ def _q_paragraph_dedup(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_lm_rarity(sf_dir: str):
+    """CCNet-style unigram-LM rarity scoring with the corpus as its own
+    reference model: vocabulary rank assigned by (count DESC, word ASC)
+    over a combiner-bounded groupby, broadcast once as a sorted hash
+    array; every doc scored map-side (rank_sum / n_lm_tokens, single IEEE
+    division) and bucketed head/middle/tail. Fully SQL-expressible because
+    the score is integer rank arithmetic, not a float log-prob."""
+    from abwcf_ray.stages.lm import lm_rarity_score
+
+    _quiet()
+    out = lm_rarity_score(_docs(sf_dir, ["doc_id", "text"]))
+    return (
+        out.select_columns(
+            ["doc_id", "n_lm_tokens", "rank_sum", "mean_rank", "lm_bucket"]
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_boilerplate(sf_dir: str):
     """Corpus-frequency boilerplate removal (CCNet-style): paragraphs
     occurring >= 3 times corpus-wide are stripped from every document.
@@ -876,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunk_docs,
         "paragraph_dedup": _q_paragraph_dedup,
         "boilerplate": _q_boilerplate,
+        "lm_rarity": _q_lm_rarity,
         "crawl_wave": _q_crawl,
     }
 
@@ -1389,5 +1411,36 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(STRING_AGG(CASE WHEN kept THEN para END,
                                        chr(10) ORDER BY para_idx), '') AS text
             FROM flagged GROUP BY doc_id
+        """,
+        "lm_rarity": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+                FROM documents
+            ),
+            vocab AS (
+                SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w ASC) AS r
+                FROM toks GROUP BY w
+                QUALIFY r <= 65536
+            ),
+            agg AS (
+                SELECT t.doc_id,
+                       COUNT(*) AS n_lm_tokens,
+                       SUM(COALESCE(v.r, 65537)) AS rank_sum
+                FROM toks t LEFT JOIN vocab v USING (w)
+                GROUP BY t.doc_id
+            ),
+            scored AS (
+                SELECT d.doc_id,
+                       CAST(COALESCE(a.n_lm_tokens, 0) AS BIGINT) AS n_lm_tokens,
+                       CAST(COALESCE(a.rank_sum, 0) AS BIGINT) AS rank_sum,
+                       COALESCE(a.rank_sum, 0)
+                           / GREATEST(COALESCE(a.n_lm_tokens, 0), 1)::DOUBLE AS mean_rank
+                FROM documents d LEFT JOIN agg a USING (doc_id)
+            )
+            SELECT doc_id, n_lm_tokens, rank_sum, mean_rank,
+                   CASE WHEN mean_rank <= 14.0 THEN 'head'
+                        WHEN mean_rank <= 16.5 THEN 'middle'
+                        ELSE 'tail' END AS lm_bucket
+            FROM scored ORDER BY doc_id
         """,
     }
