@@ -701,6 +701,41 @@ def _q_paragraph_dedup(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup (cluster-then-dedup, Abbas et al. 2023) at working
+    parameters: k-means into 8 clusters, within-cluster exact-cosine
+    dedup. Approximate by design (cross-cluster pairs never considered)
+    -> rows-only check; the value oracle is semdedup_exact."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.semdedup import semdedup
+
+    _quiet()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = semdedup(ds, n_clusters=8, threshold=0.4)
+    out["is_dup"] = out["is_dup"].astype(np.int64)
+    return out
+
+
+def _q_semdedup_exact(sf_dir: str):
+    """Degenerate-parameter SemDeDup: ``n_clusters=1`` makes the k-means
+    candidate scope exhaustive, so the FULL machinery (distributed k-means
+    fit, nearest-centroid slim explode, partitioned pair generation,
+    distributed cosine verify, connected components, labels) must equal
+    all-pairs cosine dedup — the same recursive-CTE SQL value oracle as
+    embedding_dedup_exact (threshold 0.4 sits in the fixture's measured
+    pairwise-cosine gap, so rounding cannot flip a pair)."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.semdedup import semdedup
+
+    _quiet()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = semdedup(ds, n_clusters=1, threshold=0.4)
+    out["is_dup"] = out["is_dup"].astype(np.int64)
+    return out
+
+
 def _q_lm_rarity(sf_dir: str):
     """CCNet-style unigram-LM rarity scoring with the corpus as its own
     reference model: vocabulary rank assigned by (count DESC, word ASC)
@@ -898,6 +933,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "boilerplate": _q_boilerplate,
         "lm_rarity": _q_lm_rarity,
+        "semdedup": _q_semdedup,
+        "semdedup_exact": _q_semdedup_exact,
         "crawl_wave": _q_crawl,
     }
 
@@ -1442,5 +1479,26 @@ def oracle_sql() -> dict[str, str]:
                         WHEN mean_rank <= 16.5 THEN 'middle'
                         ELSE 'tail' END AS lm_bucket
             FROM scored ORDER BY doc_id
+        """,
+        "semdedup_exact": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            ),
+            sym AS (
+                SELECT src, dst FROM pairs
+                UNION
+                SELECT dst AS src, src AS dst FROM pairs
+            ),
+            reach(id, r) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+            )
+            SELECT id AS vec_id,
+                   MIN(r) AS cluster,
+                   CAST(id <> MIN(r) AS BIGINT) AS is_dup
+            FROM reach GROUP BY id
         """,
     }

@@ -635,3 +635,84 @@ def test_kmeans_init_unbiased_on_sorted_input(ray_session):
     # every true center must have a fitted centroid within 2.0
     d = np.linalg.norm(centers[:, None, :] - cents[None, :, :], axis=2).min(axis=1)
     assert (d < 2.0).all(), d
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (cluster-then-dedup)
+# --------------------------------------------------------------------------
+def _brute_cc_labels(vecs: np.ndarray, ids: np.ndarray, threshold: float):
+    """All-pairs cosine >= threshold -> connected components -> min-id."""
+    unit = vecs / np.clip(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12, None)
+    adj = unit @ unit.T >= threshold
+    n = len(ids)
+    label = list(range(n))
+
+    def find(x):
+        while label[x] != x:
+            label[x] = label[label[x]]
+            x = label[x]
+        return x
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if adj[i, j]:
+                a, b = find(i), find(j)
+                if a != b:
+                    label[max(a, b)] = min(a, b)
+    roots = np.array([ids[find(i)] for i in range(n)])
+    # component representative = min id (ids here are sorted ascending)
+    return {int(i): int(r) for i, r in zip(ids, roots)}
+
+
+def test_semdedup_exhaustive_matches_brute_force(embs):
+    """n_clusters=1 -> exhaustive candidates: the full machinery (k-means
+    fit, nearest-centroid explode, partitioned pairs, distributed verify,
+    CC, labels) must equal all-pairs cosine dedup."""
+    from abwcf_ray.stages.semdedup import semdedup
+
+    out = semdedup(embs, n_clusters=1, threshold=0.4).set_index("vec_id")
+    df = embs.to_pandas().sort_values("vec_id")
+    vecs = np.array(list(df["embedding"]), dtype=np.float64)
+    exp = _brute_cc_labels(vecs, df["vec_id"].to_numpy(), 0.4)
+    assert len(out) == len(exp)
+    for i, r in exp.items():
+        assert out.loc[i, "cluster"] == r
+        assert bool(out.loc[i, "is_dup"]) == (i != r)
+
+
+def test_semdedup_cluster_scope_is_sound(embs):
+    """k > 1 candidate edges are a SUBSET of exhaustive edges, so every
+    doc flagged dup under clustering must also be flagged dup
+    exhaustively (recall trades, soundness does not)."""
+    from abwcf_ray.stages.semdedup import semdedup
+
+    full = semdedup(embs, n_clusters=1, threshold=0.4).set_index("vec_id")
+    k4 = semdedup(embs, n_clusters=4, threshold=0.4).set_index("vec_id")
+    dup4 = set(k4.index[k4["is_dup"]])
+    dupf = set(full.index[full["is_dup"]])
+    assert dup4 <= dupf
+    assert len(dupf) > 0  # fixture has near-dups at 0.4
+
+
+def test_semdedup_bucketize_matches_nearest_centroid(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.semdedup import make_cluster_bucketize
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 8))
+    c = rng.standard_normal((5, 8))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(make_cluster_bucketize(c), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    exp = np.argmin(((vecs[:, None, :] - c[None, :, :]) ** 2).sum(-1), axis=1)
+    assert (out["bucket_key"].to_numpy() == exp).all()
