@@ -701,6 +701,38 @@ def _q_paragraph_dedup(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_substr_dedup(sf_dir: str):
+    """ExactSubstr dedup (Lee et al. 2022 §3.2) over the constructed
+    paragraph corpus: every duplicated >=16-token run is removed from all
+    occurrences except the first (by (doc_id, pos)). Gram-granularity
+    exact mode (window=1); only 24-byte occurrence rows cross the
+    exchange, winners settle in coarse hash partitions, drop spans merge
+    via a diff array. The SQL oracle groups by gram STRINGS, so the
+    value-hash check also guards the 64-bit gram hashing end-to-end."""
+    from abwcf_ray.stages.substr import exact_substring_dedup
+
+    _quiet()
+    out = exact_substring_dedup(
+        _built_paragraph_corpus(sf_dir), k=16, window=1
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_substr_dedup_winnow(sf_dir: str):
+    """The scale lever on ExactSubstr: robust winnowing (Schleimer et al.
+    2003) with window=4 shrinks the occurrence exchange ~4x; recall is
+    exact only for runs >= k + w - 1, so this is approximate by design
+    (rows-only check). tests/test_substr.py proves its drops are a subset
+    of exact mode's and that long runs are still caught."""
+    from abwcf_ray.stages.substr import exact_substring_dedup
+
+    _quiet()
+    out = exact_substring_dedup(
+        _built_paragraph_corpus(sf_dir), k=16, window=4
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_semdedup(sf_dir: str):
     """SemDeDup (cluster-then-dedup, Abbas et al. 2023) at working
     parameters: k-means into 8 clusters, within-cluster exact-cosine
@@ -931,6 +963,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_epochs": _q_mixture_epochs,
         "chunk_docs": _q_chunk_docs,
         "paragraph_dedup": _q_paragraph_dedup,
+        "substr_dedup": _q_substr_dedup,
+        "substr_dedup_winnow": _q_substr_dedup_winnow,
         "boilerplate": _q_boilerplate,
         "lm_rarity": _q_lm_rarity,
         "semdedup": _q_semdedup,
@@ -1424,6 +1458,59 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(STRING_AGG(CASE WHEN kept THEN para END,
                                        chr(10) ORDER BY para_idx), '') AS text
             FROM flagged GROUP BY doc_id
+        """,
+        "substr_dedup": f"""
+            WITH {_BUILT_PARA_SQL},
+            toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+                FROM built
+            ),
+            grams AS (
+                SELECT doc_id, ws,
+                       unnest(range(CAST(len(ws) AS BIGINT) - 16 + 1)) AS pos
+                FROM toks WHERE len(ws) >= 16
+            ),
+            g2 AS (
+                SELECT doc_id, pos,
+                       array_to_string(ws[pos+1 : pos+16], chr(31)) AS gram,
+                       doc_id * 1048576 + pos AS okey
+                FROM grams
+            ),
+            firsts AS (
+                SELECT gram, MIN(okey) AS first_key
+                FROM g2 GROUP BY gram HAVING COUNT(*) > 1
+            ),
+            drops AS (
+                SELECT g.doc_id, g.pos
+                FROM g2 g JOIN firsts f USING (gram)
+                WHERE g.okey <> f.first_key
+            ),
+            droppos AS (
+                SELECT DISTINCT d.doc_id, d.pos + u.range AS tp
+                FROM drops d, range(16) u
+            ),
+            tok AS (
+                SELECT doc_id,
+                       unnest(ws) AS tok,
+                       unnest(range(CAST(len(ws) AS BIGINT))) AS tp
+                FROM toks
+            ),
+            flagged AS (
+                SELECT t.doc_id, t.tok, t.tp, (p.tp IS NULL) AS kept
+                FROM tok t LEFT JOIN droppos p USING (doc_id, tp)
+            ),
+            rebuilt AS (
+                SELECT doc_id,
+                       COUNT(*) FILTER (WHERE kept) AS n_kept,
+                       COALESCE(STRING_AGG(CASE WHEN kept THEN tok END,
+                                           ' ' ORDER BY tp), '') AS text_clean
+                FROM flagged GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(len(d.ws) AS BIGINT) AS n_tokens,
+                   COALESCE(r.n_kept, 0) AS n_kept,
+                   COALESCE(r.text_clean, '') AS text_clean
+            FROM toks d LEFT JOIN rebuilt r USING (doc_id)
         """,
         "boilerplate": f"""
             WITH {_BUILT_PARA_SQL},
