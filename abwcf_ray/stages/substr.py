@@ -113,26 +113,33 @@ def _winnow_select(C: np.ndarray, doc_idx: np.ndarray, window: int) -> np.ndarra
     duplicated run >= k + w - 1 tokens select the same gram."""
     if window <= 1 or not C.size:
         return np.ones(C.size, dtype=bool)
-    keep = np.zeros(C.size, dtype=bool)
-    # process each doc's contiguous run (vectorized inside via sliding min)
-    starts = np.flatnonzero(np.concatenate([[True], doc_idx[1:] != doc_idx[:-1]]))
-    ends = np.concatenate([starts[1:], [C.size]])
     from numpy.lib.stride_tricks import sliding_window_view
 
-    for s, e in zip(starts, ends):
-        c = C[s:e]
-        n = e - s
-        if n <= window:
-            # one (short) window: rightmost min of the whole run
-            m = c.min()
-            keep[s + np.flatnonzero(c == m)[-1]] = True
-            continue
-        sw = sliding_window_view(c, window)  # (n-w+1, w)
-        # rightmost min per window: argmin on the reversed axis
-        rev = sw[:, ::-1]
-        arg = window - 1 - rev.argmin(axis=1)
-        sel = np.unique(np.arange(n - window + 1) + arg)
-        keep[s + sel] = True
+    n = C.size
+    keep = np.zeros(n, dtype=bool)
+    starts = np.flatnonzero(np.concatenate([[True], doc_idx[1:] != doc_idx[:-1]]))
+    ends = np.concatenate([starts[1:], [n]])
+    # one batch-wide sliding pass; a window is valid iff it lies entirely
+    # inside one doc (both endpoints share doc_idx) — no per-doc Python.
+    if n >= window:
+        sw = sliding_window_view(C, window)  # view, no copy
+        arg = window - 1 - sw[:, ::-1].argmin(axis=1)  # rightmost min
+        a = np.arange(n - window + 1)
+        valid = doc_idx[a] == doc_idx[a + window - 1]
+        keep[(a + arg)[valid]] = True
+    # runs shorter than the window get their rightmost whole-run min:
+    # gather those runs' elements into one flat array and settle them with
+    # segmented reduceat — still no per-doc Python.
+    short = np.flatnonzero(ends - starts < window)
+    if short.size:
+        s = starts[short]
+        lens = ends[short] - s
+        segb = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        idx = np.repeat(s - segb, lens) + np.arange(int(lens.sum()))
+        c = C[idx]
+        m_exp = np.repeat(np.minimum.reduceat(c, segb), lens)
+        cand = np.where(c == m_exp, idx, -1)
+        keep[np.maximum.reduceat(cand, segb)] = True
     return keep
 
 

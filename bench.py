@@ -216,6 +216,12 @@ def run_bench() -> dict:
     curate_full(docs, bench_texts, decontam_k=4, quota=25).count()
     queries["curation_full"] = round(time.perf_counter() - t0, 3)
 
+    from abwcf_ray.stages.substr import exact_substring_dedup
+
+    t0 = time.perf_counter()
+    exact_substring_dedup(docs, k=16).count()
+    queries["substr_dedup"] = round(time.perf_counter() - t0, 3)
+
     embs = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
     qdf = embs.sort("vec_id").limit(8).to_pandas()
     t0 = time.perf_counter()

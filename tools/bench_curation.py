@@ -117,6 +117,22 @@ def main() -> int:
     timed("decontaminate", lambda: decontaminate(docs(), bench_texts, k=13).count())
     timed("chunk_docs", lambda: chunk_documents(docs(), 64).count())
 
+    # ExactSubstr at volume: the tiled corpus duplicates every base text
+    # ~n_docs/5000 times, so exact mode's drop set (~(tokens-k+1) okeys per
+    # duplicated doc) blows past broadcast_max_drops and exercises the
+    # doc-co-partitioned reassembly; winnowed mode (w=8) shows the
+    # exchange-shrink lever on the same input.
+    from abwcf_ray.stages.substr import exact_substring_dedup
+
+    timed(
+        "substr_dedup",
+        lambda: exact_substring_dedup(docs(), k=16).count(),
+    )
+    timed(
+        "substr_dedup_winnow8",
+        lambda: exact_substring_dedup(docs(), k=16, window=8).count(),
+    )
+
     n = args.n_docs
     print(
         json.dumps(
