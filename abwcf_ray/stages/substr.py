@@ -37,13 +37,20 @@ Scale shape (designed for a 100 TB corpus):
    survives, the rest become 8-byte drop okeys) — the same
    coarse-partition trick as the LSH dedup family; a gram's occurrences
    always co-locate because pkey derives from the gram hash.
-4. **Drop application** — drop spans broadcast as a sorted okey array
-   while they fit (``broadcast_max_drops``); past that, documents and
-   drops co-partition by ``hash(doc_id) % P`` and each partition
-   reassembles its own documents (duplicated text at web scale is a
-   constant fraction of the corpus, so broadcast cannot be the only
-   path). Dropped token masks come from a span diff-array (+1 at pos,
-   -1 at pos+k, cumsum > 0), so overlapping spans merge for free.
+4. **Drop application** — three regimes, cheapest that fits:
+   (a) drop okeys broadcast as one sorted array while they fit
+   (``broadcast_max_drops``); (b) past that, the DISTINCT dup doc-id
+   set (smaller than the drop set by the spans-per-doc factor)
+   broadcasts instead — clean docs rebuild map-side without entering
+   any exchange, and only duplicated docs co-partition with their
+   drops by ``hash(doc_id) % P2`` where P2 scales with the dup-doc
+   count (``dup_docs_per_partition``), bounding each materialized
+   group; (c) if even the id set is too big
+   (``broadcast_max_dup_ids``), every doc co-partitions (duplicated
+   text at web scale is a constant fraction of the corpus, so
+   broadcast cannot be the only path). Dropped token masks come from
+   a span diff-array (+1 at pos, -1 at pos+k, cumsum > 0), so
+   overlapping spans merge for free.
 
 Output contract: one row per input document —
 ``(doc_id, n_tokens, n_kept, text_clean)`` with ``text_clean`` the
@@ -72,6 +79,7 @@ _MAX_POS = 1 << 20  # tokens per document (same contract as paragraphs.py)
 
 DEFAULT_PARTITIONS = 32
 BROADCAST_MAX_DROPS = 50_000_000
+DUP_DOCS_PER_PARTITION = 32_768
 
 
 def _batch_gram_positions(
@@ -240,6 +248,8 @@ def exact_substring_dedup(
     id_col: str = "doc_id",
     partitions: int = DEFAULT_PARTITIONS,
     broadcast_max_drops: int = BROADCAST_MAX_DROPS,
+    broadcast_max_dup_ids: int | None = None,
+    dup_docs_per_partition: int = DUP_DOCS_PER_PARTITION,
     return_dataset: bool = True,
 ):
     """Remove every duplicated >=k-token run except its first occurrence.
@@ -273,7 +283,45 @@ def exact_substring_dedup(
         out = ds.map_batches(rebuild, batch_format="pyarrow")
         return out if return_dataset else out.to_pandas()
 
-    # co-partitioned path: union tagged doc rows + drop rows, one groupby
+    # drops don't fit: try broadcasting just the DISTINCT dup doc-id set
+    # (smaller by the spans-per-doc factor) so clean docs never enter an
+    # exchange and only duplicated docs co-partition with their drops.
+    if broadcast_max_dup_ids is None:
+        broadcast_max_dup_ids = broadcast_max_drops
+
+    def _ids_of(b: pa.Table) -> pa.Table:
+        ok = b.column("okey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": pa.array(np.unique(ok // _MAX_POS), pa.int64())}
+        )
+
+    dup_ids_ds = (
+        drops.map_batches(_ids_of, batch_format="pyarrow")
+        .groupby("doc_id")
+        .count()
+    ).materialize()
+    n_dup = dup_ids_ds.count()
+    dup_ids_ref = None
+    if n_dup <= broadcast_max_dup_ids:
+        id_arrs = [
+            t.column("doc_id").to_numpy(zero_copy_only=False)
+            for t in ray.get(dup_ids_ds.to_arrow_refs())
+            if t.num_rows
+        ]
+        dup_ids_ref = ray.put(
+            np.sort(np.concatenate(id_arrs)) if id_arrs
+            else np.zeros(0, dtype=np.int64)
+        )
+        # bound each materialized rebuild group by the dup-doc count
+        partitions = max(
+            partitions, -(-n_dup // max(dup_docs_per_partition, 1))
+        )
+
+    # co-partitioned path: union tagged doc rows + drop rows, one groupby.
+    # okey uses a -1 sentinel for doc rows (NOT null): a null int64 column
+    # coerced through a pandas block boundary becomes float64, which both
+    # breaks integer indexing downstream and loses precision for okeys
+    # beyond 2^53 at scale.
     schema = pa.schema(
         [
             ("_pkey", pa.int64()),
@@ -285,16 +333,28 @@ def exact_substring_dedup(
 
     def doc_rows(b: pa.Table) -> pa.Table:
         d = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = pa.compute.fill_null(b.column(text_col).cast(pa.string()), "")
+        if dup_ids_ref is not None:
+            # only dup docs enter the exchange; clean docs are rebuilt
+            # map-side by rebuild_clean below
+            dup_sorted = ray.get(dup_ids_ref)
+            if dup_sorted.size:
+                pos = np.searchsorted(dup_sorted, d)
+                is_dup = (pos < dup_sorted.size) & (
+                    dup_sorted[np.minimum(pos, dup_sorted.size - 1)] == d
+                )
+            else:
+                is_dup = np.zeros(d.size, dtype=bool)
+            d, txt = d[is_dup], txt.filter(pa.array(is_dup))
         pkey = (
             d.astype(np.uint64) * np.uint64(_GOLDEN64) % np.uint64(partitions)
         ).astype(np.int64)
-        txt = pa.compute.fill_null(b.column(text_col).cast(pa.string()), "")
         return pa.table(
             {
                 "_pkey": pa.array(pkey, pa.int64()),
                 "doc_id": pa.array(d, pa.int64()),
                 "_text": txt,
-                "okey": pa.nulls(len(d), pa.int64()),
+                "okey": pa.array(np.full(len(d), -1, dtype=np.int64), pa.int64()),
             },
             schema=schema,
         )
@@ -320,14 +380,42 @@ def exact_substring_dedup(
     )
 
     def rebuild_partition(g: pa.Table) -> pa.Table:
-        is_doc = pa.compute.is_valid(g.column("_text"))
-        docs = g.filter(is_doc)
-        dr = g.filter(pa.compute.invert(is_doc))
-        drops_sorted = np.sort(dr.column("okey").to_numpy(zero_copy_only=False))
+        okeys = g.column("okey").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_doc = okeys < 0
+        docs = g.filter(pa.array(is_doc))
+        drops_sorted = np.sort(okeys[~is_doc])
         doc_batch = pa.table(
-            {id_col: docs.column("doc_id"), text_col: docs.column("_text")}
+            {
+                id_col: docs.column("doc_id"),
+                text_col: pa.compute.fill_null(
+                    docs.column("_text").cast(pa.string()), ""
+                ),
+            }
         )
         return _rebuild_docs(doc_batch, drops_sorted, k, text_col, id_col)
 
     out = tagged.groupby("_pkey").map_groups(rebuild_partition, batch_format="pyarrow")
+
+    if dup_ids_ref is not None:
+        # clean docs (no drops anywhere) rebuild map-side, never shuffled
+        def rebuild_clean(b: pa.Table) -> pa.Table:
+            dup_sorted = ray.get(dup_ids_ref)
+            d = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            if dup_sorted.size:
+                pos = np.searchsorted(dup_sorted, d)
+                is_dup = (pos < dup_sorted.size) & (
+                    dup_sorted[np.minimum(pos, dup_sorted.size - 1)] == d
+                )
+            else:
+                is_dup = np.zeros(d.size, dtype=bool)
+            clean = b.filter(pa.array(~is_dup))
+            doc_batch = pa.table(
+                {id_col: clean.column(id_col), text_col: clean.column(text_col)}
+            )
+            return _rebuild_docs(
+                doc_batch, np.zeros(0, dtype=np.int64), k, text_col, id_col
+            )
+
+        out = ds.map_batches(rebuild_clean, batch_format="pyarrow").union(out)
+
     return out if return_dataset else out.to_pandas()

@@ -102,9 +102,22 @@ def test_broadcast_path_matches_brute_force(ray_session):
     assert (got["n_kept"] < got["n_tokens"]).any()
 
 
-def test_partitioned_path_matches_brute_force(ray_session):
+def test_dup_id_broadcast_path_matches_brute_force(ray_session):
+    # drops too big to broadcast, dup-id set fits: clean docs rebuild
+    # map-side, only dup docs co-partition (with partitions auto-raised
+    # by dup_docs_per_partition)
     docs = _mk_docs(k=4)
-    got = _run(docs, k=4, broadcast_max_drops=0, partitions=7)
+    got = _run(docs, k=4, broadcast_max_drops=0, partitions=7,
+               dup_docs_per_partition=8)
+    want = _py_substr(docs, 4)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_full_copartition_path_matches_brute_force(ray_session):
+    # neither drops nor dup ids fit: every doc co-partitions with drops
+    docs = _mk_docs(k=4)
+    got = _run(docs, k=4, broadcast_max_drops=0, broadcast_max_dup_ids=0,
+               partitions=7)
     want = _py_substr(docs, 4)
     pd.testing.assert_frame_equal(got, want)
 
