@@ -921,6 +921,85 @@ def _q_crawl(sf_dir: str):
     return df.sort_values("url").reset_index(drop=True)
 
 
+def _graph_edges(sf_dir: str):
+    """Deterministic synthetic link graph over documents (node = doc_id,
+    dense 0..n-1): out-degree 1 + doc_id % 3, j-th link target
+    (doc_id*1103 + j*7919 + 31) % n, self-loops dropped. The EXACT same
+    derivation is written inline in the SQL oracles (_GRAPH_EDGES_SQL) —
+    the same shared-synthesis pattern as _FRONTIER_SQL."""
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        deg = 1 + (d % 3)
+        src = np.repeat(d, deg)
+        j = np.arange(len(src), dtype=np.int64) - np.repeat(np.cumsum(deg) - deg, deg)
+        dst = (src * 1103 + j * 7919 + 31) % n
+        keep = dst != src
+        return pa.table(
+            {
+                "src": pa.array(src[keep], pa.int64()),
+                "dst": pa.array(dst[keep], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(explode, batch_format="pyarrow"), n
+
+
+def _graph_nodes(sf_dir: str):
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        lambda b: pa.table({"node": b.column("doc_id").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def _q_graph_degrees(sf_dir: str):
+    """Per-node in/out degree of the link graph: one map-side combiner
+    pass + one O(distinct nodes) groupby — the exchange never carries
+    edges."""
+    from abwcf_ray.stages.graph import degrees
+
+    _quiet()
+    edges, _ = _graph_edges(sf_dir)
+    out = degrees(edges, include_zero_nodes_from=_graph_nodes(sf_dir))
+    return out.to_pandas().sort_values("node").reset_index(drop=True)
+
+
+def _q_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank, 5 power iterations, BROADCAST regime
+    (dense int64 rank vector in the object store, edges stream, in-sums
+    settle in a combiner-bounded native groupby). Integer arithmetic makes
+    the iterative result exactly SQL-expressible — the oracle mirrors the
+    iteration with chained CTEs."""
+    from abwcf_ray.stages.graph import pagerank
+
+    _quiet()
+    edges, n = _graph_edges(sf_dir)
+    out = pagerank(edges, n_nodes=n, iters=5)
+    return out.to_pandas().sort_values("node").reset_index(drop=True)
+
+
+def _q_pagerank_distributed(sf_dir: str):
+    """Same PageRank forced onto the DISTRIBUTED regime (ranks are rows;
+    two keyed exchanges per iteration, nothing graph-sized on the driver)
+    — the same value oracle covers it because the fixed-point arithmetic
+    is bit-identical across regimes (pytest pins regime parity too)."""
+    from abwcf_ray.stages.graph import pagerank
+
+    _quiet()
+    edges, n = _graph_edges(sf_dir)
+    out = pagerank(
+        edges,
+        n_nodes=n,
+        nodes_ds=_graph_nodes(sf_dir),
+        iters=5,
+        broadcast_max_nodes=0,
+        merge_partitions=16,
+    )
+    return out.to_pandas().sort_values("node").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: the end-to-end crawl."""
     return _q_crawl("/root/testdata/sf0.001")
@@ -969,8 +1048,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_rarity": _q_lm_rarity,
         "semdedup": _q_semdedup,
         "semdedup_exact": _q_semdedup_exact,
+        "graph_degrees": _q_graph_degrees,
+        "pagerank": _q_pagerank,
+        "pagerank_distributed": _q_pagerank_distributed,
         "crawl_wave": _q_crawl,
     }
+
+
+_GRAPH_EDGES_SQL = """
+    SELECT d.doc_id AS src,
+           (d.doc_id * 1103 + g.j * 7919 + 31) % (SELECT COUNT(*) FROM documents) AS dst
+    FROM documents d
+    CROSS JOIN generate_series(0, 2) AS g(j)
+    WHERE g.j <= d.doc_id % 3
+      AND (d.doc_id * 1103 + g.j * 7919 + 31) % (SELECT COUNT(*) FROM documents) <> d.doc_id
+"""
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """Chained-CTE mirror of stages/graph.pagerank: one CTE per power
+    iteration, HUGEINT-safe sums, all arithmetic integer so it
+    hash-matches the engine bit-for-bit."""
+    scale = 10**9
+    base = ((100 - 85) * scale) // 100
+    ctes = [
+        f"edges AS ({_GRAPH_EDGES_SQL})",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        "odeg AS (SELECT src AS node, COUNT(*) AS od FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+                SELECT nodes.node,
+                       CAST({base} + (85 * COALESCE(s.insum, 0)) // 100 AS BIGINT) AS rank
+                FROM nodes LEFT JOIN (
+                    SELECT e.dst AS node, SUM(p.rank // o.od) AS insum
+                    FROM edges e
+                    JOIN {prev} p ON p.node = e.src
+                    JOIN odeg o ON o.node = e.src
+                    GROUP BY e.dst
+                ) s ON s.node = nodes.node
+            )"""
+        )
+        prev = f"r{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, rank AS rank_scaled FROM {prev}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1588,4 +1715,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(id <> MIN(r) AS BIGINT) AS is_dup
             FROM reach GROUP BY id
         """,
+        "graph_degrees": f"""
+            WITH edges AS ({_GRAPH_EDGES_SQL}),
+            nodes AS (SELECT doc_id AS node FROM documents),
+            o AS (SELECT src AS node, COUNT(*) AS c FROM edges GROUP BY src),
+            i AS (SELECT dst AS node, COUNT(*) AS c FROM edges GROUP BY dst)
+            SELECT n.node,
+                   CAST(COALESCE(o.c, 0) AS BIGINT) AS out_deg,
+                   CAST(COALESCE(i.c, 0) AS BIGINT) AS in_deg
+            FROM nodes n
+            LEFT JOIN o USING (node)
+            LEFT JOIN i USING (node)
+        """,
+        "pagerank": _pagerank_sql(5),
+        "pagerank_distributed": _pagerank_sql(5),
     }

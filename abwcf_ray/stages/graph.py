@@ -1,0 +1,375 @@
+"""Link-graph analytics over crawl output — degrees and PageRank.
+
+A web crawler's natural by-product is the hyperlink graph (every parsed
+page emits (src_url, dst_url) pairs — the reference's HtmlParser output,
+HtmlParser.scala:30-48, is exactly this stream before scope filtering).
+This module analyses that graph at corpus scale: per-node in/out degree
+and PageRank centrality, the canonical crawl-frontier prioritisation
+signal (Page et al. 1999; the reference's priority hook,
+reference.conf:96-104, is where such a score would plug in via
+``CrawlConfig.priority_fn``).
+
+Scale shape
+-----------
+
+**Degrees** are one map-side combiner pass: each batch emits partial
+``(node, out_n, in_n)`` counts, a native ``groupby(node).sum`` settles
+them — the exchange is O(distinct nodes), never O(edges).
+
+**PageRank** is the classic distributed power iteration with one
+all-to-all per step, in two regimes (same dual-regime convention as
+``stages/transform.py``'s robots filter and ``stages/paragraphs.py``):
+
+- *broadcast regime* (``n_nodes <= broadcast_max_nodes``, default 2^24
+  nodes = 128 MB of int64 ranks): the rank vector lives as ONE dense
+  numpy array in the object store (``ray.put`` once per iteration, read
+  zero-copy by every task); edges stream through ``map_batches``, each
+  batch segment-sums its contributions sparsely, and a native
+  ``groupby(dst).sum`` settles the per-node in-sums (exchange =
+  O(distinct dst nodes) thanks to the per-batch combiner). The driver
+  holds only the O(n_nodes) rank vector, never edges.
+- *distributed regime* (above the bound): ranks are rows, not an array.
+  Edges are keyed ONCE by hash(src) with out-degree attached; each
+  iteration is two keyed exchanges — attach ranks to edges inside
+  hash(src) partitions (the ``cc_labels_distributed`` message-passing
+  shape, ``stages/dedup.py``), then ``groupby(dst-partition)`` sums
+  contributions. Nothing graph-sized ever reaches the driver.
+
+Exactness
+---------
+
+Ranks are **fixed-point int64** (``SCALE = 10^9``): contribution =
+``rank // outdeg``, update = ``base + damping_num * insum //
+damping_den`` — pure integer arithmetic, so the result is bit-identical
+across regimes, block layouts, and parallelism levels, AND exactly
+SQL-expressible (the ``pagerank`` DuckDB oracle mirrors the iteration
+with chained CTEs; a float power iteration would hash-drift on
+summation order). Floor-rounding leaks ≤ 1 ulp of mass per node per
+step on both sides identically. Dangling nodes (out-degree 0) leak
+their mass — the simplest of the standard dangling conventions, chosen
+because it keeps the update local; both sides implement the same one.
+
+Overflow: ``insum <= n_nodes * SCALE`` (total mass) ``= 2^24 * 10^9 ≈
+1.7e16``; times ``damping_num`` (85) ≈ 1.4e18 < 2^63. The SQL side sums
+in HUGEINT and casts back.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from abwcf_ray.stages.dedup import _int_pkey
+
+SCALE = 10**9
+# dense int64 rank vector bound for the broadcast regime: 2^24 nodes = 128 MB
+PAGERANK_BROADCAST_MAX_NODES = 1 << 24
+GRAPH_MERGE_PARTITIONS = 64
+
+
+def _edge_arrays(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    src = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    return src, dst
+
+
+def _sparse_sum(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact int64 segment sum of vals by key (sort + reduceat — C kernels,
+    no float accumulation)."""
+    if len(keys) == 0:
+        return keys, vals
+    order = np.argsort(keys, kind="stable")
+    k = keys[order]
+    v = vals[order]
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    return k[starts], np.add.reduceat(v, starts)
+
+
+def degrees(edges_ds, *, include_zero_nodes_from=None):
+    """Per-node (out_deg, in_deg) from an edge Dataset with int64 columns
+    (src, dst). One combiner pass + one O(distinct nodes) groupby.
+
+    ``include_zero_nodes_from``: optional Dataset with a ``node`` column —
+    nodes that must appear in the output even with degree 0 on both sides
+    (the crawl analog: pages fetched but never linked to).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src, dst = _edge_arrays(batch)
+        ones = np.ones(len(src), np.int64)
+        on, oc = _sparse_sum(src, ones)
+        inn, ic = _sparse_sum(dst, ones)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([on, inn]), pa.int64()),
+                "out_n": pa.array(
+                    np.concatenate([oc, np.zeros(len(inn), np.int64)]), pa.int64()
+                ),
+                "in_n": pa.array(
+                    np.concatenate([np.zeros(len(on), np.int64), ic]), pa.int64()
+                ),
+            }
+        )
+
+    parts = edges_ds.map_batches(partial, batch_format="pyarrow")
+    if include_zero_nodes_from is not None:
+        zeros = include_zero_nodes_from.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b.column("node").cast(pa.int64()),
+                    "out_n": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+                    "in_n": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        parts = parts.union(zeros)
+    agg = parts.groupby("node").sum(["out_n", "in_n"])
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("node"),
+                "out_deg": b.column("sum(out_n)"),
+                "in_deg": b.column("sum(in_n)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _pagerank_broadcast(edges_m, n_nodes: int, iters: int, d_num: int, d_den: int):
+    """Broadcast regime: dense int64 rank/outdeg vectors in the object
+    store, edges stream, per-node in-sums settle in a native groupby whose
+    input is already batch-combined."""
+    import ray
+
+    # out-degree vector (one pass over edges, sparse partials -> driver
+    # assembles the bounded dense vector)
+    def odeg_partial(batch: pa.Table) -> pa.Table:
+        src, _ = _edge_arrays(batch)
+        k, v = _sparse_sum(src, np.ones(len(src), np.int64))
+        return pa.table({"node": pa.array(k, pa.int64()), "n": pa.array(v, pa.int64())})
+
+    outdeg = np.zeros(n_nodes, np.int64)
+    od = edges_m.map_batches(odeg_partial, batch_format="pyarrow").groupby("node").sum("n")
+    for b in od.iter_batches(batch_format="pyarrow"):
+        outdeg[b.column("node").to_numpy(zero_copy_only=False)] = b.column(
+            "sum(n)"
+        ).to_numpy(zero_copy_only=False)
+
+    base = ((d_den - d_num) * SCALE) // d_den
+    ranks = np.full(n_nodes, SCALE, np.int64)
+    safe_odeg = np.maximum(outdeg, 1)
+
+    for _ in range(iters):
+        contrib = ranks // safe_odeg  # outdeg==0 rows are never read (no out-edges)
+        ref = ray.put(contrib)
+
+        def insum_partial(batch: pa.Table, *, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)  # zero-copy shared-memory read per task
+            src, dst = _edge_arrays(batch)
+            k, v = _sparse_sum(dst, c[src])
+            return pa.table(
+                {"node": pa.array(k, pa.int64()), "s": pa.array(v, pa.int64())}
+            )
+
+        new = np.full(n_nodes, base, np.int64)
+        agg = (
+            edges_m.map_batches(insum_partial, batch_format="pyarrow")
+            .groupby("node")
+            .sum("s")
+        )
+        for b in agg.iter_batches(batch_format="pyarrow"):
+            nd = b.column("node").to_numpy(zero_copy_only=False)
+            s = b.column("sum(s)").to_numpy(zero_copy_only=False)
+            new[nd] = base + (d_num * s) // d_den
+        ranks = new
+
+    return ranks
+
+
+def _pagerank_distributed(
+    edges_m, nodes_ds, iters: int, d_num: int, d_den: int, partitions: int
+):
+    """Distributed regime: ranks are rows; two keyed exchanges per
+    iteration, nothing graph-sized on the driver (the
+    ``cc_labels_distributed`` message-passing shape)."""
+    P = partitions
+    base = ((d_den - d_num) * SCALE) // d_den
+
+    # one-time: attach out-degree to every edge inside hash(src) partitions
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        src, dst = _edge_arrays(batch)
+        return pa.table(
+            {
+                "skey": pa.array(_int_pkey(src, P), pa.int64()),
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    def attach_odeg(g: pd.DataFrame) -> pd.DataFrame:
+        src = g["src"].to_numpy()
+        k, v = _sparse_sum(src, np.ones(len(src), np.int64))
+        od = pd.Series(v, index=k)
+        return pd.DataFrame(
+            {
+                "skey": g["skey"].to_numpy(),
+                "src": src,
+                "dst": g["dst"].to_numpy(),
+                "odeg": od.reindex(src).to_numpy().astype(np.int64),
+            }
+        )
+
+    keyed_edges = (
+        edges_m.map_batches(edge_rows, batch_format="pyarrow")
+        .groupby("skey")
+        .map_groups(attach_odeg, batch_format="pandas")
+        # normalize to arrow blocks so the per-iteration union with the
+        # arrow rank messages is homogeneous
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "rank": pa.array(np.full(len(node), SCALE, np.int64), pa.int64()),
+            }
+        )
+
+    nodes_m = nodes_ds.materialize()
+    ranks = nodes_m.map_batches(init_ranks, batch_format="pyarrow").materialize()
+
+    # rank rows and edge rows meet in hash(src)==hash(node) partitions;
+    # sentinel dst = -1 marks a rank row (node ids are non-negative)
+    def rank_msgs(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        rank = batch.column("rank").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "skey": pa.array(_int_pkey(node, P), pa.int64()),
+                "src": pa.array(node, pa.int64()),
+                "dst": pa.array(np.full(len(node), -1, np.int64), pa.int64()),
+                "odeg": pa.array(rank, pa.int64()),  # carries rank for rank rows
+            }
+        )
+
+    def emit_contribs(g: pd.DataFrame) -> pd.DataFrame:
+        is_rank = g["dst"].to_numpy() == -1
+        rk = g[is_rank]
+        ed = g[~is_rank]
+        lookup = pd.Series(rk["odeg"].to_numpy(), index=rk["src"].to_numpy())
+        r = lookup.reindex(ed["src"].to_numpy()).to_numpy()
+        od = ed["odeg"].to_numpy()
+        contrib = (r // od).astype(np.int64)
+        dst = ed["dst"].to_numpy()
+        # per-partition combiner before the dst exchange
+        k, v = _sparse_sum(dst, contrib)
+        return pd.DataFrame(
+            {"dkey": _int_pkey(k, P), "node": k, "s": v}
+        )
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "dkey": pa.array(_int_pkey(node, P), pa.int64()),
+                "node": pa.array(node, pa.int64()),
+                "s": pa.array(np.zeros(len(node), np.int64), pa.int64()),
+            }
+        )
+
+    def reduce_ranks(g: pd.DataFrame) -> pd.DataFrame:
+        k, v = _sparse_sum(g["node"].to_numpy(), g["s"].to_numpy())
+        return pd.DataFrame({"node": k, "rank": base + (d_num * v) // d_den})
+
+    for _ in range(iters):
+        msgs = keyed_edges.union(
+            ranks.map_batches(rank_msgs, batch_format="pyarrow")
+        )
+        contribs = (
+            msgs.groupby("skey")
+            .map_groups(emit_contribs, batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow")
+        )
+        # zero rows make every node (incl. in-degree-0) produce a rank row
+        all_in = contribs.union(
+            nodes_m.map_batches(zero_rows, batch_format="pyarrow")
+        )
+        ranks = (
+            all_in.groupby("dkey")
+            .map_groups(reduce_ranks, batch_format="pandas")
+            .materialize()
+        )
+    return ranks
+
+
+def pagerank(
+    edges_ds,
+    *,
+    n_nodes: int | None = None,
+    nodes_ds=None,
+    iters: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    broadcast_max_nodes: int = PAGERANK_BROADCAST_MAX_NODES,
+    merge_partitions: int = GRAPH_MERGE_PARTITIONS,
+):
+    """Fixed-point integer PageRank over an edge Dataset (src, dst int64).
+
+    Node ids must be dense ``0..n_nodes-1`` in the broadcast regime (the
+    rank vector is a dense array); the distributed regime takes any int64
+    ids via ``nodes_ds`` (a Dataset with one ``node`` column covering every
+    node that should receive a rank). Returns a Dataset with columns
+    ``(node, rank_scaled)`` where ``rank_scaled`` is the rank in units of
+    ``1/SCALE`` (initial mass = SCALE per node).
+
+    Deterministic across regimes, layouts, and parallelism: all arithmetic
+    is int64 (see module docstring).
+    """
+    import ray.data as rd
+
+    edges_m = edges_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b.column("src").cast(pa.int64()),
+                "dst": b.column("dst").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    if n_nodes is not None and n_nodes <= broadcast_max_nodes:
+        ranks = _pagerank_broadcast(
+            edges_m, n_nodes, iters, damping_num, damping_den
+        )
+        nodes = np.arange(n_nodes, dtype=np.int64)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "rank_scaled": pa.array(ranks, pa.int64()),
+                }
+            )
+        )
+
+    if nodes_ds is None:
+        if n_nodes is None:
+            raise ValueError("pagerank needs n_nodes (dense ids) or nodes_ds")
+        nodes_ds = rd.range(n_nodes).map_batches(
+            lambda b: pa.table({"node": b.column("id").cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+    out = _pagerank_distributed(
+        edges_m, nodes_ds, iters, damping_num, damping_den, merge_partitions
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("node"), "rank_scaled": b.column("rank")}
+        ),
+        batch_format="pyarrow",
+    )

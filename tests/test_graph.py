@@ -1,0 +1,130 @@
+"""Link-graph analytics: degrees + fixed-point PageRank (stages/graph.py).
+
+Brute-force references are dense numpy implementations of the SAME integer
+arithmetic; the operator must match them bit-for-bit in both regimes and
+under any block layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from abwcf_ray.stages.graph import SCALE, degrees, pagerank
+
+
+def _random_graph(seed: int, n: int, m: int):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    return src[keep], dst[keep]
+
+
+def _ref_pagerank(src, dst, n, iters, d_num=85, d_den=100):
+    outdeg = np.bincount(src, minlength=n).astype(np.int64)
+    ranks = np.full(n, SCALE, np.int64)
+    base = ((d_den - d_num) * SCALE) // d_den
+    for _ in range(iters):
+        contrib = ranks // np.maximum(outdeg, 1)
+        insum = np.zeros(n, np.int64)
+        np.add.at(insum, dst, contrib[src])
+        ranks = base + (d_num * insum) // d_den
+    return ranks
+
+
+def _edges_ds(src, dst, blocks=4):
+    t = pa.table(
+        {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+    )
+    return rd.from_arrow(t).repartition(blocks)
+
+
+def _nodes_ds(n):
+    return rd.from_arrow(
+        pa.table({"node": pa.array(np.arange(n, dtype=np.int64), pa.int64())})
+    )
+
+
+def test_degrees_brute_force(ray_session):
+    src, dst = _random_graph(7, 50, 300)
+    out = (
+        degrees(_edges_ds(src, dst), include_zero_nodes_from=_nodes_ds(50))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert out["node"].tolist() == list(range(50))
+    np.testing.assert_array_equal(
+        out["out_deg"].to_numpy(), np.bincount(src, minlength=50)
+    )
+    np.testing.assert_array_equal(
+        out["in_deg"].to_numpy(), np.bincount(dst, minlength=50)
+    )
+
+
+def test_pagerank_broadcast_matches_reference(ray_session):
+    # graph with dangling nodes (no out-edges) and zero-in-degree nodes
+    src, dst = _random_graph(11, 80, 250)
+    out = (
+        pagerank(_edges_ds(src, dst), n_nodes=80, iters=6)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(
+        out["rank_scaled"].to_numpy(), _ref_pagerank(src, dst, 80, 6)
+    )
+
+
+def test_pagerank_regime_parity_and_layout_invariance(ray_session):
+    src, dst = _random_graph(23, 60, 200)
+    ref = _ref_pagerank(src, dst, 60, 4)
+    broad = (
+        pagerank(_edges_ds(src, dst, blocks=3), n_nodes=60, iters=4)
+        .to_pandas()
+        .sort_values("node")
+    )
+    dist = (
+        pagerank(
+            _edges_ds(src, dst, blocks=9),
+            n_nodes=60,
+            nodes_ds=_nodes_ds(60),
+            iters=4,
+            broadcast_max_nodes=0,
+            merge_partitions=7,
+        )
+        .to_pandas()
+        .sort_values("node")
+    )
+    np.testing.assert_array_equal(broad["rank_scaled"].to_numpy(), ref)
+    np.testing.assert_array_equal(dist["rank_scaled"].to_numpy(), ref)
+    assert dist["node"].tolist() == list(range(60))
+
+
+def test_pagerank_star_graph_concentrates_rank(ray_session):
+    # n-1 leaves all pointing at node 0: node 0 must end far above leaves
+    n = 21
+    src = np.arange(1, n, dtype=np.int64)
+    dst = np.zeros(n - 1, dtype=np.int64)
+    out = (
+        pagerank(_edges_ds(src, dst, blocks=2), n_nodes=n, iters=5)
+        .to_pandas()
+        .set_index("node")["rank_scaled"]
+    )
+    assert out.loc[0] > 10 * out.loc[1]
+    np.testing.assert_array_equal(
+        out.loc[1:].to_numpy(), np.full(n - 1, out.loc[1])
+    )
+
+
+def test_pagerank_mass_bounds(ray_session):
+    # floor rounding only ever LEAKS mass: total stays <= n*SCALE and > 0
+    src, dst = _random_graph(5, 40, 160)
+    out = pagerank(_edges_ds(src, dst), n_nodes=40, iters=8).to_pandas()
+    total = int(out["rank_scaled"].sum())
+    assert 0 < total <= 40 * SCALE
+    assert (out["rank_scaled"] >= ((100 - 85) * SCALE) // 100).all()
