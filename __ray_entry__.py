@@ -954,6 +954,53 @@ def _graph_nodes(sf_dir: str):
     )
 
 
+def _q_gopher_rules(sf_dir: str):
+    """Remaining Gopher quality rules (mean word length, symbol/word
+    ratio, alpha-word fraction, distinct-stopword hits, bullet/ellipsis
+    line fractions, composite gopher_pass). The fixture text is a clean
+    word soup, so the query decorates it deterministically by doc_id —
+    identically in the SQL — to make every signal non-degenerate (the
+    pii_scrub precedent)."""
+    from abwcf_ray.stages.text import add_gopher_rules
+
+    _quiet()
+
+    def deco(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch.column("text").to_pandas().astype("string").fillna("")
+        t = t + np.where(d % 4 == 0, " ## … ... #tag", "")
+        t = t + np.where(d % 3 == 0, "\n- bullet item\ntrail …", "")
+        t = t + np.where(d % 5 == 0, " to be of and that have with", "")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pa.array(t.tolist(), pa.string()),
+            }
+        )
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        deco, batch_format="pyarrow"
+    ).map_batches(add_gopher_rules, batch_format="pyarrow")
+    return (
+        out.select_columns(
+            [
+                "doc_id",
+                "n_words",
+                "mean_word_len",
+                "symbol_word_ratio",
+                "alpha_word_frac",
+                "stopword_hits",
+                "bullet_line_frac",
+                "ellipsis_line_frac",
+                "gopher_pass",
+            ]
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_graph_degrees(sf_dir: str):
     """Per-node in/out degree of the link graph: one map-side combiner
     pass + one O(distinct nodes) groupby — the exchange never carries
@@ -1048,6 +1095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_rarity": _q_lm_rarity,
         "semdedup": _q_semdedup,
         "semdedup_exact": _q_semdedup_exact,
+        "gopher_rules": _q_gopher_rules,
         "graph_degrees": _q_graph_degrees,
         "pagerank": _q_pagerank,
         "pagerank_distributed": _q_pagerank_distributed,
@@ -1714,6 +1762,60 @@ def oracle_sql() -> dict[str, str]:
                    MIN(r) AS cluster,
                    CAST(id <> MIN(r) AS BIGINT) AS is_dup
             FROM reach GROUP BY id
+        """,
+        "gopher_rules": r"""
+            WITH deco AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 4 = 0 THEN ' ## … ... #tag' ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '- bullet item' || chr(10) || 'trail …' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN ' to be of and that have with' ELSE '' END AS text
+                FROM documents
+            ),
+            w AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS ws FROM deco),
+            tok AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+            tagg AS (
+                SELECT doc_id,
+                       SUM(length(wd)) AS wlen,
+                       SUM(CASE WHEN regexp_matches(wd, '[A-Za-z]') THEN 1 ELSE 0 END) AS alpha,
+                       COUNT(DISTINCT CASE WHEN lower(wd) IN
+                           ('the','be','to','of','and','that','have','with')
+                           THEN lower(wd) END) AS hits
+                FROM tok GROUP BY doc_id
+            ),
+            ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM w),
+            lagg AS (
+                SELECT doc_id,
+                       COUNT(*) AS n_lines,
+                       SUM(CASE WHEN regexp_matches(l, '^[-*•]') THEN 1 ELSE 0 END) AS bullets,
+                       SUM(CASE WHEN regexp_matches(l, '(\.\.\.|…)$') THEN 1 ELSE 0 END) AS ells
+            FROM ln GROUP BY doc_id
+            ),
+            scored AS (
+                SELECT w.doc_id,
+                       CAST(len(ws) AS BIGINT) AS n_words,
+                       COALESCE(tagg.wlen, 0) / GREATEST(len(ws), 1)::DOUBLE AS mean_word_len,
+                       ((length(text) - length(replace(text, '#', '')))
+                        + ((length(text) - length(replace(text, '...', ''))) // 3)
+                        + (length(text) - length(replace(text, '…', ''))))
+                           / GREATEST(len(ws), 1)::DOUBLE AS symbol_word_ratio,
+                       COALESCE(tagg.alpha, 0) / GREATEST(len(ws), 1)::DOUBLE AS alpha_word_frac,
+                       CAST(COALESCE(tagg.hits, 0) AS BIGINT) AS stopword_hits,
+                       COALESCE(lagg.bullets, 0) / GREATEST(lagg.n_lines, 1)::DOUBLE AS bullet_line_frac,
+                       COALESCE(lagg.ells, 0) / GREATEST(lagg.n_lines, 1)::DOUBLE AS ellipsis_line_frac
+                FROM w
+                LEFT JOIN tagg USING (doc_id)
+                LEFT JOIN lagg USING (doc_id)
+            )
+            SELECT *,
+                   CAST(n_words >= 50 AND n_words <= 100000
+                        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                        AND symbol_word_ratio <= 0.1
+                        AND alpha_word_frac >= 0.8
+                        AND stopword_hits >= 2
+                        AND bullet_line_frac <= 0.9
+                        AND ellipsis_line_frac <= 0.3 AS BIGINT) AS gopher_pass
+            FROM scored
         """,
         "graph_degrees": f"""
             WITH edges AS ({_GRAPH_EDGES_SQL}),

@@ -163,6 +163,121 @@ def add_repetition_signals(batch: pa.Table) -> pa.Table:
     return out
 
 
+# Gopher rule stopwords (Rae et al. 2021 §A1.1: "contain at least two of")
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def add_gopher_rules(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """The remaining Gopher document-quality rules (Rae et al. 2021 §A1.1)
+    beyond :func:`add_repetition_signals` — per document:
+
+    - ``mean_word_len`` — total word chars / word count (Gopher keeps 3–10)
+    - ``symbol_word_ratio`` — '#' and ellipsis ('…' or '...') occurrences
+      per word (keeps ≤ 0.1)
+    - ``alpha_word_frac`` — fraction of words containing an ASCII letter
+      (keeps ≥ 0.8)
+    - ``stopword_hits`` — DISTINCT Gopher stopwords present (keeps ≥ 2)
+    - ``bullet_line_frac`` / ``ellipsis_line_frac`` — lines starting with a
+      bullet ('-', '*', '•') / ending with an ellipsis (keeps ≤ 0.9 / ≤ 0.3)
+    - ``gopher_pass`` — all bounds above plus 50 ≤ n_words ≤ 100000
+
+    Shuffle-free single map pass; every count is an exact int64 and every
+    fraction a single IEEE division, so the DuckDB oracle hash-matches
+    (same discipline as ``add_repetition_signals``). Substring counts are
+    non-overlapping left-to-right on both sides (pandas ``str.count`` vs
+    SQL ``replace``-length arithmetic)."""
+    texts = batch.column(text_col).to_pandas().astype("string").fillna("")
+    words = texts.str.findall(_WS_RE.pattern)
+    n = words.str.len().astype("int64").to_numpy()
+    denom = np.maximum(n, 1).astype(np.float64)
+
+    ex = words.explode().dropna()
+    if len(ex):
+        wlen = (
+            ex.str.len()
+            .groupby(level=0)
+            .sum()
+            .reindex(texts.index, fill_value=0)
+            .to_numpy(np.float64)
+        )
+        alpha = (
+            ex.str.contains("[A-Za-z]", regex=True)
+            .groupby(level=0)
+            .sum()
+            .reindex(texts.index, fill_value=0)
+            .to_numpy(np.float64)
+        )
+        low = ex.str.lower()
+        hits = np.zeros(len(texts), np.int64)
+        for sw in GOPHER_STOPWORDS:
+            present = (
+                low.eq(sw)
+                .groupby(level=0)
+                .any()
+                .reindex(texts.index, fill_value=False)
+                .to_numpy()
+            )
+            hits += present.astype(np.int64)
+    else:
+        wlen = alpha = np.zeros(len(texts))
+        hits = np.zeros(len(texts), np.int64)
+
+    n_sym = (
+        texts.str.count("#").to_numpy(dtype=np.int64)
+        + texts.str.count(re.escape("...")).to_numpy(dtype=np.int64)
+        + texts.str.count("…").to_numpy(dtype=np.int64)
+    )
+
+    lines = texts.str.split("\n")
+    n_lines = np.maximum(lines.str.len().to_numpy(dtype=np.int64), 1)
+    lx = lines.explode().dropna()
+    bullet = (
+        lx.str.match(r"[-*•]", na=False)
+        .groupby(level=0)
+        .sum()
+        .reindex(texts.index, fill_value=0)
+        .to_numpy(np.float64)
+    )
+    ell = (
+        lx.str.contains(r"(?:\.\.\.|…)$", regex=True, na=False)
+        .groupby(level=0)
+        .sum()
+        .reindex(texts.index, fill_value=0)
+        .to_numpy(np.float64)
+    )
+
+    mean_word_len = wlen / denom
+    symbol_word_ratio = n_sym.astype(np.float64) / denom
+    alpha_word_frac = alpha / denom
+    bullet_line_frac = bullet / n_lines.astype(np.float64)
+    ellipsis_line_frac = ell / n_lines.astype(np.float64)
+    gopher_pass = (
+        (n >= 50)
+        & (n <= 100_000)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (symbol_word_ratio <= 0.1)
+        & (alpha_word_frac >= 0.8)
+        & (hits >= 2)
+        & (bullet_line_frac <= 0.9)
+        & (ellipsis_line_frac <= 0.3)
+    )
+
+    out = batch
+    for name, arr in [
+        ("n_words", pa.array(n, pa.int64())),
+        ("mean_word_len", pa.array(mean_word_len, pa.float64())),
+        ("symbol_word_ratio", pa.array(symbol_word_ratio, pa.float64())),
+        ("alpha_word_frac", pa.array(alpha_word_frac, pa.float64())),
+        ("stopword_hits", pa.array(hits, pa.int64())),
+        ("bullet_line_frac", pa.array(bullet_line_frac, pa.float64())),
+        ("ellipsis_line_frac", pa.array(ellipsis_line_frac, pa.float64())),
+        ("gopher_pass", pa.array(gopher_pass.astype(np.int64), pa.int64())),
+    ]:
+        out = out.append_column(name, arr)
+    return out
+
+
 # PII patterns: RE2-compatible so the pyarrow kernel (RE2) and the DuckDB
 # oracle (also RE2) match byte-for-byte. Kept deliberately simple — the
 # point is the vectorized scrub stage, not a production PII taxonomy.

@@ -382,3 +382,71 @@ def test_decontaminate_brute_force_on_fixture(docs):
     got_clean = set(out[~out["contaminated"]]["doc_id"].astype(int))
     assert got_clean == exp_clean
     assert len(got_clean) < len(df)  # non-degenerate: something was flagged
+
+
+def _brute_gopher(text: str):
+    ws = re.findall(r"\S+", text)
+    n = len(ws)
+    d = max(n, 1)
+    mean_wl = sum(len(w) for w in ws) / d
+    sym = text.count("#") + text.count("...") + text.count("…")
+    alpha = sum(1 for w in ws if re.search("[A-Za-z]", w)) / d
+    hits = sum(
+        1
+        for sw in ("the", "be", "to", "of", "and", "that", "have", "with")
+        if sw in {w.lower() for w in ws}
+    )
+    lines = text.split("\n")
+    nl = max(len(lines), 1)
+    bullets = sum(1 for l in lines if re.match(r"[-*•]", l)) / nl
+    ells = sum(1 for l in lines if re.search(r"(\.\.\.|…)$", l)) / nl
+    return n, mean_wl, sym / d, alpha, hits, bullets, ells
+
+
+def test_gopher_rules_match_brute_force(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.text import add_gopher_rules
+
+    texts = [
+        "the cat sat on the mat with a hat to be sure",
+        "#### symbols ... everywhere … #tag ....",
+        "- bullet one\n* bullet two\nplain line\nends with …",
+        "12345 67890 !!! ???",  # no alpha words
+        "",  # empty
+        "word",
+        "have with THE To",  # case-insensitive stopwords
+    ]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    out = (
+        ds.map_batches(add_gopher_rules, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    for _, row in out.iterrows():
+        n, mwl, swr, awf, hits, blf, elf = _brute_gopher(texts[int(row["doc_id"])])
+        assert row["n_words"] == n
+        assert row["mean_word_len"] == pytest.approx(mwl, abs=0)
+        assert row["symbol_word_ratio"] == pytest.approx(swr, abs=0)
+        assert row["alpha_word_frac"] == pytest.approx(awf, abs=0)
+        assert row["stopword_hits"] == hits
+        assert row["bullet_line_frac"] == pytest.approx(blf, abs=0)
+        assert row["ellipsis_line_frac"] == pytest.approx(elf, abs=0)
+
+
+def test_gopher_pass_bounds(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.text import add_gopher_rules
+
+    # 60 normal words incl. two stopwords -> passes every bound
+    good = " ".join(["alpha"] * 58) + " the with"
+    # same but word count below 50 -> fails the length bound only
+    short = " ".join(["alpha"] * 10) + " the with"
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [0, 1], "text": [good, short]}))
+    out = (
+        ds.map_batches(add_gopher_rules, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["gopher_pass"].tolist() == [1, 0]
