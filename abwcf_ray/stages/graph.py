@@ -86,23 +86,38 @@ def _sparse_sum(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndar
     return k[starts], np.add.reduceat(v, starts)
 
 
-def degrees(edges_ds, *, include_zero_nodes_from=None):
+def degrees(
+    edges_ds,
+    *,
+    include_zero_nodes_from=None,
+    merge_partitions: int = GRAPH_MERGE_PARTITIONS,
+):
     """Per-node (out_deg, in_deg) from an edge Dataset with int64 columns
-    (src, dst). One combiner pass + one O(distinct nodes) groupby.
+    (src, dst). One combiner pass, then a keyed-partition merge: the
+    exchange sorts by a ``merge_partitions``-valued hash key and each
+    partition segment-sums its nodes vectorized — 10× faster than the
+    native ``groupby(node).sum`` here because Ray Data's sort-based
+    aggregate pays O(rows log rows) comparisons on the FULL 10^k-distinct
+    node key, where this pays it on a 64-valued key (measured 23 s → 2 s
+    at 1.6M partial rows; the same reason ``stages/schedule.py`` and
+    ``stages/dedup.py`` shard their merges by a small hash key).
 
     ``include_zero_nodes_from``: optional Dataset with a ``node`` column —
     nodes that must appear in the output even with degree 0 on both sides
     (the crawl analog: pages fetched but never linked to).
     """
+    P = merge_partitions
 
     def partial(batch: pa.Table) -> pa.Table:
         src, dst = _edge_arrays(batch)
         ones = np.ones(len(src), np.int64)
         on, oc = _sparse_sum(src, ones)
         inn, ic = _sparse_sum(dst, ones)
+        node = np.concatenate([on, inn])
         return pa.table(
             {
-                "node": pa.array(np.concatenate([on, inn]), pa.int64()),
+                "pkey": pa.array(_int_pkey(node, P), pa.int64()),
+                "node": pa.array(node, pa.int64()),
                 "out_n": pa.array(
                     np.concatenate([oc, np.zeros(len(inn), np.int64)]), pa.int64()
                 ),
@@ -114,48 +129,80 @@ def degrees(edges_ds, *, include_zero_nodes_from=None):
 
     parts = edges_ds.map_batches(partial, batch_format="pyarrow")
     if include_zero_nodes_from is not None:
-        zeros = include_zero_nodes_from.map_batches(
-            lambda b: pa.table(
+        def zeros(b: pa.Table) -> pa.Table:
+            node = b.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+            z = np.zeros(len(node), np.int64)
+            return pa.table(
                 {
-                    "node": b.column("node").cast(pa.int64()),
-                    "out_n": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
-                    "in_n": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+                    "pkey": pa.array(_int_pkey(node, P), pa.int64()),
+                    "node": pa.array(node, pa.int64()),
+                    "out_n": pa.array(z, pa.int64()),
+                    "in_n": pa.array(z, pa.int64()),
                 }
-            ),
-            batch_format="pyarrow",
+            )
+
+        parts = parts.union(
+            include_zero_nodes_from.map_batches(zeros, batch_format="pyarrow")
         )
-        parts = parts.union(zeros)
-    agg = parts.groupby("node").sum(["out_n", "in_n"])
-    return agg.map_batches(
-        lambda b: pa.table(
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        node = g["node"].to_numpy()
+        order = np.argsort(node, kind="stable")
+        k = node[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        return pd.DataFrame(
             {
-                "node": b.column("node"),
-                "out_deg": b.column("sum(out_n)"),
-                "in_deg": b.column("sum(in_n)"),
+                "node": k[starts],
+                "out_deg": np.add.reduceat(g["out_n"].to_numpy()[order], starts),
+                "in_deg": np.add.reduceat(g["in_n"].to_numpy()[order], starts),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    return parts.groupby("pkey").map_groups(merge, batch_format="pandas")
 
 
-def _pagerank_broadcast(edges_m, n_nodes: int, iters: int, d_num: int, d_den: int):
+def _pagerank_broadcast(
+    edges_m,
+    n_nodes: int,
+    iters: int,
+    d_num: int,
+    d_den: int,
+    partitions: int = GRAPH_MERGE_PARTITIONS,
+):
     """Broadcast regime: dense int64 rank/outdeg vectors in the object
-    store, edges stream, per-node in-sums settle in a native groupby whose
-    input is already batch-combined."""
+    store, edges stream, per-node in-sums settle in a keyed-partition
+    merge (small hash key — see :func:`degrees` for why not the native
+    ``groupby(node).sum``) whose driver-bound output is ≤ n_nodes rows."""
     import ray
 
-    # out-degree vector (one pass over edges, sparse partials -> driver
-    # assembles the bounded dense vector)
+    P = partitions
+
+    def merge_sums(g: pd.DataFrame) -> pd.DataFrame:
+        k, v = _sparse_sum(g["node"].to_numpy(), g["s"].to_numpy())
+        return pd.DataFrame({"node": k, "s": v})
+
+    # out-degree vector (one pass over edges, sparse partials -> keyed
+    # merge -> driver assembles the bounded dense vector)
     def odeg_partial(batch: pa.Table) -> pa.Table:
         src, _ = _edge_arrays(batch)
         k, v = _sparse_sum(src, np.ones(len(src), np.int64))
-        return pa.table({"node": pa.array(k, pa.int64()), "n": pa.array(v, pa.int64())})
+        return pa.table(
+            {
+                "pkey": pa.array(_int_pkey(k, P), pa.int64()),
+                "node": pa.array(k, pa.int64()),
+                "s": pa.array(v, pa.int64()),
+            }
+        )
 
     outdeg = np.zeros(n_nodes, np.int64)
-    od = edges_m.map_batches(odeg_partial, batch_format="pyarrow").groupby("node").sum("n")
+    od = (
+        edges_m.map_batches(odeg_partial, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(merge_sums, batch_format="pandas")
+    )
     for b in od.iter_batches(batch_format="pyarrow"):
         outdeg[b.column("node").to_numpy(zero_copy_only=False)] = b.column(
-            "sum(n)"
+            "s"
         ).to_numpy(zero_copy_only=False)
 
     base = ((d_den - d_num) * SCALE) // d_den
@@ -171,18 +218,22 @@ def _pagerank_broadcast(edges_m, n_nodes: int, iters: int, d_num: int, d_den: in
             src, dst = _edge_arrays(batch)
             k, v = _sparse_sum(dst, c[src])
             return pa.table(
-                {"node": pa.array(k, pa.int64()), "s": pa.array(v, pa.int64())}
+                {
+                    "pkey": pa.array(_int_pkey(k, P), pa.int64()),
+                    "node": pa.array(k, pa.int64()),
+                    "s": pa.array(v, pa.int64()),
+                }
             )
 
         new = np.full(n_nodes, base, np.int64)
         agg = (
             edges_m.map_batches(insum_partial, batch_format="pyarrow")
-            .groupby("node")
-            .sum("s")
+            .groupby("pkey")
+            .map_groups(merge_sums, batch_format="pandas")
         )
         for b in agg.iter_batches(batch_format="pyarrow"):
             nd = b.column("node").to_numpy(zero_copy_only=False)
-            s = b.column("sum(s)").to_numpy(zero_copy_only=False)
+            s = b.column("s").to_numpy(zero_copy_only=False)
             new[nd] = base + (d_num * s) // d_den
         ranks = new
 
