@@ -138,10 +138,14 @@ def curate_full(
         )
         return g
 
-    reps = (
-        survivors.map_batches(partial, batch_format="pandas")
-        .groupby("content_hash")
-        .aggregate(Min("_ml", alias_name="ml"), Sum("n", alias_name="dup_count"))
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    reps = keyed_hash_agg(
+        survivors.map_batches(partial, batch_format="pandas"),
+        lambda b: b.column("content_hash").to_numpy(zero_copy_only=False),
+        lambda g: g.groupby("content_hash", as_index=False).agg(
+            ml=("_ml", "min"), dup_count=("n", "sum")
+        ),
     )
 
     def split_ml(b: pa.Table) -> pa.Table:

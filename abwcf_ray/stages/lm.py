@@ -77,12 +77,13 @@ def build_vocab(ds, vocab_size: int = DEFAULT_VOCAB_SIZE, text_col: str = "text"
     """Top-``vocab_size`` corpus words by (count DESC, word ASC) →
     driver-side list[(word, rank)] with rank 1..V. The sort runs over the
     AGGREGATED count table (vocabulary-sized), never over token rows."""
-    from ray.data.aggregate import Sum
+    from abwcf_ray.functions.hashing import hash64
+    from abwcf_ray.stages.dedup import keyed_hash_agg
 
-    counts = (
-        ds.map_batches(_partial_word_counts(text_col), batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("n", alias_name="cnt"))
+    counts = keyed_hash_agg(
+        ds.map_batches(_partial_word_counts(text_col), batch_format="pyarrow"),
+        lambda b: hash64(b.column("word")),
+        lambda g: g.groupby("word", as_index=False).agg(cnt=("n", "sum")),
     )
     top = counts.sort(["cnt", "word"], descending=[True, False]).limit(vocab_size)
     df = top.to_pandas()

@@ -165,7 +165,7 @@ def _boilerplate_drops(ds, text_col: str, id_col: str, min_df: int):
     counts (exchange = distinct hashes per batch); the frequent-hash set
     broadcasts; pass 2 re-derives drops map-side with zero exchange."""
     import ray
-    from ray.data.aggregate import Sum
+    from abwcf_ray.stages.dedup import keyed_hash_agg
 
     def partial_counts(b: pa.Table) -> pd.DataFrame:
         t = _occurrence_table(b, text_col, id_col)
@@ -176,10 +176,10 @@ def _boilerplate_drops(ds, text_col: str, id_col: str, min_df: int):
         g.columns = ["para_hash", "n"]
         return g
 
-    counts = (
-        ds.map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("para_hash")
-        .aggregate(Sum("n", alias_name="df"))
+    counts = keyed_hash_agg(
+        ds.map_batches(partial_counts, batch_format="pyarrow"),
+        lambda b: b.column("para_hash").to_numpy(zero_copy_only=False),
+        lambda g: g.groupby("para_hash", as_index=False).agg(df=("n", "sum")),
     )
     freq = counts.map_batches(
         lambda t: t.filter(

@@ -295,10 +295,12 @@ def exact_substring_dedup(
             {"doc_id": pa.array(np.unique(ok // _MAX_POS), pa.int64())}
         )
 
-    dup_ids_ds = (
-        drops.map_batches(_ids_of, batch_format="pyarrow")
-        .groupby("doc_id")
-        .count()
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    dup_ids_ds = keyed_hash_agg(
+        drops.map_batches(_ids_of, batch_format="pyarrow"),
+        lambda b: b.column("doc_id").to_numpy(zero_copy_only=False),
+        lambda g: g[["doc_id"]].drop_duplicates(),
     ).materialize()
     n_dup = dup_ids_ds.count()
     dup_ids_ref = None

@@ -133,6 +133,38 @@ def main() -> int:
         lambda: exact_substring_dedup(docs(), k=16, window=8).count(),
     )
 
+    # the keyed-partition aggregate family (keyed_hash_agg): exact_dedup on
+    # the tiled corpus has only ~5k distinct hashes; the "_unique" variant
+    # salts every text with its doc_id so the merge runs at full 500k-key
+    # cardinality — the regime where the native node-keyed groupby was
+    # measured 22x slower.
+    from abwcf_ray.stages.dedup import exact_dedup
+    from abwcf_ray.stages.lm import lm_rarity_score
+    from abwcf_ray.stages.paragraphs import paragraph_dedup, remove_boilerplate
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def salted():
+        return docs().map_batches(
+            lambda b: b.set_column(
+                b.schema.get_field_index("text"),
+                "text",
+                pc.binary_join_element_wise(
+                    pc.cast(b.column("text"), pa.string()),
+                    pc.cast(b.column("doc_id"), pa.string()),
+                    " ",
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+
+    timed("exact_dedup", lambda: exact_dedup(docs()).count())
+    timed("exact_dedup_unique", lambda: exact_dedup(salted()).count())
+    timed("boilerplate", lambda: remove_boilerplate(docs()).count())
+    timed("paragraph_dedup", lambda: paragraph_dedup(docs()).count())
+    timed("lm_rarity", lambda: lm_rarity_score(docs()).count())
+
     n = args.n_docs
     print(
         json.dumps(
