@@ -954,6 +954,60 @@ def _graph_nodes(sf_dir: str):
     )
 
 
+def _docs_en(sf_dir: str):
+    """Target distribution for the DSIR queries: the English slice."""
+    import pyarrow.compute as pc
+
+    return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        lambda b: b.filter(pc.equal(b.column("lang"), "en")),
+        batch_format="pyarrow",
+    )
+
+
+def _q_dsir_counts(sf_dir: str):
+    """SQL-oracled degeneration of the DSIR machinery: exact 64-bit gram
+    hashes (no modular bucketing), integer hit sums per raw document
+    against the target (lang='en') and raw gram-count tables — the same
+    fit / gram-kernel / broadcast-probe code paths the bucketed scorer
+    uses, value-checked by DuckDB on gram STRINGS."""
+    from abwcf_ray.stages.dsir import dsir_exact_hits
+
+    _quiet()
+    out = dsir_exact_hits(
+        _docs(sf_dir, ["doc_id", "text"]), _docs_en(sf_dir)
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_dsir(sf_dir: str):
+    """Full DSIR (Xie et al. 2023): hashed-bigram bag models (m=8192) of
+    the target (lang='en') and raw corpora, per-doc log importance weight,
+    Gumbel top-100 resample. Float log-weights are not SQL-hashable ->
+    rows-only at the gate; pytest pins brute-force parity, determinism,
+    and layout invariance."""
+    import ray
+
+    from abwcf_ray.stages.dsir import (
+        add_dsir_logw,
+        dsir_log_weights,
+        dsir_resample,
+        fit_bucket_counts,
+    )
+
+    _quiet()
+    m = 8192
+    raw = _docs(sf_dir, ["doc_id", "text"])
+    tc = fit_bucket_counts(_docs_en(sf_dir), m=m)
+    rc = fit_bucket_counts(raw, m=m)
+    w_ref = ray.put(dsir_log_weights(tc, rc))
+    sel = dsir_resample(add_dsir_logw(raw, w_ref, m=m), 100, seed=7)
+    return (
+        sel[["doc_id", "n_grams", "dsir_logw"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_gopher_rules(sf_dir: str):
     """Remaining Gopher quality rules (mean word length, symbol/word
     ratio, alpha-word fraction, distinct-stopword hits, bullet/ellipsis
@@ -1096,6 +1150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "semdedup_exact": _q_semdedup_exact,
         "gopher_rules": _q_gopher_rules,
+        "dsir_counts": _q_dsir_counts,
+        "dsir": _q_dsir,
         "graph_degrees": _q_graph_degrees,
         "pagerank": _q_pagerank,
         "pagerank_distributed": _q_pagerank_distributed,
@@ -1762,6 +1818,42 @@ def oracle_sql() -> dict[str, str]:
                    MIN(r) AS cluster,
                    CAST(id <> MIN(r) AS BIGINT) AS is_dup
             FROM reach GROUP BY id
+        """,
+        "dsir_counts": r"""
+            WITH tok AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+            ),
+            uni AS (SELECT doc_id, unnest(ws) AS g FROM tok),
+            bi AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)),
+                                             i -> ws[i] || ' ' || ws[i+1])) AS g
+                FROM tok
+            ),
+            grams AS (
+                SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi
+            ),
+            tcnt AS (
+                SELECT g, COUNT(*) AS c
+                FROM grams JOIN documents USING (doc_id)
+                WHERE lang = 'en' GROUP BY g
+            ),
+            rcnt AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY g),
+            agg AS (
+                SELECT gr.doc_id,
+                       COUNT(*) AS n_grams,
+                       SUM(COALESCE(t.c, 0)) AS target_hits,
+                       SUM(r.c) AS raw_hits
+                FROM grams gr
+                LEFT JOIN tcnt t USING (g)
+                JOIN rcnt r USING (g)
+                GROUP BY gr.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(a.target_hits, 0) AS BIGINT) AS target_hits,
+                   CAST(COALESCE(a.raw_hits, 0) AS BIGINT) AS raw_hits
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "gopher_rules": r"""
             WITH deco AS (
