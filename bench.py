@@ -233,6 +233,41 @@ def run_bench() -> dict:
     )
     queries["knn"] = round(time.perf_counter() - t0, 3)
 
+    # DSIR data selection (target = the English slice)
+    import pyarrow.compute as pc
+
+    from abwcf_ray.stages.dsir import (
+        add_dsir_logw,
+        dsir_log_weights,
+        dsir_resample,
+        fit_bucket_counts,
+    )
+
+    t0 = time.perf_counter()
+    raw = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"])
+    target = raw.map_batches(
+        lambda b: b.filter(pc.equal(b.column("lang"), "en")), batch_format="pyarrow"
+    )
+    w = dsir_log_weights(fit_bucket_counts(target), fit_bucket_counts(raw))
+    dsir_resample(add_dsir_logw(raw, ray.put(w)), 500, seed=7)
+    queries["dsir"] = round(time.perf_counter() - t0, 3)
+
+    # link-graph PageRank over a synthetic graph sized to the doc table
+    import pyarrow as pa
+
+    from abwcf_ray.stages.graph import pagerank
+
+    t0 = time.perf_counter()
+    n_docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"]).count()
+    edges_src = np.arange(n_docs * 3, dtype=np.int64) % n_docs
+    edges_dst = (edges_src * 1103 + np.arange(n_docs * 3, dtype=np.int64) % 3 * 7919 + 31) % n_docs
+    keep = edges_src != edges_dst
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(edges_src[keep]), "dst": pa.array(edges_dst[keep])})
+    )
+    pagerank(edges, n_nodes=n_docs, iters=5).count()
+    queries["pagerank"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "crawl pages/s + frontier-wave wall-time (fixture corpus "
         f"n_pages={corpus.n_pages}, {CRAWL_WAVES} waves) + training-data ops over {SF_DIR}",
