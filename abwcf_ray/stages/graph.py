@@ -424,3 +424,154 @@ def pagerank(
         ),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------------------------------
+# crawl integration: host-level PageRank from wave output, priority hook
+# --------------------------------------------------------------------------
+# host = scheme://authority prefix — the frontier's host definition
+# (stages/transform.py _HOST_RE; HostQueue keys in the reference)
+_HOST_PATTERN = r"^([A-Za-z0-9+.\-]+://[^/]+)"
+
+
+def _hosts_of(str_arr: pa.ChunkedArray | pa.Array):
+    import polars as pl
+
+    if isinstance(str_arr, pa.ChunkedArray):
+        str_arr = str_arr.combine_chunks()
+    return pl.from_arrow(str_arr).str.extract(_HOST_PATTERN, 1)
+
+
+def host_pagerank(
+    processed_ds,
+    *,
+    iters: int = 5,
+    max_hosts_driver: int = 5_000_000,
+    **pagerank_kwargs,
+):
+    """Host-level PageRank from crawl wave output — the classic crawl
+    prioritisation signal (Page et al. 1999), computed from the engine's
+    own ``processed`` checkpoints (``url`` + ``links: list<string>``,
+    written by every wave's fetch/parse tee) and fed back into the next
+    crawl via :func:`make_host_rank_priority` (the reference's user
+    priority hook, UserCode.scala:34-35 / CrawlConfig.priority_fn).
+
+    Shape: (src_host, dst_host) string pairs explode map-side (one regex
+    kernel per batch); distinct hosts settle in a keyed merge and densify
+    to 0..n-1 ids on the driver under ``max_hosts_driver`` (the
+    ``hosts_broadcast_max`` convention — the crawl's own hosts table is
+    driver-resident at this bound); the sorted host array broadcasts once
+    and edges id-map via searchsorted into :func:`pagerank`.
+
+    Returns a pandas DataFrame (host, rank_scaled) sorted by
+    (rank_scaled desc, host asc)."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    from abwcf_ray.functions.hashing import hash64
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    def explode_pairs(b: pa.Table) -> pa.Table:
+        links = b.column("links")
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        flat = pc.list_flatten(links)
+        parent = pc.list_parent_indices(links).to_numpy(zero_copy_only=False)
+        src_host = _hosts_of(b.column("url")).to_arrow().cast(pa.string())
+        dst_host = _hosts_of(flat).to_arrow().cast(pa.string())
+        src = src_host.take(pa.array(parent, pa.int64()))
+        ok = pc.and_(pc.is_valid(src), pc.is_valid(dst_host))
+        return pa.table(
+            {
+                "src_host": src.filter(ok),
+                "dst_host": dst_host.filter(ok),
+            }
+        )
+
+    pairs = processed_ds.map_batches(explode_pairs, batch_format="pyarrow")
+    pairs_m = pairs.materialize()
+
+    def host_rows(b: pa.Table) -> pa.Table:
+        hs = (
+            pd.concat([b.column("src_host").to_pandas(), b.column("dst_host").to_pandas()])
+            .drop_duplicates()
+        )
+        return pa.table({"host": pa.array(hs.tolist(), pa.string())})
+
+    distinct = keyed_hash_agg(
+        pairs_m.map_batches(host_rows, batch_format="pyarrow"),
+        lambda b: hash64(b.column("host")),
+        lambda g: g[["host"]].drop_duplicates(),
+    )
+    hosts = distinct.to_pandas()["host"]
+    if len(hosts) > max_hosts_driver:
+        raise ValueError(
+            f"{len(hosts)} hosts exceed max_hosts_driver={max_hosts_driver}; "
+            "raise the bound (hosts are 'scheme://authority' strings — the "
+            "crawl's own hosts table is driver-resident at the same bound)"
+        )
+    # node id = position in the hash-sorted host array; id-mapping is then
+    # one vectorized uint64 searchsorted per batch (a string searchsorted
+    # would compare per element in Python), same 64-bit-collision
+    # soundness contract as the seen set
+    hh = hash64(hosts.tolist())
+    order = np.argsort(hh, kind="stable")
+    host_arr = hosts.to_numpy(dtype=object)[order]
+    sorted_hh = hh[order]
+    hh_ref = ray.put(sorted_hh)
+
+    def to_ids(b: pa.Table) -> pa.Table:
+        sh = ray.get(hh_ref)
+        src = np.searchsorted(sh, hash64(b.column("src_host")))
+        dst = np.searchsorted(sh, hash64(b.column("dst_host")))
+        return pa.table(
+            {
+                "src": pa.array(src.astype(np.int64), pa.int64()),
+                "dst": pa.array(dst.astype(np.int64), pa.int64()),
+            }
+        )
+
+    edges = pairs_m.map_batches(to_ids, batch_format="pyarrow")
+    ranks = (
+        pagerank(edges, n_nodes=len(host_arr), iters=iters, **pagerank_kwargs)
+        .to_pandas()
+        .sort_values("node")
+    )
+    out = pd.DataFrame(
+        {"host": host_arr, "rank_scaled": ranks["rank_scaled"].to_numpy()}
+    )
+    return out.sort_values(
+        ["rank_scaled", "host"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def make_host_rank_priority(host_rank_df, *, default_rank: int = 0):
+    """CrawlConfig.priority_fn hook: priority = the url's host PageRank
+    (``rank_scaled`` from :func:`host_pagerank`); unknown hosts get
+    ``default_rank``. Equal-rank urls fall to the scheduler's canonical
+    (priority desc, url asc) tiebreak, so the hook stays deterministic.
+
+    The lookup broadcasts as a (sorted host-hash uint64 array, rank int64
+    array) pair — the columnar hosts-payload shape of
+    ``stages/transform.py`` — probed with one hash64 + searchsorted per
+    batch."""
+    import ray
+
+    from abwcf_ray.functions.hashing import hash64
+
+    hh = hash64(host_rank_df["host"].tolist())
+    order = np.argsort(hh, kind="stable")
+    payload = (hh[order], host_rank_df["rank_scaled"].to_numpy(np.int64)[order])
+    ref = ray.put(payload)
+
+    def priority_fn(batch: pa.Table) -> np.ndarray:
+        hs, ranks = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        bh = _hosts_of(batch.column("url")).to_arrow().cast(pa.string())
+        h = hash64(bh)
+        if not len(hs):
+            return np.full(batch.num_rows, default_rank, np.int64)
+        pos = np.minimum(np.searchsorted(hs, h), len(hs) - 1)
+        return np.where(hs[pos] == h, ranks[pos], np.int64(default_rank))
+
+    return priority_fn

@@ -128,3 +128,97 @@ def test_pagerank_mass_bounds(ray_session):
     total = int(out["rank_scaled"].sum())
     assert 0 < total <= 40 * SCALE
     assert (out["rank_scaled"] >= ((100 - 85) * SCALE) // 100).all()
+
+
+def _processed_table(rows):
+    """rows: list of (url, [link urls])."""
+    return pa.table(
+        {
+            "url": pa.array([u for u, _ in rows], pa.string()),
+            "links": pa.array([ls for _, ls in rows], pa.list_(pa.string())),
+        }
+    )
+
+
+def test_host_pagerank_matches_reference(ray_session):
+    from abwcf_ray.stages.graph import host_pagerank
+
+    # 3 hosts: a -> b (x2 pages), b -> c, c -> a ; plus an intra-host link
+    rows = [
+        ("https://a.example/p1", ["https://b.example/x", "https://b.example/y"]),
+        ("https://a.example/p2", ["https://b.example/z"]),
+        ("https://b.example/p1", ["https://c.example/x"]),
+        ("https://c.example/p1", ["https://a.example/x", "https://c.example/self"]),
+    ]
+    ds = rd.from_arrow(_processed_table(rows)).repartition(2)
+    out = host_pagerank(ds, iters=4)
+    assert set(out["host"]) == {
+        "https://a.example",
+        "https://b.example",
+        "https://c.example",
+    }
+
+    # reference: host graph a->b x3, b->c x1, c->a x1, c->c x1 (self kept:
+    # intra-host links are real links)
+    hosts = sorted(out["host"])  # a, b, c
+    idx = {h: i for i, h in enumerate(hosts)}
+    src = np.array([idx["https://a.example"]] * 3 + [idx["https://b.example"]] + [idx["https://c.example"]] * 2)
+    dst = np.array([idx["https://b.example"]] * 3 + [idx["https://c.example"]] + [idx["https://a.example"], idx["https://c.example"]])
+    ref = _ref_pagerank(src, dst, 3, 4)
+    got = out.set_index("host")["rank_scaled"]
+    for h, i in idx.items():
+        assert got[h] == ref[i]
+
+
+def test_host_rank_priority_hook(ray_session):
+    import pandas as pd
+
+    from abwcf_ray.config import CrawlConfig
+    from abwcf_ray.stages.graph import make_host_rank_priority
+    from abwcf_ray.stages.transform import make_prioritize_stage
+
+    ranks = pd.DataFrame(
+        {
+            "host": ["https://hot.example", "https://cold.example"],
+            "rank_scaled": np.array([5_000_000_000, 200_000_000], np.int64),
+        }
+    )
+    fn = make_host_rank_priority(ranks, default_rank=7)
+    cfg = CrawlConfig(priority_fn=fn)
+    batch = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "https://cold.example/a",
+                    "https://hot.example/b",
+                    "https://unknown.example/c",
+                ]
+            ),
+            "depth": pa.array([0, 1, 2], pa.int32()),
+        }
+    )
+    out = make_prioritize_stage(cfg)(batch)
+    assert out.column("priority").to_pylist() == [200_000_000, 5_000_000_000, 7]
+
+
+def test_host_pagerank_from_real_crawl(ray_session, tmp_path):
+    """End-to-end: crawl the fixture corpus, feed the wave's processed
+    checkpoints into host_pagerank, get one positive rank per host seen."""
+    import ray.data as rdata
+
+    from abwcf_ray.config import CrawlConfig
+    from abwcf_ray.pipelines.crawl import run_crawl
+    from abwcf_ray.sources.corpus import generate_corpus
+    from abwcf_ray.stages.graph import host_pagerank
+
+    corpus = generate_corpus(tmp_path / "corpus", n_pages=600, seed=42, num_buckets=8)
+    cfg = CrawlConfig(max_waves=2, seen_shards=2, corpus_buckets=8)
+    summary = run_crawl(cfg, corpus, tmp_path / "hpr", log=lambda *_: None)
+    processed = rdata.read_parquet(
+        [str(p) for p in sorted((tmp_path / "hpr").glob("wave_*/processed/*.parquet"))],
+        columns=["url", "links"],
+    )
+    out = host_pagerank(processed, iters=3)
+    assert len(out) > 1
+    assert (out["rank_scaled"] > 0).all()
+    assert out["rank_scaled"].is_monotonic_decreasing
