@@ -32,6 +32,7 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -954,6 +955,67 @@ def _graph_nodes(sf_dir: str):
     )
 
 
+def _asof_impl(sf_dir: str, bucket_span_us):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from abwcf_ray.stages.asof import asof_join
+
+    _quiet()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value", "event_type"],
+    )
+    left = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    right = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "click")).select(
+            ["event_id", "user_id", "ts", "value"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        left,
+        right,
+        key_col="user_id",
+        ts_col="ts",
+        left_cols=["event_id", "user_id", "ts"],
+        payload_cols=["event_id", "value"],
+        bucket_span_us=bucket_span_us,
+    ).to_pandas()
+    df = pd.DataFrame(
+        {
+            "user_id": out["_key"].astype("int64"),
+            "ts_us": out["_ts"].astype("int64"),
+            "event_id": out["event_id"].astype("int64"),
+            "click_id": out["event_id_r"].fillna(-1).astype("int64"),
+            "click_value": out["value_r"].fillna(-1.0).astype("float64"),
+            "matched": out["matched"].astype("int64"),
+        }
+    )
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_asof_join(sf_dir: str):
+    """As-of temporal join: every purchase event joined to the user's
+    latest prior-or-equal click (single-stage hash(key) partitioning, one
+    vectorized merge_asof kernel per partition). Oracle: DuckDB's native
+    ASOF LEFT JOIN."""
+    return _asof_impl(sf_dir, None)
+
+
+def _q_asof_join_bucketed(sf_dir: str):
+    """The same join forced onto the SKEW-SAFE two-stage path (hash(key,
+    day-bucket) partitioning + latest-right carry-in summaries) — the hot
+    key never forms one unbounded partition; same ASOF oracle because the
+    paths are exact and bit-identical."""
+    return _asof_impl(sf_dir, 86_400_000_000)
+
+
 def _docs_en(sf_dir: str):
     """Target distribution for the DSIR queries: the English slice."""
     import pyarrow.compute as pc
@@ -1150,6 +1212,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "semdedup_exact": _q_semdedup_exact,
         "gopher_rules": _q_gopher_rules,
+        "asof_join": _q_asof_join,
+        "asof_join_bucketed": _q_asof_join_bucketed,
         "dsir_counts": _q_dsir_counts,
         "dsir": _q_dsir,
         "graph_degrees": _q_graph_degrees,
@@ -1818,6 +1882,42 @@ def oracle_sql() -> dict[str, str]:
                    MIN(r) AS cluster,
                    CAST(id <> MIN(r) AS BIGINT) AS is_dup
             FROM reach GROUP BY id
+        """,
+        "asof_join": """
+            WITH l AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ),
+            r AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT l.user_id,
+                   epoch_us(l.ts) AS ts_us,
+                   l.event_id,
+                   COALESCE(r.event_id, -1) AS click_id,
+                   COALESCE(r.value, -1.0) AS click_value,
+                   CAST(r.event_id IS NOT NULL AS BIGINT) AS matched
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "asof_join_bucketed": """
+            WITH l AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ),
+            r AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT l.user_id,
+                   epoch_us(l.ts) AS ts_us,
+                   l.event_id,
+                   COALESCE(r.event_id, -1) AS click_id,
+                   COALESCE(r.value, -1.0) AS click_value,
+                   CAST(r.event_id IS NOT NULL AS BIGINT) AS matched
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "dsir_counts": r"""
             WITH tok AS (

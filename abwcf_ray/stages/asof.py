@@ -1,0 +1,301 @@
+"""As-of (temporal) join — each left row picks the latest right row of the
+same key with ``right.ts <= left.ts``.
+
+The canonical event-stream enrichment operator (attribute every purchase
+to the user's most recent click; join quotes onto trades). Ray Data has
+no primitive for it; this implements the standard distributed shape:
+
+- **Single-stage** (default): left and right rows meet in hash(key)
+  partitions (one exchange) and each partition runs ONE vectorized
+  ``pd.merge_asof`` (a C kernel — no per-row Python). Partitioning
+  assumption, stated per the build brief: all rows of one key fit one
+  partition — true whenever no single key dominates the stream.
+
+- **Skew-safe two-stage** (``bucket_span_us`` set): the session-window
+  trick (``stages/windows.py``) adapted to as-of. Rows partition by
+  hash(key, ts // bucket_span) so a hot key splits across time buckets;
+  exactness is restored by CARRY-IN rows. Stage 1 reduces the right
+  stream to one latest-row summary per (key, bucket) — map-side partial
+  latest per batch, then a keyed merge whose input is the bounded
+  summary set, never raw rows. Stage 2 groups summaries (plus the set
+  of buckets holding left rows) per key and emits, for every bucket,
+  the latest right row of any STRICTLY EARLIER bucket; these carry-ins
+  union with the raw rows into the (key, bucket)-partitioned join.
+  Exchange overhead: one summary row per (key, non-empty bucket).
+
+Both paths are exact and bit-identical (pytest pins parity on a hot-key
+stream); the DuckDB oracle is the native ``ASOF LEFT JOIN``. ``matched``
+flags rows with a join partner; unmatched payload is null (callers fill
+a sentinel before hashing so integer payloads never decay to float).
+Right payload columns must be non-null (the fixture's are) — ``matched``
+is derived from the first payload column.
+
+Reference anchor: the reference engine has no temporal join (it is a
+crawler); this extends the streaming-semantics family (SURVEY.md §2 G)
+the way the windowed aggregates do.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from abwcf_ray.stages.dedup import _int_pkey, keyed_hash_agg
+
+ASOF_PARTITIONS = 64
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _ts_int(col) -> np.ndarray:
+    return (
+        col.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if pa.types.is_timestamp(col.type)
+        else col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    )
+
+
+def _kb_pkey(key: np.ndarray, bucket: np.ndarray, partitions: int) -> np.ndarray:
+    mix = key.astype(np.uint64) * _GOLD ^ bucket.astype(np.uint64)
+    return ((mix >> np.uint64(13)) % np.uint64(partitions)).astype(np.int64)
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    left_cols: list,
+    payload_cols: list,
+    suffix: str = "_r",
+    partitions: int = ASOF_PARTITIONS,
+    bucket_span_us: int | None = None,
+):
+    """Backward as-of join. Returns a Dataset with ``_key`` (int64 key),
+    ``_ts`` (int64 µs), the extra ``left_cols``, suffixed
+    ``payload_cols`` and ``matched`` (int64 0/1). Exact-equal timestamps
+    join (DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` semantics)."""
+    out_payload = [f"{c}{suffix}" for c in payload_cols]
+    extra_left = [c for c in left_cols if c not in (key_col, ts_col)]
+
+    def _arrow_types(ds) -> dict:
+        schema = ds.schema(fetch_if_missing=True)
+        base = schema.base_schema if schema is not None else None
+        if base is None:  # empty dataset — types unknowable
+            return {}
+        if hasattr(base, "field"):  # pyarrow Schema
+            return {f.name: f.type for f in base}
+        # PandasBlockSchema (names + numpy dtypes)
+        return {
+            n: (pa.string() if t == object else pa.from_numpy_dtype(t))
+            for n, t in zip(base.names, base.types)
+        }
+
+    lt_all = _arrow_types(left_ds)
+    rt_all = _arrow_types(right_ds)
+    left_types = {c: lt_all[c] for c in extra_left}
+    # an empty right side joins nothing — null float64 payload is safe
+    payload_types = {
+        oc: rt_all.get(c, pa.float64()) for c, oc in zip(payload_cols, out_payload)
+    }
+    union_order = ["pkey", "bucket", "_key", "_ts", "side"] + extra_left + out_payload
+
+    def base_cols(batch: pa.Table):
+        key = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = _ts_int(batch.column(ts_col))
+        if bucket_span_us:
+            bucket = ts // bucket_span_us
+            pkey = _kb_pkey(key, bucket, partitions)
+        else:
+            bucket = np.zeros(len(key), np.int64)
+            pkey = _int_pkey(key, partitions)
+        return key, ts, bucket, pkey
+
+    def left_rows(batch: pa.Table) -> pa.Table:
+        key, ts, bucket, pkey = base_cols(batch)
+        n = batch.num_rows
+        data = {
+            "pkey": pa.array(pkey, pa.int64()),
+            "bucket": pa.array(bucket, pa.int64()),
+            "_key": pa.array(key, pa.int64()),
+            "_ts": pa.array(ts, pa.int64()),
+            "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+        }
+        for c in extra_left:
+            data[c] = batch.column(c)
+        for oc in out_payload:
+            data[oc] = pa.nulls(n, payload_types[oc])
+        return pa.table(data).select(union_order)
+
+    def right_rows(batch: pa.Table) -> pa.Table:
+        key, ts, bucket, pkey = base_cols(batch)
+        n = batch.num_rows
+        data = {
+            "pkey": pa.array(pkey, pa.int64()),
+            "bucket": pa.array(bucket, pa.int64()),
+            "_key": pa.array(key, pa.int64()),
+            "_ts": pa.array(ts, pa.int64()),
+            "side": pa.array(np.ones(n, np.int64), pa.int64()),
+        }
+        for c in extra_left:
+            data[c] = pa.nulls(n, left_types[c])
+        for c, oc in zip(payload_cols, out_payload):
+            data[oc] = batch.column(c)
+        return pa.table(data).select(union_order)
+
+    tagged = left_ds.map_batches(left_rows, batch_format="pyarrow").union(
+        right_ds.map_batches(right_rows, batch_format="pyarrow")
+    )
+
+    def join_partition(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        lf = g[side == 0][["_key", "_ts"] + extra_left]
+        rf = g[side == 1][["_key", "_ts"] + out_payload]
+        if not len(lf):
+            out = lf.copy()
+            for c in out_payload:
+                out[c] = pd.Series(dtype=np.float64)
+            out["matched"] = pd.Series(dtype=np.int64)
+            return out
+        lf = lf.sort_values("_ts", kind="mergesort")
+        if len(rf):
+            rf = rf.sort_values("_ts", kind="mergesort")
+            j = pd.merge_asof(lf, rf, on="_ts", by="_key", direction="backward")
+        else:
+            j = lf.copy()
+            for c in out_payload:
+                j[c] = np.nan
+        j["matched"] = (~j[out_payload[0]].isna()).astype(np.int64)
+        return j
+
+    if not bucket_span_us:
+        return tagged.groupby("pkey").map_groups(
+            join_partition, batch_format="pandas"
+        )
+
+    # --- skew-safe two-stage ----------------------------------------------
+    # stage 1: latest right row per (key, bucket) — map-side partial latest
+    # per batch, keyed merge over SUMMARIES (bounded), never raw rows
+    def right_partials(batch: pa.Table) -> pa.Table:
+        key, ts, bucket, _ = base_cols(batch)
+        df = pd.DataFrame({"_key": key, "bucket": bucket, "_ts": ts})
+        for c, oc in zip(payload_cols, out_payload):
+            df[oc] = batch.column(c).to_pandas()
+        top = (
+            df.sort_values("_ts", kind="mergesort")
+            .groupby(["_key", "bucket"], as_index=False)
+            .tail(1)
+        )
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def merge_latest(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values("_ts", kind="mergesort")
+            .groupby(["_key", "bucket"], as_index=False)
+            .tail(1)
+        )
+
+    summaries = keyed_hash_agg(
+        right_ds.map_batches(right_partials, batch_format="pyarrow"),
+        lambda b: b.column("_key").to_numpy(zero_copy_only=False),
+        merge_latest,
+        partitions=partitions,
+    ).map_batches(
+        lambda b: b.append_column(
+            "is_left", pa.array(np.zeros(b.num_rows, np.int64), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+    # buckets that hold LEFT rows (so carry-ins also reach buckets with no
+    # right rows of their own) — per-batch distinct, keyed-merge distinct
+    def left_bucket_partials(batch: pa.Table) -> pa.Table:
+        key, ts, bucket, _ = base_cols(batch)
+        df = pd.DataFrame({"_key": key, "bucket": bucket}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pad_left_markers(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        t = b.append_column("_ts", pa.nulls(n, pa.int64()))
+        for oc in out_payload:
+            t = t.append_column(oc, pa.nulls(n, payload_types[oc]))
+        return t.append_column(
+            "is_left", pa.array(np.ones(n, np.int64), pa.int64())
+        ).select(["_key", "bucket", "_ts"] + out_payload + ["is_left"])
+
+    lmarkers = keyed_hash_agg(
+        left_ds.map_batches(left_bucket_partials, batch_format="pyarrow"),
+        lambda b: b.column("_key").to_numpy(zero_copy_only=False),
+        lambda g: g.drop_duplicates(["_key", "bucket"]),
+        partitions=partitions,
+    ).map_batches(pad_left_markers, batch_format="pyarrow")
+
+    summaries = summaries.map_batches(
+        lambda b: b.select(["_key", "bucket", "_ts"] + out_payload + ["is_left"]),
+        batch_format="pyarrow",
+    )
+
+    # stage 2: per key, for every bucket emit the latest right summary of
+    # any strictly earlier bucket (input = summaries + markers, bounded)
+    def carry_ins(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for k, kg in g.groupby("_key", sort=False):
+            rs = kg[kg["is_left"].to_numpy() == 0].sort_values("bucket")
+            if not len(rs):
+                continue
+            all_buckets = np.unique(kg["bucket"].to_numpy())
+            rb = rs["bucket"].to_numpy()
+            pos = np.searchsorted(rb, all_buckets, side="left") - 1
+            ok = pos >= 0
+            if not ok.any():
+                continue
+            src = rs.iloc[pos[ok]][["_ts"] + out_payload].reset_index(drop=True)
+            src.insert(0, "_key", k)
+            src.insert(1, "bucket", all_buckets[ok])
+            outs.append(src)
+        if not outs:
+            return pd.DataFrame(columns=["_key", "bucket", "_ts"] + out_payload)
+        return pd.concat(outs, ignore_index=True)
+
+    def carry_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        key = b.column("_key").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = b.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+        data = {
+            "pkey": pa.array(_kb_pkey(key, bucket, partitions), pa.int64()),
+            "bucket": pa.array(bucket, pa.int64()),
+            "_key": pa.array(key, pa.int64()),
+            "_ts": b.column("_ts").cast(pa.int64()),
+            "side": pa.array(np.ones(n, np.int64), pa.int64()),
+        }
+        for c in extra_left:
+            data[c] = pa.nulls(n, left_types[c])
+        for oc in out_payload:
+            data[oc] = b.column(oc).cast(payload_types[oc])
+        return pa.table(data).select(union_order)
+
+    carries = (
+        summaries.union(lmarkers)
+        .map_batches(
+            lambda b: b.append_column(
+                "skey",
+                pa.array(
+                    _int_pkey(
+                        b.column("_key").to_numpy(zero_copy_only=False), partitions
+                    ),
+                    pa.int64(),
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("skey")
+        .map_groups(carry_ins, batch_format="pandas")
+        .map_batches(carry_rows, batch_format="pyarrow")
+    )
+
+    return (
+        tagged.union(carries)
+        .groupby("pkey")
+        .map_groups(join_partition, batch_format="pandas")
+    )

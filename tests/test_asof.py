@@ -1,0 +1,131 @@
+"""As-of temporal join (stages/asof.py): brute-force parity on random
+streams, single-stage vs skew-safe two-stage bit-parity (incl. a hot key),
+unmatched-row handling."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from abwcf_ray.stages.asof import asof_join
+
+
+def _mk(seed: int, n_left: int, n_right: int, n_keys: int, hot_frac: float = 0.0):
+    rng = np.random.default_rng(seed)
+    def keys(n):
+        k = rng.integers(0, n_keys, n)
+        if hot_frac:
+            hot = rng.random(n) < hot_frac
+            k[hot] = 0
+        return k.astype(np.int64)
+    lt = pd.DataFrame(
+        {
+            "event_id": np.arange(n_left, dtype=np.int64),
+            "user_id": keys(n_left),
+            "ts": rng.integers(0, 10_000, n_left).astype(np.int64),
+        }
+    )
+    rt = pd.DataFrame(
+        {
+            "rid": np.arange(n_right, dtype=np.int64) + 100_000,
+            "user_id": keys(n_right),
+            "ts": rng.integers(0, 10_000, n_right).astype(np.int64),
+            "value": rng.random(n_right),
+        }
+    )
+    # unique (key, ts) on the right so "latest" is unambiguous
+    rt = rt.drop_duplicates(["user_id", "ts"]).reset_index(drop=True)
+    return lt, rt
+
+
+def _brute(lt: pd.DataFrame, rt: pd.DataFrame) -> pd.DataFrame:
+    l = lt.sort_values("ts", kind="mergesort")
+    r = rt.sort_values("ts", kind="mergesort")
+    j = pd.merge_asof(
+        l, r[["user_id", "ts", "rid", "value"]], on="ts", by="user_id",
+        direction="backward",
+    )
+    j["matched"] = (~j["rid"].isna()).astype(np.int64)
+    j["rid"] = j["rid"].fillna(-1).astype(np.int64)
+    j["value"] = j["value"].fillna(-1.0)
+    return j.sort_values("event_id").reset_index(drop=True)
+
+
+def _run(lt, rt, **kw) -> pd.DataFrame:
+    out = asof_join(
+        rd.from_pandas(lt).repartition(5),
+        rd.from_pandas(rt).repartition(3),
+        key_col="user_id",
+        ts_col="ts",
+        left_cols=["event_id", "user_id", "ts"],
+        payload_cols=["rid", "value"],
+        **kw,
+    ).to_pandas()
+    out["rid"] = out["rid_r"].fillna(-1).astype(np.int64)
+    out["value"] = out["value_r"].fillna(-1.0)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def test_asof_single_stage_matches_brute_force(ray_session):
+    lt, rt = _mk(1, 300, 200, 12)
+    got = _run(lt, rt, partitions=7)
+    ref = _brute(lt, rt)
+    assert got["event_id"].tolist() == ref["event_id"].tolist()
+    assert got["rid"].tolist() == ref["rid"].tolist()
+    assert got["matched"].tolist() == ref["matched"].tolist()
+    np.testing.assert_allclose(got["value"], ref["value"], rtol=0, atol=0)
+
+
+def test_asof_two_stage_parity_under_hot_key(ray_session):
+    # 60% of rows on one key: the single-partition assumption stressor
+    lt, rt = _mk(2, 400, 300, 10, hot_frac=0.6)
+    ref = _brute(lt, rt)
+    one = _run(lt, rt, partitions=6)
+    two = _run(lt, rt, partitions=6, bucket_span_us=500)
+    for got in (one, two):
+        assert got["rid"].tolist() == ref["rid"].tolist()
+        assert got["matched"].tolist() == ref["matched"].tolist()
+
+
+def test_asof_bucket_boundaries_exact(ray_session):
+    # right rows only in early buckets; left rows far later — carry-ins
+    # must cross many empty buckets
+    lt = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "user_id": np.array([1, 1, 2, 3], np.int64),
+            "ts": np.array([9000, 9500, 9900, 50], np.int64),
+        }
+    )
+    rt = pd.DataFrame(
+        {
+            "rid": np.array([7, 8, 9], np.int64),
+            "user_id": np.array([1, 1, 2], np.int64),
+            "ts": np.array([10, 20, 100], np.int64),
+            "value": np.array([0.5, 0.7, 0.9]),
+        }
+    )
+    got = _run(lt, rt, partitions=4, bucket_span_us=100)
+    # user 1: latest right at ts<=9000 is rid 8; user 2: rid 9; user 3: none
+    assert got.set_index("event_id")["rid"].tolist() == [8, 8, 9, -1]
+    assert got["matched"].tolist() == [1, 1, 1, 0]
+
+
+def test_asof_no_right_rows(ray_session):
+    lt, _ = _mk(3, 50, 10, 5)
+    rt = pd.DataFrame(
+        {
+            "rid": pd.Series(dtype=np.int64),
+            "user_id": pd.Series(dtype=np.int64),
+            "ts": pd.Series(dtype=np.int64),
+            "value": pd.Series(dtype=np.float64),
+        }
+    )
+    got = _run(lt, rt)
+    assert (got["matched"] == 0).all()
+    assert (got["rid"] == -1).all()
+    assert len(got) == len(lt)
