@@ -1016,6 +1016,67 @@ def _q_asof_join_bucketed(sf_dir: str):
     return _asof_impl(sf_dir, 86_400_000_000)
 
 
+def _range_impl(sf_dir: str, bucket_span_us):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from abwcf_ray.stages.asof import range_join_agg
+
+    _quiet()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    left = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    right = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "click")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = range_join_agg(
+        left,
+        right,
+        key_col="user_id",
+        ts_col="ts",
+        left_cols=["event_id", "user_id", "ts"],
+        agg_col="event_id",
+        width_us=86_400_000_000,
+        bucket_span_us=bucket_span_us,
+    ).to_pandas()
+    df = pd.DataFrame(
+        {
+            "user_id": out["_key"].astype("int64"),
+            "ts_us": out["_ts"].astype("int64"),
+            "event_id": out["event_id"].astype("int64"),
+            "n_in_window": out["n_in_window"].astype("int64"),
+            "sum_in_window": out["sum_in_window"].astype("int64"),
+        }
+    )
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_range_join(sf_dir: str):
+    """Range join, aggregate form: every purchase gets the COUNT and int64
+    SUM of click event-ids in its preceding 24 h — per-partition prefix
+    sums + two merge_asof probes, integer-exact end-to-end. Oracle: plain
+    DuckDB inequality join + GROUP BY."""
+    return _range_impl(sf_dir, None)
+
+
+def _q_range_join_bucketed(sf_dir: str):
+    """The same range join on the SKEW-SAFE path: hash(key, 2-day-bucket)
+    partitioning with each right row duplicated into its own and the next
+    bucket (influence window spans ≤ 2 buckets) — a hot key never forms
+    one unbounded partition; same oracle, exact parity."""
+    return _range_impl(sf_dir, 172_800_000_000)
+
+
 def _docs_en(sf_dir: str):
     """Target distribution for the DSIR queries: the English slice."""
     import pyarrow.compute as pc
@@ -1214,6 +1275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": _q_gopher_rules,
         "asof_join": _q_asof_join,
         "asof_join_bucketed": _q_asof_join_bucketed,
+        "range_join": _q_range_join,
+        "range_join_bucketed": _q_range_join_bucketed,
         "dsir_counts": _q_dsir_counts,
         "dsir": _q_dsir,
         "graph_degrees": _q_graph_degrees,
@@ -1918,6 +1981,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r.event_id IS NOT NULL AS BIGINT) AS matched
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join": """
+            WITH l AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ),
+            r AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT l.user_id,
+                   epoch_us(l.ts) AS ts_us,
+                   l.event_id,
+                   COUNT(r.event_id) AS n_in_window,
+                   CAST(COALESCE(SUM(r.event_id), 0) AS BIGINT) AS sum_in_window
+            FROM l LEFT JOIN r
+              ON l.user_id = r.user_id
+             AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - 86400000000 AND epoch_us(l.ts)
+            GROUP BY l.user_id, l.ts, l.event_id
+        """,
+        "range_join_bucketed": """
+            WITH l AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ),
+            r AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT l.user_id,
+                   epoch_us(l.ts) AS ts_us,
+                   l.event_id,
+                   COUNT(r.event_id) AS n_in_window,
+                   CAST(COALESCE(SUM(r.event_id), 0) AS BIGINT) AS sum_in_window
+            FROM l LEFT JOIN r
+              ON l.user_id = r.user_id
+             AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - 86400000000 AND epoch_us(l.ts)
+            GROUP BY l.user_id, l.ts, l.event_id
         """,
         "dsir_counts": r"""
             WITH tok AS (

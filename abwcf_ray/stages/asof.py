@@ -299,3 +299,153 @@ def asof_join(
         .groupby("pkey")
         .map_groups(join_partition, batch_format="pandas")
     )
+
+
+def range_join_agg(
+    left_ds,
+    right_ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    left_cols: list,
+    agg_col: str,
+    width_us: int,
+    partitions: int = ASOF_PARTITIONS,
+    bucket_span_us: int | None = None,
+):
+    """Range join, aggregate form: for each left row, the COUNT and the
+    int64 SUM of ``agg_col`` over right rows of the same key with
+    ``right.ts ∈ [left.ts − width_us, left.ts]``. The bounded-output
+    variant of a range join (the pair-explode variant is a flat_map away;
+    the aggregate is what scales).
+
+    Kernel: per partition, rights get per-key prefix sums (one C groupby
+    cumsum), then TWO ``merge_asof`` probes (at ``ts`` and ``ts − width −
+    1 µs``) difference into exact window aggregates — integer arithmetic
+    end-to-end, so prefix-differencing is exact and the DuckDB oracle
+    (plain inequality join + GROUP BY) hash-matches. ``agg_col`` must be
+    integer for that reason; a float payload would make the prefix
+    difference order-sensitive.
+
+    Skew-safety (``bucket_span_us`` set, must be ≥ ``width_us``): rows
+    partition by hash(key, ts // span); every RIGHT row is routed to its
+    own bucket AND the next one (its influence window spans ≤ 2 buckets),
+    so a hot key splits across time with no carry-in machinery at all —
+    duplication factor exactly 2 on the right stream only.
+    """
+    if bucket_span_us is not None and bucket_span_us < width_us:
+        raise ValueError("bucket_span_us must be >= width_us")
+    extra_left = [c for c in left_cols if c not in (key_col, ts_col)]
+
+    def _arrow_types(ds) -> dict:
+        schema = ds.schema(fetch_if_missing=True)
+        base = schema.base_schema if schema is not None else None
+        if base is None:
+            return {}
+        if hasattr(base, "field"):
+            return {f.name: f.type for f in base}
+        return {
+            n: (pa.string() if t == object else pa.from_numpy_dtype(t))
+            for n, t in zip(base.names, base.types)
+        }
+
+    lt_all = _arrow_types(left_ds)
+    left_types = {c: lt_all[c] for c in extra_left}
+    # "bucket" is the ROUTED bucket and is part of the join key inside each
+    # partition: several (key, bucket) groups can share a pkey partition,
+    # and a right row's next-bucket duplicate must only be visible to left
+    # rows of THAT bucket (else it double-counts)
+    union_order = ["pkey", "bucket", "_key", "_ts", "side", "_agg"] + extra_left
+
+    def _route(batch: pa.Table, side: int) -> pa.Table:
+        key = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = _ts_int(batch.column(ts_col))
+        n = batch.num_rows
+        if side == 1:
+            agg = batch.column(agg_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        else:
+            agg = np.zeros(n, np.int64)
+        if bucket_span_us:
+            bucket = ts // bucket_span_us
+            if side == 1:
+                # duplicate each right row into its own and the NEXT bucket
+                key = np.concatenate([key, key])
+                ts = np.concatenate([ts, ts])
+                agg = np.concatenate([agg, agg])
+                bucket = np.concatenate([bucket, bucket + 1])
+                n = 2 * n
+            pkey = _kb_pkey(key, bucket, partitions)
+        else:
+            bucket = np.zeros(n, np.int64)
+            pkey = _int_pkey(key, partitions)
+        data = {
+            "pkey": pa.array(pkey, pa.int64()),
+            "bucket": pa.array(bucket, pa.int64()),
+            "_key": pa.array(key, pa.int64()),
+            "_ts": pa.array(ts, pa.int64()),
+            "side": pa.array(np.full(n, side, np.int64), pa.int64()),
+            "_agg": pa.array(agg, pa.int64()),
+        }
+        for c in extra_left:
+            if side == 0:
+                data[c] = batch.column(c)
+            else:
+                data[c] = pa.nulls(n, left_types[c])
+        return pa.table(data).select(union_order)
+
+    tagged = left_ds.map_batches(
+        lambda b: _route(b, 0), batch_format="pyarrow"
+    ).union(right_ds.map_batches(lambda b: _route(b, 1), batch_format="pyarrow"))
+
+    def window_agg(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        lf = g[side == 0][["_key", "bucket", "_ts"] + extra_left]
+        rf = g[side == 1][["_key", "bucket", "_ts", "_agg"]]
+        if not len(lf):
+            out = lf.copy()
+            out["n_in_window"] = pd.Series(dtype=np.int64)
+            out["sum_in_window"] = pd.Series(dtype=np.int64)
+            return out.drop(columns="bucket")
+        if not len(rf):
+            out = lf.copy()
+            out["n_in_window"] = np.int64(0)
+            out["sum_in_window"] = np.int64(0)
+            return out.drop(columns="bucket")
+        rf = rf.sort_values(["_key", "bucket", "_ts"], kind="mergesort").reset_index(
+            drop=True
+        )
+        grp = rf.groupby(["_key", "bucket"], sort=False)
+        rf["cum_n"] = grp.cumcount().to_numpy() + 1
+        rf["cum_s"] = grp["_agg"].cumsum().to_numpy()
+        probe = rf[["_key", "bucket", "_ts", "cum_n", "cum_s"]].sort_values(
+            "_ts", kind="mergesort"
+        )
+
+        def totals_at(ts_vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            # explicit row id restores left order after the probe sort
+            q = pd.DataFrame(
+                {
+                    "_row": np.arange(len(lf), dtype=np.int64),
+                    "_key": lf["_key"].to_numpy(),
+                    "bucket": lf["bucket"].to_numpy(),
+                    "_ts": ts_vals,
+                }
+            ).sort_values("_ts", kind="mergesort")
+            j = pd.merge_asof(
+                q, probe, on="_ts", by=["_key", "bucket"], direction="backward"
+            )
+            j = j.sort_values("_row", kind="mergesort")
+            return (
+                j["cum_n"].fillna(0).to_numpy(np.int64),
+                j["cum_s"].fillna(0).to_numpy(np.int64),
+            )
+
+        lts = lf["_ts"].to_numpy()
+        n_hi, s_hi = totals_at(lts)
+        n_lo, s_lo = totals_at(lts - width_us - 1)
+        out = lf.copy()
+        out["n_in_window"] = n_hi - n_lo
+        out["sum_in_window"] = s_hi - s_lo
+        return out.drop(columns="bucket")
+
+    return tagged.groupby("pkey").map_groups(window_agg, batch_format="pandas")

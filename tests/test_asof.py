@@ -129,3 +129,79 @@ def test_asof_no_right_rows(ray_session):
     assert (got["matched"] == 0).all()
     assert (got["rid"] == -1).all()
     assert len(got) == len(lt)
+
+
+def _brute_range(lt, rt, width):
+    n, s = [], []
+    for _, row in lt.iterrows():
+        m = rt[(rt["user_id"] == row["user_id"])
+               & (rt["ts"] >= row["ts"] - width) & (rt["ts"] <= row["ts"])]
+        n.append(len(m))
+        s.append(int(m["rid"].sum()))
+    out = lt.copy()
+    out["n_in_window"] = np.array(n, np.int64)
+    out["sum_in_window"] = np.array(s, np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _run_range(lt, rt, width, **kw):
+    from abwcf_ray.stages.asof import range_join_agg
+
+    out = range_join_agg(
+        rd.from_pandas(lt).repartition(4),
+        rd.from_pandas(rt).repartition(3),
+        key_col="user_id",
+        ts_col="ts",
+        left_cols=["event_id", "user_id", "ts"],
+        agg_col="rid",
+        width_us=width,
+        **kw,
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def test_range_join_matches_brute_force(ray_session):
+    lt, rt = _mk(11, 200, 150, 8)
+    ref = _brute_range(lt, rt, 800)
+    got = _run_range(lt, rt, 800, partitions=5)
+    assert got["n_in_window"].tolist() == ref["n_in_window"].tolist()
+    assert got["sum_in_window"].tolist() == ref["sum_in_window"].tolist()
+
+
+def test_range_join_bucketed_parity_hot_key(ray_session):
+    lt, rt = _mk(12, 300, 250, 9, hot_frac=0.5)
+    ref = _brute_range(lt, rt, 700)
+    got = _run_range(lt, rt, 700, partitions=5, bucket_span_us=1000)
+    assert got["n_in_window"].tolist() == ref["n_in_window"].tolist()
+    assert got["sum_in_window"].tolist() == ref["sum_in_window"].tolist()
+
+
+def test_range_join_boundaries_inclusive(ray_session):
+    lt = pd.DataFrame(
+        {"event_id": np.array([0], np.int64), "user_id": np.array([1], np.int64),
+         "ts": np.array([1000], np.int64)}
+    )
+    rt = pd.DataFrame(
+        {
+            "rid": np.array([1, 2, 3, 4], np.int64),
+            "user_id": np.array([1, 1, 1, 1], np.int64),
+            # exactly at ts-w, inside, exactly at ts, just below ts-w
+            "ts": np.array([900, 950, 1000, 899], np.int64),
+            "value": np.zeros(4),
+        }
+    )
+    got = _run_range(lt, rt, 100, bucket_span_us=200)
+    assert got.loc[0, "n_in_window"] == 3
+    assert got.loc[0, "sum_in_window"] == 1 + 2 + 3
+    got1 = _run_range(lt, rt, 100)
+    assert got1.loc[0, "n_in_window"] == 3
+
+
+def test_range_join_span_guard():
+    from abwcf_ray.stages.asof import range_join_agg
+
+    with pytest.raises(ValueError):
+        range_join_agg(
+            None, None, key_col="k", ts_col="t", left_cols=[], agg_col="a",
+            width_us=100, bucket_span_us=50,
+        )
