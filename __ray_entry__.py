@@ -1077,6 +1077,44 @@ def _q_range_join_bucketed(sf_dir: str):
     return _range_impl(sf_dir, 172_800_000_000)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Frequent words of the corpus via Misra-Gries sketch + exact verify:
+    the sketch bounds the exchange to k counters per block, the verify
+    pass makes the output EXACT (guaranteed complete for threshold >
+    N/(k+1)) — so a plain GROUP BY ... HAVING is a full value oracle on
+    the sketch machinery."""
+    from abwcf_ray.stages.sketch import heavy_hitters
+
+    _quiet()
+    docs = _docs(sf_dir, ["text"])
+    n_tokens = int(
+        docs.map_batches(
+            lambda b: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            int(
+                                b.column("text")
+                                .to_pandas()
+                                .astype("string")
+                                .fillna("")
+                                .str.count(r"\S+")
+                                .sum()
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("n")
+    )
+    out = heavy_hitters(
+        _docs(sf_dir, ["text"]), threshold=max(1, n_tokens // 50), k=4096
+    )
+    return out.rename(columns={"item": "word"}).reset_index(drop=True)
+
+
 def _docs_en(sf_dir: str):
     """Target distribution for the DSIR queries: the English slice."""
     import pyarrow.compute as pc
@@ -1275,6 +1313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": _q_gopher_rules,
         "asof_join": _q_asof_join,
         "asof_join_bucketed": _q_asof_join_bucketed,
+        "heavy_hitters": _q_heavy_hitters,
         "range_join": _q_range_join,
         "range_join_bucketed": _q_range_join_bucketed,
         "dsir_counts": _q_dsir_counts,
@@ -1981,6 +2020,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r.event_id IS NOT NULL AS BIGINT) AS matched
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "heavy_hitters": r"""
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+            ),
+            n AS (SELECT GREATEST(1, COUNT(*) // 50) AS thr FROM toks)
+            SELECT w AS word, COUNT(*) AS cnt
+            FROM toks
+            GROUP BY w
+            HAVING COUNT(*) >= (SELECT thr FROM n)
         """,
         "range_join": """
             WITH l AS (

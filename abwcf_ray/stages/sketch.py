@@ -1,0 +1,156 @@
+"""Heavy hitters: Misra-Gries sketch + exact verification pass.
+
+Finding the frequent items of a 10^13-token stream (top words, hot
+hosts, dominant boilerplate) with exact counting exchanges O(distinct
+items) rows — at web scale, billions. The classic two-phase shape
+bounds it:
+
+1. **Sketch pass** (one map over the data): every block reduces to a
+   Misra-Gries summary of ``k`` counters — exact per-block counts,
+   then the MG reduction (subtract the (k+1)-th largest count, keep
+   positive). MG summaries are MERGEABLE (Agarwal et al. 2012): sum
+   matching counters, re-truncate. The exchange carries at most
+   ``k`` rows per block instead of the block's distinct-item count;
+   summed summaries settle in a keyed merge, the driver holds only
+   the final ≤ poly(k) candidate set. Guarantee: every item with
+   true count > N/(k+1) survives the sketch.
+
+2. **Exact pass**: the candidate set broadcasts (sorted hash array +
+   searchsorted probe, the decontaminate shape), one vectorized
+   counting pass produces EXACT counts; items with count ≥
+   ``threshold`` are emitted. Provided ``threshold ≥ N/(k+1)``
+   (asserted), phase 1's guarantee makes the final output EXACTLY the
+   set an exact counter would produce — which is why the ``heavy_hitters``
+   query carries a full DuckDB value oracle (GROUP BY ... HAVING) even
+   though the machinery is a sketch.
+
+Item identity is the 64-bit ``hash64`` of the item string (the
+decontaminate / ngram_dedup collision-soundness contract).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from abwcf_ray.functions.hashing import hash64
+from abwcf_ray.stages.dedup import keyed_hash_agg
+
+
+def _mg_truncate(items: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries reduction: keep at most k counters, each reduced by
+    the (k+1)-th largest count."""
+    if len(items) <= k:
+        return items, counts
+    order = np.argsort(-counts, kind="stable")
+    cut = counts[order[k]]
+    keep = order[:k]
+    new = counts[keep] - cut
+    ok = new > 0
+    return items[keep][ok], new[ok]
+
+
+def heavy_hitters(
+    ds,
+    *,
+    threshold: int,
+    k: int = 4096,
+    text_col: str = "text",
+    tokenize: bool = True,
+):
+    """Exact frequent items via MG sketch + verify. Returns a pandas
+    DataFrame (item, cnt) with EXACT counts of every item occurring
+    ``>= threshold`` times, sorted by (cnt desc, item asc).
+
+    ``tokenize=True`` streams whitespace tokens of ``text_col``;
+    ``tokenize=False`` treats each row's value as one item (e.g. a host
+    column). ``threshold`` must be > N/(k+1) where N is the total item
+    count — checked after the sketch pass (raise ``k`` if it trips)."""
+    import ray
+
+    def items_of(batch: pa.Table) -> pd.Series:
+        col = batch.column(text_col).to_pandas().astype("string").fillna("")
+        if tokenize:
+            return col.str.findall(r"\S+").explode().dropna()
+        return col
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        it = items_of(batch)
+        vc = it.value_counts()
+        items = vc.index.to_numpy(dtype=object)
+        counts = vc.to_numpy(np.int64)
+        items, counts = _mg_truncate(items, counts, k)
+        return pa.table(
+            {
+                "item": pa.array(items.tolist(), pa.string()),
+                "mg": pa.array(counts, pa.int64()),
+                "n_total": pa.array(
+                    np.r_[np.int64(len(it)), np.zeros(len(items) - 1, np.int64)]
+                    if len(items)
+                    else np.array([len(it)], np.int64),
+                    pa.int64(),
+                ),
+            }
+            if len(items)
+            else {
+                "item": pa.array(["\x00"], pa.string()),
+                "mg": pa.array([0], pa.int64()),
+                "n_total": pa.array([len(it)], pa.int64()),
+            }
+        )
+
+    merged = keyed_hash_agg(
+        ds.map_batches(sketch, batch_format="pyarrow"),
+        lambda b: hash64(b.column("item")),
+        lambda g: g.groupby("item", as_index=False).agg(
+            mg=("mg", "sum"), n_total=("n_total", "sum")
+        ),
+    ).to_pandas()
+    n_total = int(merged["n_total"].sum())
+    if threshold * (k + 1) <= n_total:
+        raise ValueError(
+            f"threshold {threshold} <= N/(k+1) = {n_total}/{k + 1}: the "
+            "sketch cannot guarantee completeness — raise k or threshold"
+        )
+    cand = merged[merged["mg"] > 0]["item"]
+    # candidate payload broadcasts once as a sorted hash array
+    ch = hash64(cand.tolist()) if len(cand) else np.zeros(0, np.uint64)
+    order = np.argsort(ch, kind="stable")
+    cand_arr = cand.to_numpy(dtype=object)[order] if len(cand) else cand.to_numpy()
+    ch_sorted = ch[order]
+    ref = ray.put(ch_sorted)
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        sh = ray.get(ref)
+        it = items_of(batch)
+        if not len(it) or not len(sh):
+            return pa.table(
+                {"pos": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        h = hash64(it.tolist())
+        pos = np.minimum(np.searchsorted(sh, h), len(sh) - 1)
+        hit = sh[pos] == h
+        vp, vc = np.unique(pos[hit], return_counts=True)
+        return pa.table(
+            {
+                "pos": pa.array(vp.astype(np.int64), pa.int64()),
+                "n": pa.array(vc.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = keyed_hash_agg(
+        ds.map_batches(exact_counts, batch_format="pyarrow"),
+        lambda b: b.column("pos").to_numpy(zero_copy_only=False),
+        lambda g: g.groupby("pos", as_index=False).agg(n=("n", "sum")),
+    ).to_pandas()
+    agg = agg[agg["n"] >= threshold]
+    out = pd.DataFrame(
+        {
+            "item": cand_arr[agg["pos"].to_numpy(np.int64)],
+            "cnt": agg["n"].to_numpy(np.int64),
+        }
+    )
+    return out.sort_values(
+        ["cnt", "item"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)

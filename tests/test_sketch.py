@@ -1,0 +1,87 @@
+"""Heavy hitters (stages/sketch.py): exact output vs brute force on a
+zipfian stream, layout invariance, the completeness-guarantee guard, and
+per-row (non-tokenized) mode."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from abwcf_ray.stages.sketch import _mg_truncate, heavy_hitters
+
+
+def _zipf_docs(seed: int, n_docs: int, vocab: int):
+    rng = np.random.default_rng(seed)
+    # zipfian-ish: item i has weight 1/(i+1)
+    w = 1.0 / np.arange(1, vocab + 1)
+    w /= w.sum()
+    texts = [
+        " ".join(f"w{j}" for j in rng.choice(vocab, size=30, p=w))
+        for _ in range(n_docs)
+    ]
+    return pd.DataFrame({"doc_id": np.arange(n_docs), "text": texts})
+
+
+def _brute(df: pd.DataFrame, threshold: int) -> pd.DataFrame:
+    toks = df["text"].str.findall(r"\S+").explode()
+    vc = toks.value_counts()
+    out = vc[vc >= threshold].reset_index()
+    out.columns = ["item", "cnt"]
+    return out.sort_values(
+        ["cnt", "item"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def test_mg_truncate_guarantee():
+    items = np.array([f"i{j}" for j in range(10)], dtype=object)
+    counts = np.array([100, 90, 80, 5, 4, 3, 3, 2, 2, 1], np.int64)
+    it, ct = _mg_truncate(items, counts, 3)
+    assert len(it) <= 3
+    # the k+1-th largest (5) was deducted
+    assert ct.tolist() == [95, 85, 75]
+
+
+def test_heavy_hitters_matches_brute_force(ray_session):
+    df = _zipf_docs(5, 200, 500)
+    n_tokens = int(df["text"].str.count(r"\S+").sum())
+    threshold = max(1, n_tokens // 100)
+    ref = _brute(df, threshold)
+    got = heavy_hitters(
+        rd.from_pandas(df).repartition(6), threshold=threshold, k=256
+    )
+    assert got["item"].tolist() == ref["item"].tolist()
+    assert got["cnt"].tolist() == ref["cnt"].tolist()
+    assert 0 < len(got) < 500  # non-degenerate both ways
+
+
+def test_heavy_hitters_layout_invariant(ray_session):
+    df = _zipf_docs(6, 150, 300)
+    n_tokens = int(df["text"].str.count(r"\S+").sum())
+    threshold = max(1, n_tokens // 80)
+    a = heavy_hitters(rd.from_pandas(df).repartition(2), threshold=threshold, k=256)
+    b = heavy_hitters(rd.from_pandas(df).repartition(11), threshold=threshold, k=256)
+    assert a["item"].tolist() == b["item"].tolist()
+    assert a["cnt"].tolist() == b["cnt"].tolist()
+
+
+def test_heavy_hitters_guarantee_guard(ray_session):
+    df = _zipf_docs(7, 50, 100)
+    with pytest.raises(ValueError, match="cannot guarantee"):
+        heavy_hitters(rd.from_pandas(df), threshold=1, k=4)
+
+
+def test_heavy_hitters_row_mode(ray_session):
+    hosts = ["h1"] * 50 + ["h2"] * 30 + ["h3"] * 2 + ["h4"]
+    df = pd.DataFrame({"host": hosts})
+    got = heavy_hitters(
+        rd.from_pandas(df).repartition(3),
+        threshold=10,
+        k=16,
+        text_col="host",
+        tokenize=False,
+    )
+    assert got["item"].tolist() == ["h1", "h2"]
+    assert got["cnt"].tolist() == [50, 30]
