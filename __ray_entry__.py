@@ -1077,6 +1077,23 @@ def _q_range_join_bucketed(sf_dir: str):
     return _range_impl(sf_dir, 172_800_000_000)
 
 
+def _q_token_quantiles(sf_dir: str):
+    """Exact corpus-distribution stats: discrete quantiles of per-doc
+    whitespace-token counts via one-pass sparse histograms + keyed merge
+    (exchange O(distinct counts), never O(docs)). Oracle: DuckDB
+    quantile_disc, same ceil(q·N) rank rule."""
+    from abwcf_ray.stages.sketch import int_quantiles
+    from abwcf_ray.stages.text import add_token_counts
+
+    _quiet()
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_token_counts, batch_format="pyarrow"
+    )
+    return int_quantiles(
+        ds, col="n_tokens", qs=[0.01, 0.10, 0.25, 0.50, 0.75, 0.90, 0.99, 1.0]
+    )
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Frequent words of the corpus via Misra-Gries sketch + exact verify:
     the sketch bounds the exchange to k counters per block, the verify
@@ -1314,6 +1331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "asof_join_bucketed": _q_asof_join_bucketed,
         "heavy_hitters": _q_heavy_hitters,
+        "token_quantiles": _q_token_quantiles,
         "range_join": _q_range_join,
         "range_join_bucketed": _q_range_join_bucketed,
         "dsir_counts": _q_dsir_counts,
@@ -2020,6 +2038,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r.event_id IS NOT NULL AS BIGINT) AS matched
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "token_quantiles": r"""
+            WITH n AS (
+                SELECT CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt
+                FROM documents
+            )
+            SELECT CAST(1 AS BIGINT) AS q_pct, quantile_disc(nt, 0.01) AS value FROM n
+            UNION ALL SELECT CAST(10 AS BIGINT) AS q_pct, quantile_disc(nt, 0.1) AS value FROM n
+            UNION ALL SELECT CAST(25 AS BIGINT) AS q_pct, quantile_disc(nt, 0.25) AS value FROM n
+            UNION ALL SELECT CAST(50 AS BIGINT) AS q_pct, quantile_disc(nt, 0.5) AS value FROM n
+            UNION ALL SELECT CAST(75 AS BIGINT) AS q_pct, quantile_disc(nt, 0.75) AS value FROM n
+            UNION ALL SELECT CAST(90 AS BIGINT) AS q_pct, quantile_disc(nt, 0.9) AS value FROM n
+            UNION ALL SELECT CAST(99 AS BIGINT) AS q_pct, quantile_disc(nt, 0.99) AS value FROM n
+            UNION ALL SELECT CAST(100 AS BIGINT) AS q_pct, quantile_disc(nt, 1.0) AS value FROM n
         """,
         "heavy_hitters": r"""
             WITH toks AS (

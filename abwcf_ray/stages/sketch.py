@@ -154,3 +154,46 @@ def heavy_hitters(
     return out.sort_values(
         ["cnt", "item"], ascending=[False, True], kind="mergesort"
     ).reset_index(drop=True)
+
+
+def int_quantiles(ds, *, col: str, qs: list, merge_partitions: int = 64):
+    """Exact discrete quantiles of a bounded-domain INTEGER column in one
+    pass: per-batch sparse value histograms (the combiner — exchange is
+    O(distinct values per batch), and an integer measurement column like
+    a token count has a tiny domain no matter the corpus size), keyed
+    merge, driver cumulative ranks. Quantile rule = DuckDB's
+    ``quantile_disc``: the element at sorted rank ``ceil(q·N)``.
+
+    Returns a pandas DataFrame (q_pct, value): q as integer percent
+    (``int(round(q*100))``) so the output hashes stably."""
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        k, c = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                "v": pa.array(k, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    merged = keyed_hash_agg(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        lambda b: b.column("v").to_numpy(zero_copy_only=False),
+        lambda g: g.groupby("v", as_index=False).agg(n=("n", "sum")),
+        partitions=merge_partitions,
+    ).to_pandas()
+    merged = merged.sort_values("v", kind="mergesort").reset_index(drop=True)
+    counts = merged["n"].to_numpy(np.int64)
+    values = merged["v"].to_numpy(np.int64)
+    cum = np.cumsum(counts)
+    total = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        rank = max(1, int(np.ceil(q * total)))
+        pos = int(np.searchsorted(cum, rank, side="left"))
+        out_q.append(int(round(q * 100)))
+        out_v.append(int(values[pos]) if total else 0)
+    return pd.DataFrame(
+        {"q_pct": np.array(out_q, np.int64), "value": np.array(out_v, np.int64)}
+    )

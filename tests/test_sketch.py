@@ -85,3 +85,31 @@ def test_heavy_hitters_row_mode(ray_session):
     )
     assert got["item"].tolist() == ["h1", "h2"]
     assert got["cnt"].tolist() == [50, 30]
+
+
+def test_int_quantiles_matches_duckdb_rule(ray_session):
+    import duckdb
+
+    from abwcf_ray.stages.sketch import int_quantiles
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 500, 3000).astype(np.int64)
+    df = pd.DataFrame({"x": vals})
+    # exact-percent qs: q_pct = round(q*100) must invert losslessly, else
+    # the duckdb comparison below would run at a different quantile
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = int_quantiles(rd.from_pandas(df).repartition(7), col="x", qs=qs)
+    for q, v in zip(got["q_pct"], got["value"]):
+        ref = duckdb.sql(
+            f"SELECT quantile_disc(x, {q / 100}) FROM df"
+        ).fetchone()[0]
+        assert v == ref, (q, v, ref)
+
+
+def test_int_quantiles_layout_invariant(ray_session):
+    from abwcf_ray.stages.sketch import int_quantiles
+
+    df = pd.DataFrame({"x": np.arange(1000, dtype=np.int64) % 37})
+    a = int_quantiles(rd.from_pandas(df).repartition(2), col="x", qs=[0.5, 0.9])
+    b = int_quantiles(rd.from_pandas(df).repartition(13), col="x", qs=[0.5, 0.9])
+    assert a.equals(b)
