@@ -1077,6 +1077,18 @@ def _q_range_join_bucketed(sf_dir: str):
     return _range_impl(sf_dir, 172_800_000_000)
 
 
+def _q_top_keywords(sf_dir: str):
+    """TF-IDF-style keyword per document: argmax by (tf DESC, corpus df
+    ASC, token ASC) — integer ordering so the window-function SQL oracle
+    hash-matches (idf is monotone in df, so the induced ranking equals
+    the float tf·idf ranking)."""
+    from abwcf_ray.stages.lm import top_keywords
+
+    _quiet()
+    out = top_keywords(_docs(sf_dir, ["doc_id", "text"]))
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_token_quantiles(sf_dir: str):
     """Exact corpus-distribution stats: discrete quantiles of per-doc
     whitespace-token counts via one-pass sparse histograms + keyed merge
@@ -1332,6 +1344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_bucketed": _q_asof_join_bucketed,
         "heavy_hitters": _q_heavy_hitters,
         "token_quantiles": _q_token_quantiles,
+        "top_keywords": _q_top_keywords,
         "range_join": _q_range_join,
         "range_join_bucketed": _q_range_join_bucketed,
         "dsir_counts": _q_dsir_counts,
@@ -2038,6 +2051,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r.event_id IS NOT NULL AS BIGINT) AS matched
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "top_keywords": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+            dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+            ranked AS (
+                SELECT tf.doc_id, tf.w, tf.tf, dfreq.df,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, dfreq.df ASC, tf.w ASC
+                       ) AS rn
+                FROM tf JOIN dfreq USING (w)
+            )
+            SELECT doc_id, w AS keyword, tf, df FROM ranked WHERE rn = 1
         """,
         "token_quantiles": r"""
             WITH n AS (

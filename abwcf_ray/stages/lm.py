@@ -167,3 +167,104 @@ def lm_rarity_score(
         ),
         batch_format="pyarrow",
     )
+
+
+def top_keywords(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                 max_vocab_broadcast: int = 50_000_000):
+    """TF-IDF-style keyword extraction, integer-exact: per document the
+    token maximizing (term frequency DESC, corpus document-frequency ASC,
+    token ASC) — the rarest of its most-repeated words. Integer ordering
+    instead of a float tf·idf score for the same reason as
+    :func:`lm_rarity_score`: the SQL oracle hash-matches (the float score
+    would drift at the last ulp), and the ranking it induces per document
+    is identical whenever idf is monotone in df (it is).
+
+    Two bounded passes: (1) corpus document frequencies — per-batch
+    distinct (word → n docs) partials, keyed merge, broadcast once as a
+    sorted (hash, df) pair (O(vocabulary), the ``build_vocab`` bound;
+    ``max_vocab_broadcast`` guards the driver); (2) per-batch tf +
+    searchsorted df attach + one vectorized 3-key sort / head(1) per doc.
+    Documents with no tokens emit no row (the SQL inner-join semantics).
+    """
+    import ray
+
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pandas().astype("string").fillna("")
+        words = texts.str.findall(r"\S+")
+        ex = words.explode().dropna()
+        if not len(ex):
+            return pa.table(
+                {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        pairs = pd.DataFrame(
+            {"d": ex.index.to_numpy(), "w": ex.to_numpy(dtype=object)}
+        ).drop_duplicates()
+        vc = pairs["w"].value_counts()
+        return pa.table(
+            {
+                "word": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "n": pa.array(vc.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    from abwcf_ray.functions.hashing import hash64
+
+    dfs = keyed_hash_agg(
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        lambda b: hash64(b.column("word")),
+        lambda g: g.groupby("word", as_index=False).agg(n=("n", "sum")),
+    ).to_pandas()
+    if len(dfs) > max_vocab_broadcast:
+        raise ValueError(
+            f"{len(dfs)} distinct words exceed max_vocab_broadcast; raise the"
+            " bound or pre-truncate the vocabulary (build_vocab)"
+        )
+    wh = hash64(dfs["word"].tolist()) if len(dfs) else np.zeros(0, np.uint64)
+    order = np.argsort(wh, kind="stable")
+    payload = (wh[order], dfs["n"].to_numpy(np.int64)[order])
+    ref = ray.put(payload)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        hs, dfv = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        texts = batch.column(text_col).to_pandas().astype("string").fillna("")
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        words = texts.str.findall(r"\S+")
+        ex = words.explode().dropna()
+        if not len(ex):
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "keyword": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        t = (
+            pd.DataFrame(
+                {"row": ex.index.to_numpy(), "word": ex.to_numpy(dtype=object)}
+            )
+            .groupby(["row", "word"], as_index=False)
+            .size()
+        )
+        t.columns = ["row", "word", "tf"]
+        h = hash64(t["word"].tolist())
+        pos = np.minimum(np.searchsorted(hs, h), max(len(hs) - 1, 0))
+        t["df"] = np.where(hs[pos] == h, dfv[pos], np.int64(0)) if len(hs) else 0
+        top = (
+            t.sort_values(["row", "tf", "df", "word"],
+                          ascending=[True, False, True, True], kind="mergesort")
+            .groupby("row", as_index=False)
+            .head(1)
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[top["row"].to_numpy()], pa.int64()),
+                "keyword": pa.array(top["word"].tolist(), pa.string()),
+                "tf": pa.array(top["tf"].to_numpy(np.int64), pa.int64()),
+                "df": pa.array(top["df"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(pick, batch_format="pyarrow")

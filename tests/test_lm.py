@@ -102,3 +102,56 @@ def test_lm_rarity_block_layout_invariant(docs):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_top_keywords_brute_force(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.lm import top_keywords
+
+    texts = [
+        "apple apple banana cherry",      # tf: apple 2 -> keyword apple
+        "banana cherry cherry banana",    # tie tf 2/2 -> lower df wins
+        "unique",                         # singleton
+        "apple banana",                   # tf tie 1/1 -> df: cherry absent; apple df vs banana df
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64), "text": texts})
+    out = (
+        top_keywords(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # brute force
+    import collections
+
+    toks = [t.split() for t in texts]
+    dfc = collections.Counter()
+    for ts in toks:
+        dfc.update(set(ts))
+    exp = []
+    for i, ts in enumerate(toks):
+        tf = collections.Counter(ts)
+        best = sorted(tf.items(), key=lambda kv: (-kv[1], dfc[kv[0]], kv[0]))[0]
+        exp.append((i, best[0], best[1], dfc[best[0]]))
+    got = list(
+        zip(out["doc_id"], out["keyword"], out["tf"], out["df"])
+    )
+    assert [tuple(map(lambda x: x if isinstance(x, str) else int(x), g)) for g in got] == exp
+
+
+def test_top_keywords_layout_invariant(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.lm import top_keywords
+
+    rng = np.random.default_rng(4)
+    texts = [
+        " ".join(f"w{j}" for j in rng.integers(0, 40, 25)) for _ in range(120)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64), "text": texts})
+    a = top_keywords(rd.from_pandas(df).repartition(2)).to_pandas().sort_values("doc_id")
+    b = top_keywords(rd.from_pandas(df).repartition(9)).to_pandas().sort_values("doc_id")
+    assert a["keyword"].tolist() == b["keyword"].tolist()
+    assert a["df"].tolist() == b["df"].tolist()
