@@ -252,6 +252,45 @@ def run_bench() -> dict:
     dsir_resample(add_dsir_logw(raw, ray.put(w)), 500, seed=7)
     queries["dsir"] = round(time.perf_counter() - t0, 3)
 
+    # as-of temporal join over the events stream (purchases -> latest click)
+    from abwcf_ray.stages.asof import asof_join
+
+    t0 = time.perf_counter()
+    ev = rd.read_parquet(
+        f"{SF_DIR}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value", "event_type"],
+    )
+    import pyarrow.compute as _pc
+
+    _left = ev.map_batches(
+        lambda b: b.filter(_pc.equal(b.column("event_type"), "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    _right = ev.map_batches(
+        lambda b: b.filter(_pc.equal(b.column("event_type"), "click")).select(
+            ["event_id", "user_id", "ts", "value"]
+        ),
+        batch_format="pyarrow",
+    )
+    asof_join(
+        _left, _right, key_col="user_id", ts_col="ts",
+        left_cols=["event_id", "user_id", "ts"], payload_cols=["event_id", "value"],
+    ).count()
+    queries["asof_join"] = round(time.perf_counter() - t0, 3)
+
+    # heavy hitters over the corpus words (MG sketch + exact verify)
+    from abwcf_ray.stages.sketch import heavy_hitters
+
+    t0 = time.perf_counter()
+    heavy_hitters(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"]),
+        threshold=2_000,
+        k=4096,
+    )
+    queries["heavy_hitters"] = round(time.perf_counter() - t0, 3)
+
     # link-graph PageRank over a synthetic graph sized to the doc table
     import pyarrow as pa
 
