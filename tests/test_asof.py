@@ -205,3 +205,42 @@ def test_range_join_span_guard():
             None, None, key_col="k", ts_col="t", left_cols=[], agg_col="a",
             width_us=100, bucket_span_us=50,
         )
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n_keys=st.integers(1, 6),
+    span=st.sampled_from([50, 173, 1000]),
+)
+def test_asof_hypothesis_differential(ray_session, seed, n_keys, span):
+    """Randomized differential: both regimes vs the global pandas
+    merge_asof on tiny adversarial streams (few keys -> heavy collisions,
+    duplicate left timestamps, buckets of awkward span)."""
+    rng = np.random.default_rng(seed)
+    nl, nr = rng.integers(1, 40), rng.integers(0, 40)
+    lt = pd.DataFrame(
+        {
+            "event_id": np.arange(nl, dtype=np.int64),
+            "user_id": rng.integers(0, n_keys, nl).astype(np.int64),
+            "ts": rng.integers(0, 3000, nl).astype(np.int64),
+        }
+    )
+    rt = pd.DataFrame(
+        {
+            "rid": np.arange(nr, dtype=np.int64),
+            "user_id": rng.integers(0, n_keys, nr).astype(np.int64),
+            "ts": rng.integers(0, 3000, nr).astype(np.int64),
+            "value": rng.random(nr),
+        }
+    ).drop_duplicates(["user_id", "ts"]).reset_index(drop=True)
+    ref = _brute(lt, rt)
+    one = _run(lt, rt, partitions=3)
+    two = _run(lt, rt, partitions=3, bucket_span_us=span)
+    for got in (one, two):
+        assert got["rid"].tolist() == ref["rid"].tolist()
+        assert got["matched"].tolist() == ref["matched"].tolist()
