@@ -190,11 +190,32 @@ def sliding_windows(ds, *, key: str, ts_col: str, value_col: str,
             }
         )
 
-    from ray.data.aggregate import Count, Sum
+    # keyed-partition merge instead of the native (key, window) groupby:
+    # cardinality = keys × windows is output-sized, and Ray's sort-based
+    # aggregate on that key measured 22× slower than hashing it into 64
+    # partitions (dedup.keyed_hash_agg). Association structure of the
+    # float sum is unchanged — the native Sum is also a block-partial
+    # combine, and the partial here is per (key, window) within a batch.
+    from abwcf_ray.stages.dedup import keyed_hash_agg
 
-    out = (
-        ds.map_batches(assign, batch_format="pyarrow")
-        .groupby([key, "window_start"])
-        .aggregate(Count(alias_name="n_events"), Sum(value_col, alias_name="sum_value"))
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby([key, "window_start"], as_index=False).agg(
+            n_events=(value_col, "size"), sum_value=(value_col, "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _wkey(b: pa.Table) -> np.ndarray:
+        k = b.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = b.column("window_start").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (k * np.uint64(0x9E3779B97F4A7C15) ^ w).astype(np.int64)
+
+    return keyed_hash_agg(
+        ds.map_batches(assign, batch_format="pyarrow").map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        _wkey,
+        lambda g: g.groupby([key, "window_start"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+        ),
     )
-    return out
