@@ -247,38 +247,17 @@ def _q_quality_by_lang(sf_dir: str):
 
 def _q_events_window(sf_dir: str):
     """Tumbling 1-hour windowed aggregate over the events stream (G:
-    windows via partial per-batch aggregation, then a small groupby)."""
+    per-batch partials, then the keyed-partition merge — the (key,
+    window) aggregate key is output-sized, see stages/windows.py)."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+
+    from abwcf_ray.stages.windows import tumbling_windows
 
     _quiet()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
-
-    def window(batch: pa.Table) -> pa.Table:
-        # normalize the unit BEFORE the int cast — a timestamp[ns] column
-        # cast straight to int64 would yield nanosecond window ids and
-        # silently diverge from the SQL oracle's epoch_us
-        us = (
-            batch.column("ts")
-            .cast(pa.timestamp("us"))
-            .cast(pa.int64())
-            .to_numpy(zero_copy_only=False)
-        )
-        w = us // 3_600_000_000
-        return pa.table(
-            {
-                "user_id": batch.column("user_id"),
-                "window_id": pa.array(w, pa.int64()),
-                "value": batch.column("value"),
-            }
-        )
-
-    out = (
-        ds.map_batches(window, batch_format="pyarrow")
-        .groupby(["user_id", "window_id"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
-        .to_pandas()
-    )
+    out = tumbling_windows(
+        ds, key="user_id", ts_col="ts", value_col="value", width_us=3_600_000_000
+    ).to_pandas()
     out["sum_value"] = out["sum_value"].round(4)
     return out
 

@@ -219,3 +219,46 @@ def sliding_windows(ds, *, key: str, ts_col: str, value_col: str,
             n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
         ),
     )
+
+
+def tumbling_windows(ds, *, key: str, ts_col: str, value_col: str, width_us: int):
+    """-> (key, window_id, n_events, sum_value) for tumbling windows of
+    ``width_us``. Same keyed-partition merge as :func:`sliding_windows`
+    (the (key, window) aggregate key is output-sized — the native
+    sort-aggregate pathology); timestamp unit normalized before the int
+    cast so window ids are microseconds regardless of input unit."""
+    import pyarrow as pa
+
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = (
+            batch.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        df = pd.DataFrame(
+            {
+                key: batch.column(key).to_numpy(zero_copy_only=False),
+                "window_id": us // width_us,
+                value_col: batch.column(value_col).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby([key, "window_id"], as_index=False).agg(
+            n_events=(value_col, "size"), sum_value=(value_col, "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _wkey(b: pa.Table) -> np.ndarray:
+        k = b.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = b.column("window_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (k * np.uint64(0x9E3779B97F4A7C15) ^ w).astype(np.int64)
+
+    return keyed_hash_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        _wkey,
+        lambda g: g.groupby([key, "window_id"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+        ),
+    )
