@@ -1040,6 +1040,56 @@ def _range_impl(sf_dir: str, bucket_span_us):
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_range_pairs(sf_dir: str):
+    """Range join, pair-explode form: every (purchase, click) pair of the
+    same user within the purchase's preceding 12 h — contiguous-range
+    gather per partition (two merge_asof position probes + one
+    repeat/cumsum explode, group-start clamped). Oracle: plain inequality
+    INNER join."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from abwcf_ray.stages.asof import range_join_pairs
+
+    _quiet()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    left = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    right = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "click")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = range_join_pairs(
+        left,
+        right,
+        key_col="user_id",
+        ts_col="ts",
+        left_id_col="event_id",
+        right_id_col="event_id",
+        width_us=43_200_000_000,
+        bucket_span_us=43_200_000_000,
+    ).to_pandas()
+    df = pd.DataFrame(
+        {
+            "purchase_id": out["left_id"].astype("int64"),
+            "click_id": out["right_id"].astype("int64"),
+            "user_id": out["_key"].astype("int64"),
+            "purchase_ts_us": out["left_ts"].astype("int64"),
+            "click_ts_us": out["right_ts"].astype("int64"),
+        }
+    )
+    return df.sort_values(["purchase_id", "click_id"]).reset_index(drop=True)
+
+
 def _q_range_join(sf_dir: str):
     """Range join, aggregate form: every purchase gets the COUNT and int64
     SUM of click event-ids in its preceding 24 h — per-partition prefix
@@ -1325,6 +1375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": _q_token_quantiles,
         "top_keywords": _q_top_keywords,
         "range_join": _q_range_join,
+        "range_pairs": _q_range_pairs,
         "range_join_bucketed": _q_range_join_bucketed,
         "dsir_counts": _q_dsir_counts,
         "dsir": _q_dsir,
@@ -2109,6 +2160,24 @@ def oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id
              AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - 86400000000 AND epoch_us(l.ts)
             GROUP BY l.user_id, l.ts, l.event_id
+        """,
+        "range_pairs": """
+            WITH l AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ),
+            r AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT l.event_id AS purchase_id,
+                   r.event_id AS click_id,
+                   l.user_id,
+                   epoch_us(l.ts) AS purchase_ts_us,
+                   epoch_us(r.ts) AS click_ts_us
+            FROM l JOIN r
+              ON l.user_id = r.user_id
+             AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - 43200000000 AND epoch_us(l.ts)
         """,
         "dsir_counts": r"""
             WITH tok AS (

@@ -465,3 +465,138 @@ def range_join_agg(
         return out.drop(columns="bucket")
 
     return tagged.groupby("pkey").map_groups(window_agg, batch_format="pandas")
+
+
+def range_join_pairs(
+    left_ds,
+    right_ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    left_id_col: str,
+    right_id_col: str,
+    width_us: int,
+    partitions: int = ASOF_PARTITIONS,
+    bucket_span_us: int | None = None,
+):
+    """Range join, pair-explode form: one output row per (left, right)
+    pair of the same key with ``right.ts ∈ [left.ts − width_us, left.ts]``
+    — the INNER-join sibling of :func:`range_join_agg` for when the
+    downstream wants the pairs themselves (e.g. building training
+    negatives from temporal neighborhoods). Output size is the pair
+    count; prefer the aggregate form when only statistics are needed.
+
+    Kernel: rights sort once per (key, bucket); each left row's window is
+    a CONTIGUOUS index range found by two merge_asof position probes, and
+    the explode is one np.repeat + cumsum-offset gather — no per-row
+    Python. Skew path identical to the aggregate form (duplicate right
+    routing, routed bucket part of the join key)."""
+    if bucket_span_us is not None and bucket_span_us < width_us:
+        raise ValueError("bucket_span_us must be >= width_us")
+
+    def _route(batch: pa.Table, side: int, id_col: str) -> pa.Table:
+        key = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = _ts_int(batch.column(ts_col))
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        if bucket_span_us:
+            bucket = ts // bucket_span_us
+            if side == 1:
+                key = np.concatenate([key, key])
+                ts = np.concatenate([ts, ts])
+                ids = np.concatenate([ids, ids])
+                bucket = np.concatenate([bucket, bucket + 1])
+                n = 2 * n
+            pkey = _kb_pkey(key, bucket, partitions)
+        else:
+            bucket = np.zeros(n, np.int64)
+            pkey = _int_pkey(key, partitions)
+        return pa.table(
+            {
+                "pkey": pa.array(pkey, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+                "_key": pa.array(key, pa.int64()),
+                "_ts": pa.array(ts, pa.int64()),
+                "side": pa.array(np.full(n, side, np.int64), pa.int64()),
+                "_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    tagged = left_ds.map_batches(
+        lambda b: _route(b, 0, left_id_col), batch_format="pyarrow"
+    ).union(
+        right_ds.map_batches(lambda b: _route(b, 1, right_id_col), batch_format="pyarrow")
+    )
+
+    def explode(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        lf = g[side == 0]
+        rf = g[side == 1]
+        cols = ["left_id", "right_id", "_key", "left_ts", "right_ts"]
+        if not len(lf) or not len(rf):
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in cols}
+            )
+        rf = rf.sort_values(["_key", "bucket", "_ts"], kind="mergesort").reset_index(
+            drop=True
+        )
+        # positions of each right row within the global partition sort
+        rf["pos1"] = np.arange(1, len(rf) + 1, dtype=np.int64)
+        probe = rf[["_key", "bucket", "_ts", "pos1"]].sort_values(
+            "_ts", kind="mergesort"
+        )
+
+        def pos_at(ts_vals: np.ndarray) -> np.ndarray:
+            q = pd.DataFrame(
+                {
+                    "_row": np.arange(len(lf), dtype=np.int64),
+                    "_key": lf["_key"].to_numpy(),
+                    "bucket": lf["bucket"].to_numpy(),
+                    "_ts": ts_vals,
+                }
+            ).sort_values("_ts", kind="mergesort")
+            j = pd.merge_asof(
+                q, probe, on="_ts", by=["_key", "bucket"], direction="backward"
+            )
+            return (
+                j.sort_values("_row", kind="mergesort")["pos1"]
+                .fillna(0)
+                .to_numpy(np.int64)
+            )
+
+        lts = lf["_ts"].to_numpy()
+        hi = pos_at(lts)  # global pos1 of last right <= left ts in the group
+        lo = pos_at(lts - width_us - 1)
+        # pos1 is GLOBAL partition order: a probe that misses inside its
+        # group falls to 0, which would leak earlier groups' rows into the
+        # gather — clamp both bounds to the group's start position
+        gs = rf.groupby(["_key", "bucket"], as_index=False)["pos1"].min()
+        gs["base"] = gs["pos1"] - 1
+        base = (
+            lf[["_key", "bucket"]]
+            .merge(gs[["_key", "bucket", "base"]], on=["_key", "bucket"], how="left")
+            ["base"]
+            .fillna(0)
+            .to_numpy(np.int64)
+        )
+        hi = np.maximum(hi, base)
+        lo = np.maximum(lo, base)
+        n_i = hi - lo
+        total = int(n_i.sum())
+        if not total:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        left_rep = np.repeat(np.arange(len(lf), dtype=np.int64), n_i)
+        seg = np.concatenate([[0], np.cumsum(n_i)])[:-1]
+        within = np.arange(total, dtype=np.int64) - np.repeat(seg, n_i)
+        r_idx = np.repeat(lo, n_i) + within  # 0-based into rf sort order
+        return pd.DataFrame(
+            {
+                "left_id": lf["_id"].to_numpy()[left_rep],
+                "right_id": rf["_id"].to_numpy()[r_idx],
+                "_key": lf["_key"].to_numpy()[left_rep],
+                "left_ts": lts[left_rep],
+                "right_ts": rf["_ts"].to_numpy()[r_idx],
+            }
+        )
+
+    return tagged.groupby("pkey").map_groups(explode, batch_format="pandas")

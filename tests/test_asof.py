@@ -244,3 +244,55 @@ def test_asof_hypothesis_differential(ray_session, seed, n_keys, span):
     for got in (one, two):
         assert got["rid"].tolist() == ref["rid"].tolist()
         assert got["matched"].tolist() == ref["matched"].tolist()
+
+
+def _brute_pairs(lt, rt, width):
+    rows = []
+    for _, l in lt.iterrows():
+        m = rt[(rt["user_id"] == l["user_id"])
+               & (rt["ts"] >= l["ts"] - width) & (rt["ts"] <= l["ts"])]
+        for _, r in m.iterrows():
+            rows.append((int(l["event_id"]), int(r["rid"])))
+    return sorted(rows)
+
+
+def _run_pairs(lt, rt, width, **kw):
+    from abwcf_ray.stages.asof import range_join_pairs
+
+    out = range_join_pairs(
+        rd.from_pandas(lt).repartition(4),
+        rd.from_pandas(rt).repartition(3),
+        key_col="user_id",
+        ts_col="ts",
+        left_id_col="event_id",
+        right_id_col="rid",
+        width_us=width,
+        **kw,
+    ).to_pandas()
+    return sorted(zip(out["left_id"].astype(int), out["right_id"].astype(int)))
+
+
+def test_range_pairs_match_brute_force(ray_session):
+    lt, rt = _mk(21, 120, 100, 6)
+    ref = _brute_pairs(lt, rt, 600)
+    assert _run_pairs(lt, rt, 600, partitions=3) == ref
+    assert _run_pairs(lt, rt, 600, partitions=3, bucket_span_us=700) == ref
+
+
+def test_range_pairs_group_isolation(ray_session):
+    # regression: a left row whose window precedes ALL of its group's
+    # rights must emit nothing — and never leak another group's rows
+    lt = pd.DataFrame(
+        {"event_id": np.array([0, 1], np.int64),
+         "user_id": np.array([2, 3], np.int64),
+         "ts": np.array([100, 5000], np.int64)}
+    )
+    rt = pd.DataFrame(
+        {"rid": np.array([10, 11, 12], np.int64),
+         "user_id": np.array([1, 2, 3], np.int64),
+         "ts": np.array([90, 4000, 4990], np.int64),
+         "value": np.zeros(3)}
+    )
+    # user 2's right is at 4000 (after left ts 100) -> no pair for left 0
+    got = _run_pairs(lt, rt, 200, partitions=1)
+    assert got == [(1, 12)]
