@@ -1135,6 +1135,30 @@ def _q_token_quantiles(sf_dir: str):
     )
 
 
+def _q_distinct_words(sf_dir: str):
+    """Exact corpus distinct-word count (per-batch unique + keyed-merge
+    distinct; exchange O(distinct)); the HLL sketch (hll_distinct) is the
+    bounded-exchange estimate of the same quantity."""
+    from abwcf_ray.stages.sketch import exact_distinct_count
+
+    _quiet()
+    n = exact_distinct_count(_docs(sf_dir, ["text"]))
+    return pd.DataFrame({"n_distinct": np.array([n], np.int64)})
+
+
+def _q_hll_distinct(sf_dir: str):
+    """HyperLogLog estimate of the corpus distinct-word count: one 16 KB
+    register vector per block crosses the exchange regardless of
+    cardinality. Approximate by nature -> rows-only; pytest pins the
+    error bound and merge layout-invariance, and distinct_words carries
+    the exact SQL-oracled value next to it."""
+    from abwcf_ray.stages.sketch import hll_distinct_count
+
+    _quiet()
+    est = hll_distinct_count(_docs(sf_dir, ["text"]), p=14)
+    return pd.DataFrame({"estimate": np.array([round(est, 2)], np.float64)})
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Frequent words of the corpus via Misra-Gries sketch + exact verify:
     the sketch bounds the exchange to k counters per block, the verify
@@ -1372,6 +1396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "asof_join_bucketed": _q_asof_join_bucketed,
         "heavy_hitters": _q_heavy_hitters,
+        "distinct_words": _q_distinct_words,
+        "hll_distinct": _q_hll_distinct,
         "token_quantiles": _q_token_quantiles,
         "top_keywords": _q_top_keywords,
         "range_join": _q_range_join,
@@ -2112,6 +2138,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT CAST(90 AS BIGINT) AS q_pct, quantile_disc(nt, 0.9) AS value FROM n
             UNION ALL SELECT CAST(99 AS BIGINT) AS q_pct, quantile_disc(nt, 0.99) AS value FROM n
             UNION ALL SELECT CAST(100 AS BIGINT) AS q_pct, quantile_disc(nt, 1.0) AS value FROM n
+        """,
+        "distinct_words": r"""
+            SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct
+            FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents)
         """,
         "heavy_hitters": r"""
             WITH toks AS (

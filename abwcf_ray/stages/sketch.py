@@ -197,3 +197,69 @@ def int_quantiles(ds, *, col: str, qs: list, merge_partitions: int = 64):
     return pd.DataFrame(
         {"q_pct": np.array(out_q, np.int64), "value": np.array(out_v, np.int64)}
     )
+
+
+def exact_distinct_count(ds, *, text_col: str = "text", tokenize: bool = True):
+    """Exact distinct-item count: per-batch unique + keyed-merge distinct
+    (exchange O(distinct items) — the baseline HLL exists to beat)."""
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col).to_pandas().astype("string").fillna("")
+        it = col.str.findall(r"\S+").explode().dropna() if tokenize else col
+        h = hash64(it.tolist()) if len(it) else np.zeros(0, np.uint64)
+        return pa.table({"h": pa.array(np.unique(h).astype(np.int64), pa.int64())})
+
+    merged = keyed_hash_agg(
+        ds.map_batches(uniq, batch_format="pyarrow"),
+        lambda b: b.column("h").to_numpy(zero_copy_only=False),
+        lambda g: g.drop_duplicates("h"),
+    )
+    return int(merged.count())
+
+
+def hll_distinct_count(
+    ds, *, text_col: str = "text", tokenize: bool = True, p: int = 14
+):
+    """HyperLogLog distinct-count estimate (Flajolet et al. 2007): 2^p
+    byte registers per block (16 KB at p=14), merged by elementwise max —
+    the exchange carries ONE register vector per block no matter how many
+    distinct items exist (vs O(distinct) for the exact count). Standard
+    error ≈ 1.04/√(2^p) ≈ 0.8% at p=14. Uses the same ``hash64`` item
+    identity as the exact counter; the raw-estimate + linear-counting
+    small-range correction, no long-range correction (64-bit hashes)."""
+    m = 1 << p
+
+    def registers(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col).to_pandas().astype("string").fillna("")
+        it = col.str.findall(r"\S+").explode().dropna() if tokenize else col
+        reg = np.zeros(m, np.uint8)
+        if len(it):
+            h = hash64(it.tolist())
+            idx = (h >> np.uint64(64 - p)).astype(np.int64)
+            rest = (h << np.uint64(p)) | np.uint64(1 << (p - 1))  # sentinel bit
+            # rank = leading zeros of the remaining 64-p bits + 1
+            lz = np.zeros(len(h), np.uint8)
+            cur = rest.copy()
+            bit = np.uint64(1) << np.uint64(63)
+            # vectorized leading-zero count via float log2 (exact: the
+            # leading-one position of a uint64 is recoverable from its
+            # float64 exponent for values >= 2^12, and `rest` always has
+            # the sentinel bit ensuring a bounded rank)
+            nz = cur > 0
+            f = np.zeros(len(h))
+            f[nz] = np.floor(np.log2(cur[nz].astype(np.float64)))
+            lz = (63 - f).astype(np.uint8) + 1
+            np.maximum.at(reg, idx, lz)
+        return pa.table({"reg": pa.array([reg.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(registers, batch_format="pyarrow").take_all()
+    reg = np.zeros(m, np.uint8)
+    for row in parts:
+        reg = np.maximum(reg, np.frombuffer(row["reg"], dtype=np.uint8))
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.float64(2.0) ** (-reg.astype(np.float64)))
+    zeros = int((reg == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting small-range correction
+    return float(est)

@@ -113,3 +113,35 @@ def test_int_quantiles_layout_invariant(ray_session):
     a = int_quantiles(rd.from_pandas(df).repartition(2), col="x", qs=[0.5, 0.9])
     b = int_quantiles(rd.from_pandas(df).repartition(13), col="x", qs=[0.5, 0.9])
     assert a.equals(b)
+
+
+def test_exact_distinct_count(ray_session):
+    df = _zipf_docs(13, 100, 400)
+    exact = len(set(w for t in df["text"] for w in t.split()))
+    from abwcf_ray.stages.sketch import exact_distinct_count
+
+    got = exact_distinct_count(rd.from_pandas(df).repartition(5))
+    assert got == exact
+
+
+def test_hll_within_error_bound(ray_session):
+    from abwcf_ray.stages.sketch import hll_distinct_count
+
+    # per-row mode with a known distinct count
+    n_distinct = 20_000
+    items = [f"item-{i % n_distinct}" for i in range(60_000)]
+    df = pd.DataFrame({"text": items})
+    est = hll_distinct_count(
+        rd.from_pandas(df).repartition(6), tokenize=False, p=14
+    )
+    rel = abs(est - n_distinct) / n_distinct
+    assert rel < 0.05, (est, rel)  # ~6 sigma at p=14
+
+
+def test_hll_merge_is_layout_invariant(ray_session):
+    from abwcf_ray.stages.sketch import hll_distinct_count
+
+    df = _zipf_docs(17, 200, 800)
+    a = hll_distinct_count(rd.from_pandas(df).repartition(2), p=12)
+    b = hll_distinct_count(rd.from_pandas(df).repartition(9), p=12)
+    assert a == b  # register max-merge is order/layout independent
