@@ -153,6 +153,23 @@ def session_windows(
     )
 
 
+def _key_window_pkey(b, key: str, window_col: str) -> np.ndarray:
+    """Mixed hash of (key, window) for the keyed merge — integer keys mix
+    numerically, string keys through hash64 (the old native groupby
+    accepted both; so does this)."""
+    kc = b.column(key)
+    import pyarrow as pa
+
+    if pa.types.is_integer(kc.type):
+        k = kc.to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        from abwcf_ray.functions.hashing import hash64
+
+        k = hash64(kc)
+    w = b.column(window_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+    return (k * np.uint64(0x9E3779B97F4A7C15) ^ w).astype(np.int64)
+
+
 def sliding_windows(ds, *, key: str, ts_col: str, value_col: str,
                     width_us: int, slide_us: int):
     """-> (key, window_start, n_events, sum_value) for every sliding window
@@ -206,9 +223,7 @@ def sliding_windows(ds, *, key: str, ts_col: str, value_col: str,
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def _wkey(b: pa.Table) -> np.ndarray:
-        k = b.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
-        w = b.column("window_start").to_numpy(zero_copy_only=False).astype(np.uint64)
-        return (k * np.uint64(0x9E3779B97F4A7C15) ^ w).astype(np.int64)
+        return _key_window_pkey(b, key, "window_start")
 
     return keyed_hash_agg(
         ds.map_batches(assign, batch_format="pyarrow").map_batches(
@@ -251,9 +266,7 @@ def tumbling_windows(ds, *, key: str, ts_col: str, value_col: str, width_us: int
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def _wkey(b: pa.Table) -> np.ndarray:
-        k = b.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
-        w = b.column("window_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        return (k * np.uint64(0x9E3779B97F4A7C15) ^ w).astype(np.int64)
+        return _key_window_pkey(b, key, "window_id")
 
     return keyed_hash_agg(
         ds.map_batches(partial, batch_format="pyarrow"),

@@ -113,3 +113,25 @@ def test_session_windows_cross_bucket_stitching(ray_session):
     assert got.loc[0, "n_events"] == len(ts1)
     assert got.loc[1, "n_events"] == 3
     assert got.loc[0, "session_start"] == 0
+
+
+def test_windows_accept_string_keys(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from abwcf_ray.stages.windows import sliding_windows, tumbling_windows
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "b", "a"],
+            "ts": np.array([10, 20, 15, 4000, 4500], np.int64),
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(2)
+    tm = tumbling_windows(ds, key="k", ts_col="ts", value_col="v", width_us=1000)
+    out = tm.to_pandas().sort_values(["k", "window_id"]).reset_index(drop=True)
+    assert out[out["k"] == "a"]["n_events"].tolist() == [2, 1]
+    sl = sliding_windows(ds, key="k", ts_col="ts", value_col="v",
+                         width_us=2000, slide_us=1000)
+    assert sl.count() > 0
