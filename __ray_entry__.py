@@ -1135,6 +1135,24 @@ def _q_token_quantiles(sf_dir: str):
     )
 
 
+def _q_compression_signal(sf_dir: str):
+    """zlib compression-ratio quality signal per document (the redundancy
+    proxy next to the Gopher repetition fractions). zlib isn't available
+    to SQL -> rows-only; pytest pins an exact per-doc differential."""
+    from abwcf_ray.stages.text import add_compression_ratio
+
+    _quiet()
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_compression_ratio, batch_format="pyarrow"
+    )
+    return (
+        out.select_columns(["doc_id", "n_bytes", "compression_ratio"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_distinct_words(sf_dir: str):
     """Exact corpus distinct-word count (per-batch unique + keyed-merge
     distinct; exchange O(distinct)); the HLL sketch (hll_distinct) is the
@@ -1397,6 +1415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_bucketed": _q_asof_join_bucketed,
         "heavy_hitters": _q_heavy_hitters,
         "distinct_words": _q_distinct_words,
+        "compression_signal": _q_compression_signal,
         "hll_distinct": _q_hll_distinct,
         "token_quantiles": _q_token_quantiles,
         "top_keywords": _q_top_keywords,

@@ -325,3 +325,24 @@ def add_fingerprint(batch: pa.Table, window: int = 4) -> pa.Table:
         has = counts > 0
         fps[has] = C[starts[has]]
     return batch.append_column("fingerprint", pa.array(fps, pa.uint64()))
+
+
+def add_compression_ratio(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """zlib compression ratio per document (compressed bytes / utf-8
+    bytes; 0 for empty docs) — the classic redundancy proxy used next to
+    the Gopher repetition fractions: highly repetitive or templated text
+    compresses far below prose, gibberish/base64 compresses above it.
+    zlib is stdlib C (level 6, fixed, so the signal is deterministic);
+    not SQL-expressible -> pytest differential, rows-only at the gate."""
+    import zlib
+
+    texts = batch.column(text_col).to_pandas().astype("string").fillna("")
+    raw = [t.encode("utf-8") for t in texts]
+    ratio = np.array(
+        [len(zlib.compress(b, 6)) / len(b) if b else 0.0 for b in raw],
+        np.float64,
+    )
+    n_bytes = np.array([len(b) for b in raw], np.int64)
+    return batch.append_column(
+        "n_bytes", pa.array(n_bytes, pa.int64())
+    ).append_column("compression_ratio", pa.array(ratio, pa.float64()))

@@ -450,3 +450,39 @@ def test_gopher_pass_bounds(ray_session):
         .sort_values("doc_id")
     )
     assert out["gopher_pass"].tolist() == [1, 0]
+
+
+def test_compression_ratio_differential(ray_session):
+    import zlib
+
+    import ray.data as rd
+
+    from abwcf_ray.stages.text import add_compression_ratio
+
+    rng = np.random.default_rng(8)
+    texts = [
+        "spam spam spam " * 50,     # highly repetitive -> low ratio
+        " ".join(
+            "the quick brown fox jumps over one of fifty lazy dogs".split()[
+                int(j) % 11
+            ]
+            for j in rng.integers(0, 11, 200)
+        ),                          # ordinary prose-like redundancy
+        rng.bytes(400).hex(),       # high-entropy, no repetition
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": range(4), "text": texts})
+    out = (
+        rd.from_pandas(df)
+        .map_batches(add_compression_ratio, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        exp = len(zlib.compress(b, 6)) / len(b) if b else 0.0
+        assert out.loc[i, "compression_ratio"] == exp
+        assert out.loc[i, "n_bytes"] == len(b)
+    assert out.loc[0, "compression_ratio"] < out.loc[1, "compression_ratio"]
+    assert out.loc[1, "compression_ratio"] < out.loc[2, "compression_ratio"]
