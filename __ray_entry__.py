@@ -901,6 +901,28 @@ def _q_crawl(sf_dir: str):
     return df.sort_values("url").reset_index(drop=True)
 
 
+def _q_crawl_cuckoo(sf_dir: str):
+    """The same wave crawl on the memory-bounded cuckoo-filter URL-seen
+    backend (state/cuckoo.py — the north star's "sharded cuckoo-filter
+    URL-seen set", ~2.4 B/url vs 12 B/url exact). Deterministic; at this
+    scale the filter has zero false positives, so the result equals
+    ``crawl_wave`` exactly (also asserted e2e in
+    tests/test_crawl_e2e.py::test_cuckoo_backend_matches_oracle)."""
+    from abwcf_ray.config import CrawlConfig
+    from abwcf_ray.pipelines.crawl import frontier_dataset, run_crawl
+
+    _quiet()
+    corpus = _crawl_corpus_for(sf_dir)
+    out_dir = Path(f"/tmp/abwcf_entry_crawl_cuckoo_{corpus.n_pages}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = CrawlConfig(max_waves=3, wave_duration_s=10.0, seen_shards=4,
+                      corpus_buckets=corpus.num_buckets, max_crawl_depth=8,
+                      seen_backend="cuckoo", seen_cuckoo_capacity=1_000_000)
+    summary = run_crawl(cfg, corpus, out_dir, log=lambda *_: None)
+    df = frontier_dataset(summary.last_wave_dir).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
 def _graph_edges(sf_dir: str):
     """Deterministic synthetic link graph over documents (node = doc_id,
     dense 0..n-1): out-degree 1 + doc_id % 3, j-th link target
@@ -1428,6 +1450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "pagerank_distributed": _q_pagerank_distributed,
         "crawl_wave": _q_crawl,
+        "crawl_wave_cuckoo": _q_crawl_cuckoo,
     }
 
 

@@ -78,6 +78,16 @@ class CrawlConfig:
 
     # Partitioning / parallelism (derive from cluster size where possible)
     seen_shards: int = 8
+    # URL-seen membership backend: "exact" (sorted uint64 hash + wave per
+    # url, 12 B/url, zero error) or "cuckoo" (the north star's sharded
+    # cuckoo-filter seen set, state/cuckoo.py: ~2.4 B/url — ~24 GB vs
+    # ~120 GB cluster-wide at 10^10 urls — with a ≈1.2e-4 false-positive
+    # rate = bounded under-crawl, never a re-crawl). Same wave-versioned
+    # retry contract either way.
+    seen_backend: str = "exact"
+    # per-SHARD cuckoo capacity: size to expected_seen_urls / seen_shards
+    # (e.g. 10^10 urls / 256 shards -> 40M; the table is ~2.8 B x capacity)
+    seen_cuckoo_capacity: int = 4_000_000
     # side-channel accumulator pools (reject set / new-host counts): shard
     # count for state.seen.RejectSink / HostCountSink — sized so a
     # reject-heavy wave (a large frontier slice flipping Disallowed) never

@@ -520,8 +520,20 @@ def run_crawl(
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     prioritize = make_prioritize_stage(cfg)
-    seen = SeenSet(cfg.seen_shards)
-    content_seen = SeenSet(cfg.seen_shards) if cfg.dedup_content else None
+    seen = SeenSet(
+        cfg.seen_shards,
+        backend=cfg.seen_backend,
+        cuckoo_capacity=cfg.seen_cuckoo_capacity,
+    )
+    content_seen = (
+        SeenSet(
+            cfg.seen_shards,
+            backend=cfg.seen_backend,
+            cuckoo_capacity=cfg.seen_cuckoo_capacity,
+        )
+        if cfg.dedup_content
+        else None
+    )
     hosts_state = HostsState(cfg)
     summary = CrawlSummary(out_dir=str(out))
     total_fetched = 0

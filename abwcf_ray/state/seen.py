@@ -33,11 +33,12 @@ import pyarrow.parquet as pq
 import ray
 
 from abwcf_ray.functions.hashing import hash64
+from abwcf_ray.state.cuckoo import CuckooFilter
 
 
-@ray.remote(num_cpus=0)
-class SeenShard:
-    """One shard of the seen set. ``num_cpus=0``: membership ops are tiny and
+class _ExactSeenShard:
+    """One shard of the seen set (plain class; the Ray actor is
+    :data:`SeenShard`). ``num_cpus=0``: membership ops are tiny and
     must not starve the fetch/parse pools of scheduling slots.
 
     Beyond membership, shards arbitrate within-wave duplicate discoveries —
@@ -215,6 +216,162 @@ class SeenShard:
         return len(self._h)
 
 
+class _CuckooSeenShard(_ExactSeenShard):
+    """Memory-bounded shard: the north star's "sharded cuckoo-filter URL-seen
+    set" (BASELINE.json north_star / north_rule "bloom/cuckoo URL-seen").
+
+    Same RPC surface and same wave-versioned retry contract as the exact
+    shard, with the ever-growing sorted store replaced by a
+    :class:`~abwcf_ray.state.cuckoo.CuckooFilter` (~2.4 B/url vs 12 B/url:
+    ~24 GB vs ~120 GB cluster-wide at the 10^10-url frontier scale; the cost
+    is a ≈1.2e-4 false-positive rate = bounded under-crawl, never a
+    re-crawl). How the wave contract survives losing per-key waves:
+
+      - adds for the CURRENT wave stay exact in ``_pend`` (hash -> wave) and
+        fold into the filter only when a LATER wave first probes/claims — so
+        ``contains(before_wave=n)`` during wave n never sees wave-n adds, the
+        same guarantee the exact shard gets from per-key wave stamps.
+      - once folded, keys lose their wave — safe because the crawl's wave
+        barrier (every wave's outputs are durably checkpointed before the
+        next wave starts; lineage never recomputes across waves,
+        pipelines/crawl.py checkpoint tee) means no probe with
+        ``before_wave <= folded_through`` can ever legally arrive. Such a
+        probe raises loudly instead of answering wrong.
+      - the per-wave propose/claim arbitration state is inherited unchanged —
+        it is wave-scoped and exact in both backends.
+    """
+
+    def __init__(self, capacity: int = 4_000_000) -> None:
+        super().__init__()
+        self._filter = CuckooFilter(capacity)
+        self._folded_through = -2  # highest wave folded into the filter
+        self._pend_snap: tuple[np.ndarray, np.ndarray] | None = None
+
+    # -- storage overrides --------------------------------------------------
+    def _compact(self) -> None:
+        # folding is wave-boundary-scoped (see _fold); the base class's
+        # compact-at-probe calls become no-ops
+        return
+
+    def _fold(self, before_wave: int) -> None:
+        """Fold pend entries from waves < before_wave into the filter."""
+        if self._pend:
+            fold = [hh for hh, w in self._pend.items() if w < before_wave]
+            if fold:
+                self._filter.add(np.array(fold, dtype=np.uint64))
+                for hh in fold:
+                    del self._pend[hh]
+                self._pend_snap = None
+                self._pend_stale = False
+        if before_wave - 1 > self._folded_through:
+            self._folded_through = before_wave - 1
+
+    def _pend_arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._pend_snap is None:
+            ph = np.fromiter(self._pend.keys(), np.uint64, count=len(self._pend))
+            pw = np.fromiter(self._pend.values(), np.int64, count=len(self._pend))
+            order = np.argsort(ph)
+            self._pend_snap = (ph[order], pw[order])
+        return self._pend_snap
+
+    def _lookup(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        h = np.asarray(hashes, dtype=np.uint64)
+        found = self._filter.contains(h)
+        waves = np.full(len(h), self._folded_through, dtype=np.int64)
+        if self._pend:
+            ph, pw = self._pend_arrays()
+            pos = np.searchsorted(ph, h)
+            posc = np.minimum(pos, len(ph) - 1)
+            in_p = (pos < len(ph)) & (ph[posc] == h)
+            waves[in_p] = pw[posc[in_p]]
+            found = found | in_p
+        return found, waves.astype(np.int32)
+
+    def contains(self, hashes: np.ndarray, before_wave: int) -> np.ndarray:
+        if before_wave <= self._folded_through:
+            raise RuntimeError(
+                f"cuckoo seen-shard probed with before_wave={before_wave} but "
+                f"waves <= {self._folded_through} are already folded (per-key "
+                "waves are gone) — a cross-wave lineage recompute reached a "
+                "cuckoo backend; use seen_backend='exact' for that topology"
+            )
+        self._fold(before_wave)
+        found, waves = self._lookup(hashes)
+        return found & (waves < before_wave)
+
+    def add(self, hashes: np.ndarray, wave: int) -> int:
+        self._pend_snap = None
+        if wave <= self._folded_through:
+            # this wave is already folded — membership-only insert is exact
+            # for every legal future probe (before_wave > folded_through)
+            h = np.unique(np.asarray(hashes, dtype=np.uint64))
+            if len(h) == 0:
+                return 0
+            found, _ = self._lookup(h)
+            return int(self._filter.add(h[~found]))
+        return super().add(hashes, wave)
+
+    def _begin_wave(self, wave: int) -> None:
+        if self._cur_wave != wave:
+            if wave <= self._folded_through:
+                raise RuntimeError(
+                    f"cuckoo seen-shard asked to begin wave {wave} but waves "
+                    f"<= {self._folded_through} are already folded"
+                )
+            self._fold(wave)
+        super()._begin_wave(wave)
+
+    def claim(
+        self, wave: int, hashes: np.ndarray, depths: np.ndarray, token: int
+    ) -> np.ndarray:
+        self._pend_snap = None
+        return super().claim(wave, hashes, depths, token)
+
+    def propose(self, wave: int, hashes: np.ndarray, depths: np.ndarray) -> None:
+        super().propose(wave, hashes, depths)
+
+    def size(self) -> int:
+        return self._filter.count + len(self._pend)
+
+    def checkpoint(self, path: str) -> int:
+        # checkpoints happen at wave completion (pipelines/crawl.py:1031) —
+        # fold everything; a resumed run restarts at the NEXT wave, so every
+        # post-restore probe has before_wave > folded_through
+        if self._pend:
+            self._fold(max(self._pend.values()) + 1)
+        flat, meta = self._filter.state()
+        t = pa.table({"slot": pa.array(flat, pa.uint16())})
+        t = t.replace_schema_metadata(
+            {
+                "abwcf_backend": "cuckoo",
+                "abwcf_filter": meta,
+                "abwcf_folded_through": str(self._folded_through),
+            }
+        )
+        pq.write_table(t, path)
+        return self._filter.count
+
+    def restore(self, path: str) -> int:
+        t = pq.read_table(path)
+        md = t.schema.metadata or {}
+        if md.get(b"abwcf_backend") != b"cuckoo":
+            raise RuntimeError(
+                "seen-set checkpoint is not a cuckoo checkpoint — it was "
+                "written by the exact backend; restore with "
+                "seen_backend='exact' or re-crawl"
+            )
+        flat = t.column("slot").to_numpy(zero_copy_only=False)
+        self._filter = CuckooFilter.from_state(flat, md[b"abwcf_filter"].decode())
+        self._folded_through = int(md[b"abwcf_folded_through"])
+        self._pend = {}
+        self._pend_snap = None
+        return self._filter.count
+
+
+SeenShard = ray.remote(num_cpus=0)(_ExactSeenShard)
+CuckooSeenShard = ray.remote(num_cpus=0)(_CuckooSeenShard)
+
+
 @ray.remote(num_cpus=0)
 class RejectAccumulator:
     """ONE SHARD of the side-channel collector for per-wave reject sets
@@ -356,9 +513,22 @@ class SeenSet:
     """Driver-side handle over the shard pool. The handle (actor refs +
     shard count) is cheap to serialize into ``map_batches`` closures."""
 
-    def __init__(self, num_shards: int):
+    def __init__(
+        self,
+        num_shards: int,
+        backend: str = "exact",
+        cuckoo_capacity: int = 4_000_000,
+    ):
         self.num_shards = num_shards
-        self.shards = [SeenShard.remote() for _ in range(num_shards)]
+        self.backend = backend
+        if backend == "exact":
+            self.shards = [SeenShard.remote() for _ in range(num_shards)]
+        elif backend == "cuckoo":
+            self.shards = [
+                CuckooSeenShard.remote(cuckoo_capacity) for _ in range(num_shards)
+            ]
+        else:
+            raise ValueError(f"unknown seen backend {backend!r}")
 
     def cache_token(self) -> str:
         """Unique per shard-POOL instance (the first shard's actor id).
@@ -450,7 +620,9 @@ class SeenSet:
         # the checkpoint stores HASHES; membership after restore compares
         # them against freshly computed ones, so the hash implementation
         # must be identical across the checkpoint boundary
-        (d / "hash_impl.json").write_text(json.dumps({"impl": self._hash_impl()}))
+        (d / "hash_impl.json").write_text(
+            json.dumps({"impl": self._hash_impl(), "backend": self.backend})
+        )
         ray.get(
             [
                 shard.checkpoint.remote(str(d / f"shard_{s:04d}.parquet"))
@@ -462,7 +634,16 @@ class SeenSet:
         d = Path(ckpt_dir)
         impl_file = d / "hash_impl.json"
         if impl_file.exists():
-            stored = json.loads(impl_file.read_text())["impl"]
+            info = json.loads(impl_file.read_text())
+            stored = info["impl"]
+            stored_backend = info.get("backend", "exact")
+            if stored_backend != self.backend:
+                raise RuntimeError(
+                    f"seen-set checkpoint was written by the "
+                    f"{stored_backend!r} backend but this pool uses "
+                    f"{self.backend!r} — restore with the matching "
+                    "seen_backend"
+                )
             if stored != self._hash_impl():
                 raise RuntimeError(
                     f"seen-set checkpoint was written with hash impl "

@@ -473,3 +473,61 @@ def test_bandwidth_budget_caps_fetchers(ray_session, corpus, oracle, tmp_path_fa
         assert got == expected, f"wave {wave} fetch order diverges (bandwidth cap)"
     got_f = _final_frontier(out, summary)
     assert len(got_f) == len(oracle.frontier)
+
+
+def test_cuckoo_backend_matches_oracle(ray_session, corpus, oracle, tmp_path_factory):
+    """seen_backend='cuckoo' (the north star's sharded cuckoo-filter URL-seen
+    set, state/cuckoo.py): same fetch order, frontier, and seen size as the
+    exact backend / single-process oracle. At fixture scale a well-sized
+    filter produces zero false positives, and the run is fully deterministic
+    (no RNG anywhere in the filter), so this equivalence is exact."""
+    import dataclasses
+
+    from abwcf_ray.pipelines.crawl import run_crawl
+
+    cfg = dataclasses.replace(CFG, seen_backend="cuckoo", seen_cuckoo_capacity=100_000)
+    out = tmp_path_factory.mktemp("crawl_cuckoo")
+    summary = run_crawl(cfg, corpus, out, log=lambda *_: None)
+    for wave, expected in enumerate(oracle.order):
+        sel = pads.dataset(str(out / f"wave_{wave:04d}" / "selected")).to_table().to_pandas()
+        sel = sel.sort_values("global_rank")
+        got = list(zip(sel["host"], sel["rank_in_host"], sel["url"]))
+        assert got == expected, f"wave {wave} fetch order diverges (cuckoo seen)"
+    got_f = _final_frontier(out, summary)
+    assert len(got_f) == len(oracle.frontier)
+    assert summary.seen_size == len(oracle.seen)
+    assert set(got_f["url"]) == oracle.seen
+
+
+def test_cuckoo_backend_resume_equivalence(ray_session, corpus, oracle, tmp_path_factory):
+    """Resume across the cuckoo fold boundary: the checkpoint folds the
+    current wave into the filter, and the resumed run (which restarts at the
+    NEXT wave) must still match the oracle exactly."""
+    import dataclasses
+
+    from abwcf_ray.pipelines.crawl import run_crawl
+
+    out = tmp_path_factory.mktemp("resume_cuckoo")
+    cfg_short = dataclasses.replace(
+        CFG, max_waves=2, seen_backend="cuckoo", seen_cuckoo_capacity=100_000
+    )
+    run_crawl(cfg_short, corpus, out, log=lambda *_: None)
+    cfg_full = dataclasses.replace(
+        CFG, seen_backend="cuckoo", seen_cuckoo_capacity=100_000
+    )
+    summary = run_crawl(cfg_full, corpus, out, resume=True, log=lambda *_: None)
+    got = _final_frontier(out, summary)
+    exp = (
+        pd.DataFrame(
+            [(u, s, d, p) for u, (s, d, p) in oracle.frontier.items()],
+            columns=["url", "status", "depth", "priority"],
+        )
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["url", "status", "depth", "priority"]].astype({"depth": "int64"}),
+        exp.astype({"depth": "int64"}),
+    )
+    assert summary.seen_size == len(oracle.seen)
