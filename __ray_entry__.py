@@ -34,6 +34,7 @@ if _REPO not in sys.path:
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 _HOSTS = 97
@@ -524,6 +525,51 @@ def _q_host_cap(sf_dir: str):
         ds, 3, strata_col="host", driver_merge_max_rows=0
     ).to_pandas()
     return out[["doc_id", "host"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_top_per_host(sf_dir: str):
+    """Exact top-5 longest documents per host (the per-domain best-quality
+    pick): two-level top-k — per-block prune to <=k per group, then one
+    hash(host)-keyed exchange merges each group wholly in one shard
+    (stages/sample.topk_per_group). Mirrors ROW_NUMBER() OVER (PARTITION BY
+    host ORDER BY len DESC, doc_id) <= 5 exactly, ties included."""
+    from abwcf_ray.stages.sample import topk_per_group
+
+    _quiet()
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tl = pc.utf8_length(b.column("text")).cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "host": pa.array([f"h{i % _HOSTS}.example" for i in d], pa.string()),
+                "text_len": tl,
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(prep, batch_format="pyarrow")
+    out = topk_per_group(
+        ds, 5, group_col="host", score_col="text_len", id_col="doc_id"
+    ).to_pandas()
+    return out[["doc_id", "host", "text_len"]].sort_values("doc_id").reset_index(
+        drop=True
+    )
+
+
+def _q_term_postings(sf_dir: str):
+    """Inverted-index build (stages/index.term_postings): word ->
+    document frequency + ascending comma-joined posting list, for words in
+    >= max(2, n_docs/50) distinct docs. Exchange carries distinct
+    (word, doc_id) pairs only; per-term merge via the keyed-partition
+    idiom (never a full-term-domain sort shuffle)."""
+    from abwcf_ray.stages.index import term_postings
+
+    _quiet()
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    thr = max(2, docs.count() // 50)
+    out = term_postings(docs, min_df=thr).to_pandas()
+    return out.sort_values("word").reset_index(drop=True)
 
 
 def _q_sample_rate(sf_dir: str):
@@ -1418,6 +1464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "sample_rate": _q_sample_rate,
         "host_cap": _q_host_cap,
+        "top_per_host": _q_top_per_host,
+        "term_postings": _q_term_postings,
         "repetition_signals": _q_repetition_signals,
         "pii_scrub": _q_pii_scrub,
         "decontaminate": _q_decontaminate,
@@ -1767,6 +1815,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, host FROM keyed WHERE r <= 3
+        """,
+        "top_per_host": """
+            WITH d AS (
+                SELECT doc_id, 'h' || (doc_id % 97) || '.example' AS host,
+                       CAST(length(text) AS BIGINT) AS text_len
+                FROM documents
+            ),
+            r AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY host ORDER BY text_len DESC, doc_id
+                ) AS rn FROM d
+            )
+            SELECT doc_id, host, text_len FROM r WHERE rn <= 5
+        """,
+        "term_postings": r"""
+            WITH raw AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+                FROM documents
+            ),
+            toks AS (SELECT DISTINCT doc_id, w FROM raw),
+            n AS (SELECT GREATEST(2, COUNT(*) // 50) AS thr FROM documents)
+            SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+            FROM toks GROUP BY w
+            HAVING COUNT(*) >= (SELECT thr FROM n)
         """,
         "repetition_signals": r"""
             WITH w AS (

@@ -153,6 +153,83 @@ def stratified_sample(
     )
 
 
+def _topg(
+    t: pa.Table,
+    k: int,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    descending: bool,
+) -> pa.Table:
+    """Exact per-group top-``k`` of one table by (score, id asc) —
+    vectorized (one polars sort + int_range over group), no per-group
+    Python. Ties break on ascending id, so the result is deterministic
+    and exactly mirrors ``row_number() OVER (PARTITION BY g ORDER BY
+    score [DESC], id)``."""
+    if t.num_rows == 0:
+        return t
+    import polars as pl
+
+    out = (
+        pl.from_arrow(t)
+        .sort([group_col, score_col, id_col], descending=[False, descending, False])
+        .with_columns(pl.int_range(pl.len()).over(group_col).alias("_r"))
+        .filter(pl.col("_r") < int(k))
+        .drop(["_r"])
+        .to_arrow()
+    )
+    return out.cast(t.schema)
+
+
+def topk_per_group(
+    ds,
+    k: int,
+    *,
+    group_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+    merge_partitions: int = 16,
+):
+    """Exact top-``k`` rows per group ranked by (score, id) — e.g. the
+    best-quality documents per host, the per-domain representative pick.
+
+    Same two-level shape as :func:`stratified_sample` (and the frontier
+    scheduler's D1 top-k): every block prunes itself to <= k rows per
+    group (a superset of its contribution to the global answer — pruning
+    by the SAME total order the merge uses is exact), then one
+    ``hash(group) % merge_partitions`` keyed exchange lands each group
+    wholly in one shard for the final vectorized top-k. The full table
+    never crosses the exchange and a hot group never materializes beyond
+    k rows per block; no driver materialization on any path."""
+    from abwcf_ray.functions.hashing import hash64
+
+    partials = ds.map_batches(
+        lambda b: _topg(b, k, group_col, score_col, id_col, descending),
+        batch_format="pyarrow",
+    )
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        col = t.column(group_col)
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            key = hash64(col)
+        else:
+            key = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        pkey = (key % np.uint64(merge_partitions)).astype(np.int64)
+        return t.append_column("_pkey", pa.array(pkey, pa.int64()))
+
+    def merge(g: pa.Table) -> pa.Table:
+        return _topg(
+            g.drop_columns(["_pkey"]), k, group_col, score_col, id_col, descending
+        )
+
+    return (
+        partials.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("_pkey")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def replicate_by_weight(
     ds, weights: dict, strata_col: str = "lang", id_col: str = "doc_id"
 ):
