@@ -527,6 +527,47 @@ def _q_host_cap(sf_dir: str):
     return out[["doc_id", "host"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _orders_customer_join(sf_dir: str, broadcast_max_rows: int):
+    import ray.data as rd
+
+    from abwcf_ray.stages.join import equi_join
+
+    _quiet()
+    orders = rd.read_parquet(
+        str(Path(sf_dir) / "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    )
+    cust = rd.read_parquet(
+        str(Path(sf_dir) / "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_mktsegment"],
+    ).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nationkey", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+    out = equi_join(
+        orders, cust, on="o_custkey", broadcast_max_rows=broadcast_max_rows
+    ).to_pandas()
+    return (
+        out[["o_orderkey", "o_custkey", "c_nationkey", "c_mktsegment"]]
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
+def _q_orders_join(sf_dir: str):
+    """Generic hash equi-join, BROADCAST regime (stages/join.equi_join):
+    the dimension side (customer) ships to the object store once and every
+    orders batch probes it map-side — zero shuffle."""
+    return _orders_customer_join(sf_dir, broadcast_max_rows=2_000_000)
+
+
+def _q_orders_join_bucketed(sf_dir: str):
+    """Same join, BUCKETED big-big regime forced (broadcast_max_rows=0):
+    both sides tagged + hash(key)-partitioned in ONE union + ONE keyed
+    exchange, per-bucket vectorized pandas merge. Identical oracle."""
+    return _orders_customer_join(sf_dir, broadcast_max_rows=0)
+
+
 def _q_top_per_host(sf_dir: str):
     """Exact top-5 longest documents per host (the per-domain best-quality
     pick): two-level top-k — per-block prune to <=k per group, then one
@@ -1466,6 +1507,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_cap": _q_host_cap,
         "top_per_host": _q_top_per_host,
         "term_postings": _q_term_postings,
+        "orders_join": _q_orders_join,
+        "orders_join_bucketed": _q_orders_join_bucketed,
         "repetition_signals": _q_repetition_signals,
         "pii_scrub": _q_pii_scrub,
         "decontaminate": _q_decontaminate,
@@ -1815,6 +1858,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, host FROM keyed WHERE r <= 3
+        """,
+        "orders_join": """
+            SELECT o.o_orderkey, o.o_custkey, c.c_nationkey, c.c_mktsegment
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "orders_join_bucketed": """
+            SELECT o.o_orderkey, o.o_custkey, c.c_nationkey, c.c_mktsegment
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         """,
         "top_per_host": """
             WITH d AS (
