@@ -568,6 +568,78 @@ def _q_orders_join_bucketed(sf_dir: str):
     return _orders_customer_join(sf_dir, broadcast_max_rows=0)
 
 
+def _orders_membership(sf_dir: str, anti: bool, broadcast_max_rows: int):
+    import pandas as pd
+    import ray.data as rd
+
+    from abwcf_ray.stages.join import semi_join
+
+    _quiet()
+    orders = rd.read_parquet(
+        str(Path(sf_dir) / "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    )
+    # right side: customers in nations 0-4 only, so BOTH the semi and the
+    # anti direction are non-empty (every customer has an order in the
+    # synthetic tables — a plain "customers with no orders" oracle would be
+    # an empty set, i.e. no signal)
+    cust = (
+        rd.read_parquet(
+            str(Path(sf_dir) / "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
+        )
+        .filter(expr="c_nationkey < 5")
+        .select_columns(["c_custkey"])
+        .map_batches(
+            lambda t: t.rename_columns(["o_custkey"]), batch_format="pyarrow"
+        )
+    )
+    out = semi_join(
+        orders, cust, on="o_custkey", anti=anti,
+        broadcast_max_rows=broadcast_max_rows,
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_custkey": pd.Series([], dtype="int64"),
+        })
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["o_custkey"] = out["o_custkey"].astype("int64")
+    return (
+        out[["o_orderkey", "o_custkey"]]
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
+def _q_orders_semi(sf_dir: str):
+    """Semi join (stages/join.semi_join), BROADCAST regime: orders placed by
+    nation-0..4 customers; the right side's distinct key hashes ship once
+    (8 B/key), left filters map-side — zero shuffle."""
+    return _orders_membership(sf_dir, anti=False, broadcast_max_rows=8_000_000)
+
+
+def _q_orders_anti(sf_dir: str):
+    """Anti join (NOT EXISTS), BROADCAST regime: orders NOT placed by
+    nation-0..4 customers."""
+    return _orders_membership(sf_dir, anti=True, broadcast_max_rows=8_000_000)
+
+
+def _q_orders_semi_bloom(sf_dir: str):
+    """Semi join, BLOOM + BUCKETED EXACT regime forced: a distributed bloom
+    build prunes left rows map-side (definite-absent rows never enter the
+    exchange); the bloom-positive residue is exactly verified in one
+    hash(key)-partitioned exchange. Identical oracle to orders_semi."""
+    return _orders_membership(sf_dir, anti=False, broadcast_max_rows=0)
+
+
+def _q_orders_anti_bloom(sf_dir: str):
+    """Anti join, BLOOM + BUCKETED EXACT regime forced: bloom-absent left
+    rows are emitted straight to the output (exact: no false negatives);
+    only the residue shuffles. Identical oracle to orders_anti."""
+    return _orders_membership(sf_dir, anti=True, broadcast_max_rows=0)
+
+
 def _q_top_per_host(sf_dir: str):
     """Exact top-5 longest documents per host (the per-domain best-quality
     pick): two-level top-k — per-block prune to <=k per group, then one
@@ -1509,6 +1581,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_postings": _q_term_postings,
         "orders_join": _q_orders_join,
         "orders_join_bucketed": _q_orders_join_bucketed,
+        "orders_semi": _q_orders_semi,
+        "orders_anti": _q_orders_anti,
+        "orders_semi_bloom": _q_orders_semi_bloom,
+        "orders_anti_bloom": _q_orders_anti_bloom,
         "repetition_signals": _q_repetition_signals,
         "pii_scrub": _q_pii_scrub,
         "decontaminate": _q_decontaminate,
@@ -1866,6 +1942,26 @@ def oracle_sql() -> dict[str, str]:
         "orders_join_bucketed": """
             SELECT o.o_orderkey, o.o_custkey, c.c_nationkey, c.c_mktsegment
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "orders_semi": """
+            SELECT o_orderkey, o_custkey FROM orders o
+            WHERE EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey AND c.c_nationkey < 5)
+        """,
+        "orders_anti": """
+            SELECT o_orderkey, o_custkey FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey AND c.c_nationkey < 5)
+        """,
+        "orders_semi_bloom": """
+            SELECT o_orderkey, o_custkey FROM orders o
+            WHERE EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey AND c.c_nationkey < 5)
+        """,
+        "orders_anti_bloom": """
+            SELECT o_orderkey, o_custkey FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey AND c.c_nationkey < 5)
         """,
         "top_per_host": """
             WITH d AS (

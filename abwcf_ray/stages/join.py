@@ -43,6 +43,23 @@ def _pd_dtype(t) -> object:
     return _arrow_type(t).to_pandas_dtype()
 
 
+def _cast_exact(df: pd.DataFrame, names, arrow_types) -> pd.DataFrame:
+    """Cast back to source dtypes after a null-widening union/merge. Integer
+    columns that picked up nulls go to pandas NULLABLE ints (Int64/...), so
+    values stay exact and the nulls survive the arrow round-trip instead of
+    exploding on a float64 -> int64 astype."""
+    cols = {}
+    for c in names:
+        t = arrow_types[c]
+        s = df[c]
+        if pa.types.is_integer(t) and s.isna().any():
+            pre = "UInt" if pa.types.is_unsigned_integer(t) else "Int"
+            cols[c] = s.astype(f"{pre}{t.bit_width}")
+        else:
+            cols[c] = s.astype(_pd_dtype(t))
+    return pd.DataFrame(cols)
+
+
 def _key_u64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     from abwcf_ray.functions.hashing import hash64
 
@@ -135,16 +152,18 @@ def equi_join(
     # the union's null-filled slots widen int64 -> float64 in pandas groups;
     # once split by _side each part is null-free again — cast back to the
     # source dtypes so join keys and values stay exact
-    ldtypes = {c: _pd_dtype(ltype[c]) for c in lnames}
-    rdtypes = {on: _pd_dtype(ltype[on])}
-    rdtypes.update({c: _pd_dtype(rtype[ren_inv[c]]) for c in out_right})
+    latypes = {c: ltype[c] for c in lnames}
+    ratypes = {on: ltype[on]}
+    ratypes.update({c: rtype[ren_inv[c]] for c in out_right})
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         li = g[g["_side"] == 0]
         ri = g[g["_side"] == 1]
-        lpart = li[lnames].astype(ldtypes)
-        rpart = ri[[on] + out_right].astype(rdtypes)
+        lpart = _cast_exact(li, lnames, latypes)
+        rpart = _cast_exact(ri, [on] + out_right, ratypes)
         out = lpart.merge(rpart, on=on, how=how, sort=False, suffixes=("", suffix))
+        if how == "left":  # unmatched right ints: keep exact + nullable
+            out = _cast_exact(out, list(out.columns), {**latypes, **ratypes})
         return out
 
     return (
@@ -152,3 +171,190 @@ def equi_join(
         .groupby("_pkey")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti membership joins (the decontamination shape: keep/drop left
+# rows by key presence on the right, output = left columns only, never
+# duplicated). NULL keys follow SQL EXISTS semantics: a NULL key matches
+# nothing (dropped by semi, kept by anti).
+# ---------------------------------------------------------------------------
+
+_BLOOM_K = 4  # double-hashing probes per key
+
+
+def _bloom_params(n_keys: int, bits_per_key: int) -> int:
+    m = 1 << max(10, int(np.ceil(np.log2(max(1, n_keys) * bits_per_key))))
+    return m
+
+
+def _bloom_positions(h: np.ndarray, m: int) -> np.ndarray:
+    """(n, _BLOOM_K) bit positions via double hashing — h1 + i*h2 mod m
+    (m is a power of two; h2 forced odd so the stride cycles)."""
+    h1 = h
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    i = np.arange(_BLOOM_K, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)
+
+
+def _bloom_build(right, key: str, m: int) -> np.ndarray:
+    """Distributed bloom build: each block folds its keys into an m-bit
+    word-array partial; the driver ORs the fixed-size partials (m/8 bytes
+    each — independent of row count)."""
+    words = m // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(key)
+        if col.null_count:
+            col = col.drop_null()
+        bm = np.zeros(words, np.uint64)
+        if len(col):
+            pos = _bloom_positions(_key_u64(col), m).ravel()
+            np.bitwise_or.at(bm, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.large_binary())})
+
+    out = np.zeros(words, np.uint64)
+    for row in right.map_batches(partial, batch_format="pyarrow").take_all():
+        out |= np.frombuffer(row["bm"], np.uint64)
+    return out
+
+
+def _bloom_probe(bm: np.ndarray, m: int, col: pa.ChunkedArray) -> np.ndarray:
+    """Boolean maybe-present mask per value (nulls -> False)."""
+    n = len(col)
+    valid = np.ones(n, bool)
+    if col.null_count:
+        valid = ~col.is_null().to_numpy(zero_copy_only=False)
+    maybe = np.zeros(n, bool)
+    if valid.any():
+        pos = _bloom_positions(_key_u64(col.drop_null()), m)
+        hit = (
+            (bm[(pos >> np.uint64(6)).astype(np.int64)]
+             >> (pos & np.uint64(63))) & np.uint64(1)
+        ).astype(bool).all(axis=1)
+        maybe[valid] = hit
+    return maybe
+
+
+def semi_join(left, right, *, on: str, anti: bool = False,
+              broadcast_max_rows: int = 8_000_000,
+              partitions: int = DEFAULT_JOIN_PARTITIONS,
+              bloom_bits_per_key: int = 12):
+    """Semi (``anti=False``) or anti (``anti=True``) join on one key.
+
+    - **broadcast** (right row count <= ``broadcast_max_rows``): the right
+      side's DISTINCT key hashes ship once via ``ray.put`` (8 B/key) and
+      every left batch filters map-side with one sorted-array membership
+      test — zero shuffle. Hash collisions (64-bit, ~n^2/2^65) are accepted
+      and documented; use the bucketed path for exact-by-construction.
+    - **bloom + bucketed exact** (the big-big path): a distributed bloom
+      build (fixed-size partials OR-ed on the driver) prunes left rows
+      map-side first — definite-absent rows are emitted immediately (anti)
+      or dropped (semi) WITHOUT ever entering the exchange — then only the
+      bloom-positive residue and the right keys go through one
+      hash(key)-partitioned exchange for an exact per-bucket verify. Output
+      is exact; the bloom only reduces shuffle volume (false-positive rate
+      ~0.6% at 12 bits/key, k=4).
+    """
+    lnames = list(left.schema().names)
+    n_right = right.count()
+
+    if n_right <= broadcast_max_rows:
+        import ray
+
+        keys = np.unique(
+            np.concatenate(
+                [
+                    _key_u64(t.column(on).drop_null())
+                    for t in ray.get(right.select_columns([on]).to_arrow_refs())
+                    if t.num_rows
+                ]
+                or [np.empty(0, np.uint64)]
+            )
+        )
+        kref = ray.put(keys)
+
+        def probe(t: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            col = t.column(on)
+            mask = np.zeros(t.num_rows, bool)
+            valid = np.ones(t.num_rows, bool)
+            if col.null_count:
+                valid = ~col.is_null().to_numpy(zero_copy_only=False)
+            if valid.any() and len(ks):
+                h = _key_u64(col.drop_null())
+                idx = np.searchsorted(ks, h)
+                idx[idx == len(ks)] = 0
+                mask[valid] = ks[idx] == h
+            keep = ~mask if anti else mask
+            return t.filter(pa.array(keep))
+
+        return left.map_batches(probe, batch_format="pyarrow")
+
+    # -- bloom prune + bucketed exact verify -------------------------------
+    import ray
+
+    m = _bloom_params(n_right, bloom_bits_per_key)
+    bm = _bloom_build(right, on, m)
+    bref = ray.put(bm)
+
+    def split(t: pa.Table, want_maybe: bool) -> pa.Table:
+        maybe = _bloom_probe(ray.get(bref), m, t.column(on))
+        return t.filter(pa.array(maybe if want_maybe else ~maybe))
+
+    definite = left.map_batches(
+        lambda t: split(t, False), batch_format="pyarrow"
+    )  # bloom says absent -> exact: no match
+    residue = left.map_batches(lambda t: split(t, True), batch_format="pyarrow")
+
+    ltype = {c: _arrow_type(t)
+             for c, t in zip(left.schema().names, left.schema().types)}
+
+    def tag_l(t: pa.Table) -> pa.Table:
+        col = t.column(on)
+        pkey = np.zeros(t.num_rows, np.int64)  # null keys -> bucket 0
+        if col.null_count:
+            valid = ~col.is_null().to_numpy(zero_copy_only=False)
+            pkey[valid] = (
+                _key_u64(col.drop_null()) % np.uint64(partitions)
+            ).astype(np.int64)
+        else:
+            pkey = (_key_u64(col) % np.uint64(partitions)).astype(np.int64)
+        cols = {c: t.column(c) for c in lnames}
+        cols["_pkey"] = pa.array(pkey, pa.int64())
+        cols["_side"] = pa.array(np.zeros(t.num_rows, np.int8))
+        return pa.table(cols)
+
+    def tag_r(t: pa.Table) -> pa.Table:
+        col = t.column(on).drop_null()
+        pkey = (_key_u64(col) % np.uint64(partitions)).astype(np.int64)
+        cols = {
+            c: (col if c == on else pa.nulls(len(col), ltype[c]))
+            for c in lnames
+        }
+        cols["_pkey"] = pa.array(pkey, pa.int64())
+        cols["_side"] = pa.array(np.ones(len(col), np.int8))
+        return pa.table(cols)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["_side"] == 0]
+        rkeys = g.loc[g["_side"] == 1, on].unique()
+        mask = li[on].isin(rkeys) & li[on].notna()
+        keep = li[~mask if anti else mask]
+        return _cast_exact(keep, lnames, ltype)
+
+    checked = (
+        residue.map_batches(tag_l, batch_format="pyarrow")
+        .union(
+            right.select_columns([on]).map_batches(tag_r, batch_format="pyarrow")
+        )
+        .groupby("_pkey")
+        .map_groups(verify, batch_format="pandas")
+    )
+    return definite.union(checked) if anti else checked
+
+
+def anti_join(left, right, *, on: str, **kw):
+    """Left rows with NO key match on the right (SQL ``NOT EXISTS``)."""
+    return semi_join(left, right, on=on, anti=True, **kw)

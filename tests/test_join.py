@@ -86,3 +86,103 @@ def test_equi_join_empty_right(ray_session):
         rd.from_pandas(left), rd.from_pandas(right), on="k"
     ).to_pandas()
     assert len(got) == 0
+
+
+# -- semi / anti membership joins -------------------------------------------
+
+
+def _pandas_semi(left, right, on, anti):
+    present = left[on].isin(right[on].dropna().unique()) & left[on].notna()
+    return left[~present if anti else present]
+
+
+@pytest.mark.parametrize("broadcast_max_rows", [1_000_000, 0])
+@pytest.mark.parametrize("anti", [False, True])
+def test_semi_anti_join_matches_pandas(ray_session, broadcast_max_rows, anti):
+    import ray.data as rd
+
+    from abwcf_ray.stages.join import semi_join
+
+    left, right = _frames(11)
+    got = semi_join(
+        rd.from_pandas(left).repartition(5),
+        rd.from_pandas(right).repartition(3),
+        on="k",
+        anti=anti,
+        broadcast_max_rows=broadcast_max_rows,
+    ).to_pandas()
+    exp = _pandas_semi(left, right, "k", anti)
+    got["k"] = got["k"].astype(np.int64)
+    got["lv"] = got["lv"].astype(np.int64)
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp))
+
+
+@pytest.mark.parametrize("broadcast_max_rows", [1_000_000, 0])
+@pytest.mark.parametrize("anti", [False, True])
+def test_semi_anti_join_null_keys_exists_semantics(
+    ray_session, broadcast_max_rows, anti
+):
+    """NULL keys match nothing: dropped by semi, KEPT by anti (NOT EXISTS)."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.join import semi_join
+
+    left = pd.DataFrame(
+        {"k": pd.array([1, None, 2, None, 3], dtype="Int64"),
+         "lv": np.arange(5, dtype=np.int64)}
+    )
+    right = pd.DataFrame({"k": pd.array([2, 3, 9], dtype="Int64")})
+    got = semi_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        on="k",
+        anti=anti,
+        broadcast_max_rows=broadcast_max_rows,
+    ).to_pandas()
+    want_lv = {0, 1, 3} if anti else {2, 4}
+    assert set(got["lv"].astype(int)) == want_lv
+
+
+@pytest.mark.parametrize("anti", [False, True])
+def test_semi_anti_join_string_keys_bucketed(ray_session, anti):
+    import ray.data as rd
+
+    from abwcf_ray.stages.join import semi_join
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame(
+        {"k": [f"h{i}.example" for i in rng.integers(0, 30, 400)],
+         "lv": np.arange(400, dtype=np.int64)}
+    )
+    right = pd.DataFrame({"k": [f"h{i}.example" for i in range(0, 30, 3)]})
+    got = semi_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right),
+        on="k",
+        anti=anti,
+        broadcast_max_rows=0,  # force bloom + bucketed exact
+    ).to_pandas()
+    exp = _pandas_semi(left, right, "k", anti)
+    got["lv"] = got["lv"].astype(np.int64)
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp))
+
+
+def test_bloom_has_no_false_negatives(ray_session):
+    """Every present key must probe positive (the exactness precondition of
+    the definite-absent fast path)."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.join import _bloom_build, _bloom_params, _bloom_probe
+    import pyarrow as pa
+
+    keys = pd.DataFrame({"k": np.arange(0, 50_000, dtype=np.int64)})
+    m = _bloom_params(len(keys), 12)
+    bm = _bloom_build(rd.from_pandas(keys).repartition(6), "k", m)
+    col = pa.chunked_array([pa.array(np.arange(0, 50_000, dtype=np.int64))])
+    assert _bloom_probe(bm, m, col).all()
+    # and absent keys are mostly pruned (fp rate well under 5%)
+    absent = pa.chunked_array(
+        [pa.array(np.arange(1_000_000, 1_050_000, dtype=np.int64))]
+    )
+    fp = _bloom_probe(bm, m, absent).mean()
+    assert fp < 0.05, fp
