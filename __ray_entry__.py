@@ -640,6 +640,60 @@ def _q_orders_anti_bloom(sf_dir: str):
     return _orders_membership(sf_dir, anti=True, broadcast_max_rows=0)
 
 
+def _orders_customer_left_join(sf_dir: str, broadcast_max_rows: int):
+    import ray.data as rd
+
+    from abwcf_ray.stages.join import equi_join
+
+    _quiet()
+    orders = rd.read_parquet(
+        str(Path(sf_dir) / "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    )
+    # right side restricted to nations 0-4 so a real slice of the left is
+    # UNMATCHED — the left-join semantics (unmatched rows kept exactly once,
+    # right columns null) are what the oracle verifies; sentinels replace
+    # the nulls on both sides so the value compare is dtype-exact
+    cust = (
+        rd.read_parquet(
+            str(Path(sf_dir) / "customer.parquet"),
+            columns=["c_custkey", "c_nationkey", "c_mktsegment"],
+        )
+        .filter(expr="c_nationkey < 5")
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["o_custkey", "c_nationkey", "c_mktsegment"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    out = equi_join(
+        orders, cust, on="o_custkey", how="left",
+        broadcast_max_rows=broadcast_max_rows,
+    ).to_pandas()
+    out["c_nationkey"] = out["c_nationkey"].fillna(-1).astype("int64")
+    out["c_mktsegment"] = out["c_mktsegment"].fillna("").astype(str)
+    return (
+        out[["o_orderkey", "o_custkey", "c_nationkey", "c_mktsegment"]]
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
+def _q_orders_left_join(sf_dir: str):
+    """LEFT OUTER hash equi-join, BROADCAST regime (stages/join.equi_join
+    how='left'): unmatched orders keep exactly one row with null right
+    columns (sentinel-filled identically in the SQL)."""
+    return _orders_customer_left_join(sf_dir, broadcast_max_rows=2_000_000)
+
+
+def _q_orders_left_join_bucketed(sf_dir: str):
+    """Same left join, BUCKETED big-big regime forced: one union + one
+    keyed exchange, per-bucket pandas left merge with exact nullable-int
+    restore. Identical oracle."""
+    return _orders_customer_left_join(sf_dir, broadcast_max_rows=0)
+
+
 def _q_top_per_host(sf_dir: str):
     """Exact top-5 longest documents per host (the per-domain best-quality
     pick): two-level top-k — per-block prune to <=k per group, then one
@@ -1581,6 +1635,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_postings": _q_term_postings,
         "orders_join": _q_orders_join,
         "orders_join_bucketed": _q_orders_join_bucketed,
+        "orders_left_join": _q_orders_left_join,
+        "orders_left_join_bucketed": _q_orders_left_join_bucketed,
         "orders_semi": _q_orders_semi,
         "orders_anti": _q_orders_anti,
         "orders_semi_bloom": _q_orders_semi_bloom,
@@ -1942,6 +1998,22 @@ def oracle_sql() -> dict[str, str]:
         "orders_join_bucketed": """
             SELECT o.o_orderkey, o.o_custkey, c.c_nationkey, c.c_mktsegment
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "orders_left_join": """
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(COALESCE(c.c_nationkey, -1) AS BIGINT) AS c_nationkey,
+                   COALESCE(c.c_mktsegment, '') AS c_mktsegment
+            FROM orders o
+            LEFT JOIN (SELECT * FROM customer WHERE c_nationkey < 5) c
+              ON o.o_custkey = c.c_custkey
+        """,
+        "orders_left_join_bucketed": """
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(COALESCE(c.c_nationkey, -1) AS BIGINT) AS c_nationkey,
+                   COALESCE(c.c_mktsegment, '') AS c_mktsegment
+            FROM orders o
+            LEFT JOIN (SELECT * FROM customer WHERE c_nationkey < 5) c
+              ON o.o_custkey = c.c_custkey
         """,
         "orders_semi": """
             SELECT o_orderkey, o_custkey FROM orders o
