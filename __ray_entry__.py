@@ -694,6 +694,47 @@ def _q_orders_left_join_bucketed(sf_dir: str):
     return _orders_customer_left_join(sf_dir, broadcast_max_rows=0)
 
 
+def _q_user_running(sf_dir: str):
+    """Keyed window functions (stages/winfun.keyed_window_functions): per
+    user, ordered by (ts, event_id) — ROW_NUMBER, running SUM of the props
+    payload length, and LAG of the event timestamp (inter-arrival gap
+    base). ONE hash(user)-keyed exchange + per-shard vectorized segmented
+    scans; mirrors ROW_NUMBER/SUM/LAG OVER (PARTITION BY user_id ORDER BY
+    ts, event_id) exactly, all-int64."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.winfun import keyed_window_functions
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_id", "ts", "user_id", "props"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "plen": pc.utf8_length(t.column("props")).cast(pa.int64()),
+            }
+        )
+
+    out = keyed_window_functions(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id",
+        order_cols=["ts_us", "event_id"],
+        sum_col="plen",
+        lag_col="ts_us",
+    ).to_pandas()
+    return (
+        out[["event_id", "user_id", "ts_us", "plen", "rn", "run_sum", "lag_prev"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_top_per_host(sf_dir: str):
     """Exact top-5 longest documents per host (the per-domain best-quality
     pick): two-level top-k — per-block prune to <=k per group, then one
@@ -1637,6 +1678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_join_bucketed": _q_orders_join_bucketed,
         "orders_left_join": _q_orders_left_join,
         "orders_left_join_bucketed": _q_orders_left_join_bucketed,
+        "user_running": _q_user_running,
         "orders_semi": _q_orders_semi,
         "orders_anti": _q_orders_anti,
         "orders_semi_bloom": _q_orders_semi_bloom,
@@ -2014,6 +2056,19 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             LEFT JOIN (SELECT * FROM customer WHERE c_nationkey < 5) c
               ON o.o_custkey = c.c_custkey
+        """,
+        "user_running": """
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(length(props) AS BIGINT) AS plen,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+                   CAST(SUM(CAST(length(props) AS BIGINT)) OVER w AS BIGINT)
+                       AS run_sum,
+                   COALESCE(LAG(CAST(epoch_us(ts) AS BIGINT)) OVER w, -1)
+                       AS lag_prev
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "orders_semi": """
             SELECT o_orderkey, o_custkey FROM orders o

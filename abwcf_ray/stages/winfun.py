@@ -1,0 +1,123 @@
+"""Keyed (partitioned) window functions: ROW_NUMBER, running SUM, LAG.
+
+The SQL shape this mirrors is
+
+    <fn>() OVER (PARTITION BY key ORDER BY order_cols..., id)
+
+— the per-entity ordered scan every event/log pipeline needs (per-user
+running totals, inter-arrival gaps, per-host sequence numbers). Ray Data
+has no window operator; the distributed shape here is the repo's standard
+keyed-partition exchange:
+
+1. map-side: tag each row with ``hash(key) % partitions`` (a SMALL int
+   partition key — never the raw key domain; see dedup.keyed_hash_agg for
+   the measured 22x rationale),
+2. ONE keyed exchange lands every row of a key in the same shard
+   (hash-bounded skew: a shard holds ~1/P of the rows),
+3. per-shard: ONE numpy lexsort by (key, order..., id) then fully
+   vectorized segmented scans — group starts from key-change flags,
+   ROW_NUMBER = index - group_start + 1, running sum = cumsum minus the
+   group-start offset, LAG = shift with a sentinel at group starts.
+
+Nothing materializes on the driver; exchange volume is the input rows
+exactly once. Values stay exact int64 end-to-end so the DuckDB oracle
+hash-matches (the repetition_signals discipline: no float accumulation).
+
+Scale note: one key's rows must fit in one shard's memory alongside the
+rest of its partition — the same contract as every PARTITION BY engine's
+hash exchange. At 100 TB, size ``partitions`` to cluster width; a single
+pathological key (one user with 10^10 events) would need the windowed
+pre-aggregation in stages/windows.py instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from abwcf_ray.functions.hashing import hash64
+from abwcf_ray.stages.dedup import _int_pkey
+
+DEFAULT_WINFUN_PARTITIONS = 64
+
+
+def _pkey_of(col: pa.ChunkedArray, partitions: int) -> np.ndarray:
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return (hash64(col) % np.uint64(partitions)).astype(np.int64)
+    v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+    return _int_pkey(v, partitions)
+
+
+def keyed_window_functions(
+    ds,
+    *,
+    key_col: str,
+    order_cols: list[str],
+    sum_col: str | None = None,
+    lag_col: str | None = None,
+    lag_sentinel: int = -1,
+    partitions: int = DEFAULT_WINFUN_PARTITIONS,
+):
+    """Append per-key ordered window columns to ``ds``.
+
+    - ``rn``: ROW_NUMBER() OVER (PARTITION BY key ORDER BY order_cols) —
+      1-based; ``order_cols`` must be a total order within each key (append
+      a unique id as the last order col).
+    - ``run_sum`` (if ``sum_col``): running SUM(sum_col) over the same
+      window, ROWS UNBOUNDED PRECEDING — exact int64.
+    - ``lag_prev`` (if ``lag_col``): LAG(lag_col, 1) over the same window,
+      ``lag_sentinel`` for each key's first row (COALESCE in the oracle).
+
+    ``order_cols``, ``sum_col`` and ``lag_col`` must be integer-valued
+    (cast timestamps to epoch microseconds upstream). Output rows are the
+    input rows (order not preserved — Datasets are unordered bags) with
+    the window columns appended.
+    """
+    int_cols = list(order_cols)
+    if sum_col is not None and sum_col not in int_cols:
+        int_cols.append(sum_col)
+    if lag_col is not None and lag_col not in int_cols:
+        int_cols.append(lag_col)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_pkey", pa.array(_pkey_of(t.column(key_col), partitions), pa.int64())
+        )
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="_pkey")
+        n = len(g)
+        if n == 0:
+            return g
+        # group rows by key without sorting the raw key domain: factorize
+        # codes only need to make equal keys contiguous, and the scans below
+        # are per-key, so inter-key order is irrelevant to the output values
+        codes, _ = pd.factorize(g[key_col].to_numpy(), use_na_sentinel=False)
+        sort_keys = [g[c].to_numpy(np.int64) for c in reversed(order_cols)]
+        order = np.lexsort((*sort_keys, codes))
+        cs = codes[order]
+        new = np.empty(n, bool)
+        new[0] = True
+        np.not_equal(cs[1:], cs[:-1], out=new[1:])
+        idx = np.arange(n, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        out = g.iloc[order].reset_index(drop=True)
+        out["rn"] = idx - start + 1
+        if sum_col is not None:
+            v = out[sum_col].to_numpy(np.int64)
+            c = np.cumsum(v)
+            out["run_sum"] = c - c[start] + v[start]
+        if lag_col is not None:
+            lv = out[lag_col].to_numpy(np.int64)
+            prev = np.empty(n, np.int64)
+            prev[1:] = lv[:-1]
+            prev[new] = lag_sentinel
+            out["lag_prev"] = prev
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_pkey")
+        .map_groups(scan, batch_format="pandas")
+    )

@@ -1,0 +1,132 @@
+"""Keyed window functions (stages/winfun.py): brute-force pandas parity,
+layout invariance, string keys, sentinel semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from abwcf_ray.stages.winfun import keyed_window_functions
+
+
+def _brute(df: pd.DataFrame, key, order, sum_col, lag_col, sentinel=-1):
+    df = df.sort_values([key, *order], kind="mergesort").reset_index(drop=True)
+    g = df.groupby(key, sort=False)
+    out = df.copy()
+    out["rn"] = g.cumcount() + 1
+    if sum_col:
+        out["run_sum"] = g[sum_col].cumsum()
+    if lag_col:
+        out["lag_prev"] = g[lag_col].shift(1).fillna(sentinel).astype(np.int64)
+    return out
+
+
+def _frame(n=500, keys=37, seed=7):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, keys, n).astype(np.int64),
+            "ts": rng.integers(0, 50, n).astype(np.int64),  # heavy ties
+            "v": rng.integers(-100, 100, n).astype(np.int64),
+        }
+    )
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values("id").reset_index(drop=True)
+
+
+def test_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    df = _frame()
+    got = keyed_window_functions(
+        rd.from_pandas(df).repartition(7),
+        key_col="k",
+        order_cols=["ts", "id"],
+        sum_col="v",
+        lag_col="ts",
+        partitions=8,
+    ).to_pandas()
+    exp = _brute(df, "k", ["ts", "id"], "v", "ts")
+    cols = ["id", "k", "ts", "v", "rn", "run_sum", "lag_prev"]
+    pd.testing.assert_frame_equal(_canon(got)[cols], _canon(exp)[cols])
+
+
+def test_layout_invariance(ray_session):
+    import ray.data as rd
+
+    df = _frame(seed=11)
+    outs = []
+    for parts in (1, 3, 13):
+        got = keyed_window_functions(
+            rd.from_pandas(df).repartition(parts),
+            key_col="k",
+            order_cols=["ts", "id"],
+            sum_col="v",
+            lag_col="v",
+            partitions=4,
+        ).to_pandas()
+        outs.append(_canon(got)[["id", "rn", "run_sum", "lag_prev"]])
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+def test_string_keys_and_single_row_groups(ray_session):
+    import ray.data as rd
+
+    df = _frame(n=40, keys=40, seed=3)
+    df["k"] = "host-" + df["k"].astype(str)
+    got = keyed_window_functions(
+        rd.from_pandas(df),
+        key_col="k",
+        order_cols=["ts", "id"],
+        sum_col="v",
+        lag_col="ts",
+        partitions=8,
+    ).to_pandas()
+    exp = _brute(df, "k", ["ts", "id"], "v", "ts")
+    cols = ["id", "k", "rn", "run_sum", "lag_prev"]
+    pd.testing.assert_frame_equal(_canon(got)[cols], _canon(exp)[cols])
+    # every single-row key: rn == 1, lag == sentinel
+    firsts = got[got["rn"] == 1]
+    assert (firsts["lag_prev"] == -1).all()
+
+
+def test_rn_only_no_optional_columns(ray_session):
+    import ray.data as rd
+
+    df = _frame(n=60, keys=5, seed=5)
+    got = keyed_window_functions(
+        rd.from_pandas(df), key_col="k", order_cols=["ts", "id"]
+    ).to_pandas()
+    assert "run_sum" not in got.columns and "lag_prev" not in got.columns
+    exp = _brute(df, "k", ["ts", "id"], None, None)
+    pd.testing.assert_frame_equal(
+        _canon(got)[["id", "rn"]], _canon(exp)[["id", "rn"]]
+    )
+
+
+def test_negative_values_exact(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(6, dtype=np.int64),
+            "k": np.array([1, 1, 1, 2, 2, 2], np.int64),
+            "ts": np.array([3, 1, 2, 9, 9, 9], np.int64),
+            "v": np.array([-5, 10, -20, 7, -7, 0], np.int64),
+        }
+    )
+    got = keyed_window_functions(
+        rd.from_pandas(df),
+        key_col="k",
+        order_cols=["ts", "id"],
+        sum_col="v",
+        lag_col="v",
+    ).to_pandas()
+    exp = _brute(df, "k", ["ts", "id"], "v", "v")
+    cols = ["id", "rn", "run_sum", "lag_prev"]
+    pd.testing.assert_frame_equal(_canon(got)[cols], _canon(exp)[cols])
