@@ -735,6 +735,29 @@ def _q_user_running(sf_dir: str):
     )
 
 
+def _q_doc_rank(sf_dir: str):
+    """Global total-order rank (stages/rank.global_rank): exact 1-based
+    ROW_NUMBER of every document under (n_chars, doc_id) — the distributed
+    range-partitioned sort with exact offsets (one histogram pass derives
+    boundaries AND per-range counts, one range exchange ranks). This is
+    the one operator whose correctness an order-insensitive value compare
+    can only see through explicit rank values."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.rank import global_rank
+
+    _quiet()
+    ds = rd.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    out = global_rank(ds, key_col="n_chars", id_col="doc_id").to_pandas()
+    return (
+        out[["doc_id", "n_chars", "rank"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_top_per_host(sf_dir: str):
     """Exact top-5 longest documents per host (the per-domain best-quality
     pick): two-level top-k — per-block prune to <=k per group, then one
@@ -1679,6 +1702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_left_join": _q_orders_left_join,
         "orders_left_join_bucketed": _q_orders_left_join_bucketed,
         "user_running": _q_user_running,
+        "doc_rank": _q_doc_rank,
         "orders_semi": _q_orders_semi,
         "orders_anti": _q_orders_anti,
         "orders_semi_bloom": _q_orders_semi_bloom,
@@ -2056,6 +2080,12 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             LEFT JOIN (SELECT * FROM customer WHERE c_nationkey < 5) c
               ON o.o_custkey = c.c_custkey
+        """,
+        "doc_rank": """
+            SELECT doc_id, n_chars,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                       AS rank
+            FROM documents
         """,
         "user_running": """
             SELECT event_id, user_id,
