@@ -758,6 +758,19 @@ def _q_doc_rank(sf_dir: str):
     )
 
 
+def _q_lang_source_rollup(sf_dir: str):
+    """ROLLUP aggregation (stages/rollup.rollup_counts): doc count +
+    total chars at (lang, source), (lang), and () granularities in ONE
+    pass — map-side combiner at the finest level, one keyed merge
+    (exchange O(distinct combos)), coarser levels re-aggregated from the
+    merged finest table. Mirrors GROUP BY ROLLUP(lang, source)."""
+    from abwcf_ray.stages.rollup import rollup_counts
+
+    _quiet()
+    ds = _docs(sf_dir, ["lang", "source", "n_chars"])
+    return rollup_counts(ds, group_cols=["lang", "source"], sum_col="n_chars")
+
+
 def _q_top_per_host(sf_dir: str):
     """Exact top-5 longest documents per host (the per-domain best-quality
     pick): two-level top-k — per-block prune to <=k per group, then one
@@ -1703,6 +1716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_left_join_bucketed": _q_orders_left_join_bucketed,
         "user_running": _q_user_running,
         "doc_rank": _q_doc_rank,
+        "lang_source_rollup": _q_lang_source_rollup,
         "orders_semi": _q_orders_semi,
         "orders_anti": _q_orders_anti,
         "orders_semi_bloom": _q_orders_semi_bloom,
@@ -2080,6 +2094,16 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             LEFT JOIN (SELECT * FROM customer WHERE c_nationkey < 5) c
               ON o.o_custkey = c.c_custkey
+        """,
+        "lang_source_rollup": """
+            SELECT COALESCE(lang, '*') AS lang,
+                   COALESCE(source, '*') AS source,
+                   CAST(COUNT(*) AS BIGINT) AS count,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+                   CAST(2 - GROUPING(lang) - GROUPING(source) AS BIGINT)
+                       AS level
+            FROM documents
+            GROUP BY ROLLUP(lang, source)
         """,
         "doc_rank": """
             SELECT doc_id, n_chars,
