@@ -771,6 +771,56 @@ def _q_lang_source_rollup(sf_dir: str):
     return rollup_counts(ds, group_cols=["lang", "source"], sum_col="n_chars")
 
 
+def _host_word_pairs(sf_dir: str):
+    """documents -> exploded (host, word) rows: host from the standard
+    doc_id % 97 derivation, words = whitespace tokens (the term_postings
+    tokenization, regexp-mirrorable)."""
+    def explode(t: pa.Table) -> pa.Table:
+        pdf = t.select(["doc_id", "text"]).to_pandas()
+        host = "h" + (pdf["doc_id"] % _HOSTS).astype(str) + ".example"
+        ex = pd.DataFrame({"host": host, "w": pdf["text"].str.findall(r"\S+")})
+        ex = ex.explode("w").dropna(subset=["w"])
+        return pa.table(
+            {
+                "host": pa.array(ex["host"].to_numpy(), pa.string()),
+                "w": pa.array(ex["w"].astype(str).to_numpy(), pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def _q_host_distinct_terms(sf_dir: str):
+    """Per-group exact COUNT(DISTINCT): distinct terms per host
+    (stages/distinct.group_distinct_count) — pair-hash-partitioned exact
+    dedupe, additive per-partition partials, combo-bounded final merge.
+    64-bit hash item identity (the decontaminate soundness contract)."""
+    from abwcf_ray.stages.distinct import group_distinct_count
+
+    _quiet()
+    out = group_distinct_count(
+        _host_word_pairs(sf_dir), group_col="host", item_col="w"
+    ).to_pandas()
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def _q_host_distinct_hll(sf_dir: str):
+    """Per-group HLL distinct estimate (stages/distinct.group_distinct_hll):
+    one 2^p-byte register vector per (block, host) crosses the exchange
+    regardless of term cardinality. Approximate by nature — rows-only
+    check; the error bound is pytest-verified against the exact sibling
+    (tests/test_distinct.py)."""
+    from abwcf_ray.stages.distinct import group_distinct_hll
+
+    _quiet()
+    out = group_distinct_hll(
+        _host_word_pairs(sf_dir), group_col="host", item_col="w", p=12
+    ).to_pandas()
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def _q_top_per_host(sf_dir: str):
     """Exact top-5 longest documents per host (the per-domain best-quality
     pick): two-level top-k — per-block prune to <=k per group, then one
@@ -1717,6 +1767,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running": _q_user_running,
         "doc_rank": _q_doc_rank,
         "lang_source_rollup": _q_lang_source_rollup,
+        "host_distinct_terms": _q_host_distinct_terms,
+        "host_distinct_hll": _q_host_distinct_hll,
         "orders_semi": _q_orders_semi,
         "orders_anti": _q_orders_anti,
         "orders_semi_bloom": _q_orders_semi_bloom,
@@ -2094,6 +2146,18 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             LEFT JOIN (SELECT * FROM customer WHERE c_nationkey < 5) c
               ON o.o_custkey = c.c_custkey
+        """,
+        "host_distinct_terms": r"""
+            WITH d AS (
+                SELECT 'h' || (doc_id % 97) || '.example' AS host, text
+                FROM documents
+            ),
+            raw AS (
+                SELECT host, unnest(regexp_extract_all(text, '\S+')) AS w
+                FROM d
+            )
+            SELECT host, CAST(COUNT(DISTINCT w) AS BIGINT) AS distinct
+            FROM raw GROUP BY host
         """,
         "lang_source_rollup": """
             SELECT COALESCE(lang, '*') AS lang,
