@@ -8,13 +8,15 @@ one histogram pass + one range exchange — the classic sampled-range
 total-order sort (TeraSort shape), made exact:
 
 1. **histogram pass** (map-side only, no shuffle): per-batch sparse
-   ``(value, count)`` histograms of the integer key, merged through the
-   keyed-partition exchange (exchange volume O(distinct keys) — a
-   measurement key like a document length has a tiny domain at any corpus
-   size). From the merged histogram the driver derives BOTH the P-1 range
-   boundaries (balanced cut ranks ``ceil(i*N/P)``) AND the exact row count
-   of every range — so no separate counting pass is needed and the
-   per-partition rank offsets are exact, not sampled.
+   ``(value, count)`` histograms of the integer key, merged via
+   sketch.sparse_int_histogram (driver merge below its partial-row
+   threshold, keyed-partition exchange above — volume O(distinct keys)
+   either way; a measurement key like a document length has a tiny
+   domain at any corpus size). From the merged histogram the driver
+   derives BOTH the P-1 range boundaries (balanced cut ranks
+   ``ceil(i*N/P)``) AND the exact row count of every range — so no
+   separate counting pass is needed and the per-partition rank offsets
+   are exact, not sampled.
 2. **range exchange**: each row routes to ``searchsorted(boundaries,
    key)`` — all rows of an equal key land in ONE partition (required for
    exact tie ranking by id) — then each partition lexsorts by (key, id)
@@ -33,7 +35,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from abwcf_ray.stages.dedup import keyed_hash_agg
+from abwcf_ray.stages.sketch import sparse_int_histogram
 
 DEFAULT_RANK_PARTITIONS = 64
 
@@ -53,21 +55,13 @@ def global_rank(
     tie-breaker so the order is total."""
     sign = -1 if descending else 1
 
-    def hist(t: pa.Table) -> pa.Table:
+    def negate(t: pa.Table) -> pa.Table:
         v = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        k, c = np.unique(sign * v, return_counts=True)
-        return pa.table(
-            {
-                "v": pa.array(k, pa.int64()),
-                "n": pa.array(c.astype(np.int64), pa.int64()),
-            }
-        )
+        return pa.table({key_col: pa.array(sign * v, pa.int64())})
 
-    merged = keyed_hash_agg(
-        ds.map_batches(hist, batch_format="pyarrow"),
-        lambda b: b.column("v").to_numpy(zero_copy_only=False),
-        lambda g: g.groupby("v", as_index=False).agg(n=("n", "sum")),
-    ).to_pandas()
+    merged = sparse_int_histogram(
+        ds.map_batches(negate, batch_format="pyarrow"), col=key_col
+    )
     if merged.empty:
         return ds.map_batches(
             lambda t: t.append_column(
@@ -75,8 +69,7 @@ def global_rank(
             ),
             batch_format="pyarrow",
         )
-    merged = merged.sort_values("v", kind="mergesort")
-    values = merged["v"].to_numpy(np.int64)
+    values = merged["v"].to_numpy(np.int64)  # sorted by the histogram helper
     cum = np.cumsum(merged["n"].to_numpy(np.int64))
     total = int(cum[-1])
 

@@ -156,16 +156,29 @@ def heavy_hitters(
     ).reset_index(drop=True)
 
 
-def int_quantiles(ds, *, col: str, qs: list, merge_partitions: int = 64):
-    """Exact discrete quantiles of a bounded-domain INTEGER column in one
-    pass: per-batch sparse value histograms (the combiner — exchange is
-    O(distinct values per batch), and an integer measurement column like
-    a token count has a tiny domain no matter the corpus size), keyed
-    merge, driver cumulative ranks. Quantile rule = DuckDB's
-    ``quantile_disc``: the element at sorted rank ``ceil(q·N)``.
+def sparse_int_histogram(
+    ds,
+    *,
+    col: str,
+    merge_partitions: int = 64,
+    driver_merge_max_rows: int = 4_000_000,
+) -> pd.DataFrame:
+    """Exact global ``(v, n)`` histogram of an integer column, sorted by
+    ``v`` — shared by int_quantiles and rank.global_rank.
 
-    Returns a pandas DataFrame (q_pct, value): q as integer percent
-    (``int(round(q*100))``) so the output hashes stably."""
+    Per-block sparse histograms (the combiner) are MATERIALIZED once —
+    they are distinct-per-block-sized, bounded by exactly the volume the
+    distributed merge would ship — then merged in whichever regime fits:
+
+    - **driver merge** (total partial rows <= ``driver_merge_max_rows``):
+      one vectorized pandas groupby on the driver — measurement-like keys
+      (lengths, counts, scores) have tiny domains at any corpus size, and
+      the keyed exchange's fixed shuffle cost dominates them (measured
+      4.4 s -> 0.3 s on a 1-block table).
+    - **keyed merge** (above the threshold — e.g. timestamp-grained keys
+      whose domain approaches the row count): the standard
+      keyed-partition exchange, nothing driver-sized."""
+    import ray
 
     def hist(batch: pa.Table) -> pa.Table:
         v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -177,13 +190,37 @@ def int_quantiles(ds, *, col: str, qs: list, merge_partitions: int = 64):
             }
         )
 
+    parts = ds.map_batches(hist, batch_format="pyarrow").materialize()
+    if parts.count() <= driver_merge_max_rows:
+        tables = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+        if not tables:
+            return pd.DataFrame({"v": np.zeros(0, np.int64),
+                                 "n": np.zeros(0, np.int64)})
+        allp = pa.concat_tables(tables).to_pandas()
+        merged = allp.groupby("v", as_index=False, sort=True).agg(n=("n", "sum"))
+        return merged.reset_index(drop=True)
     merged = keyed_hash_agg(
-        ds.map_batches(hist, batch_format="pyarrow"),
+        parts,
         lambda b: b.column("v").to_numpy(zero_copy_only=False),
         lambda g: g.groupby("v", as_index=False).agg(n=("n", "sum")),
         partitions=merge_partitions,
     ).to_pandas()
-    merged = merged.sort_values("v", kind="mergesort").reset_index(drop=True)
+    return merged.sort_values("v", kind="mergesort").reset_index(drop=True)
+
+
+def int_quantiles(ds, *, col: str, qs: list, merge_partitions: int = 64):
+    """Exact discrete quantiles of a bounded-domain INTEGER column in one
+    pass: per-batch sparse value histograms (the combiner — exchange is
+    O(distinct values per batch), and an integer measurement column like
+    a token count has a tiny domain no matter the corpus size) merged via
+    :func:`sparse_int_histogram` (driver below threshold, keyed above),
+    driver cumulative ranks. Quantile rule = DuckDB's ``quantile_disc``:
+    the element at sorted rank ``ceil(q·N)``.
+
+    Returns a pandas DataFrame (q_pct, value): q as integer percent
+    (``int(round(q*100))``) so the output hashes stably."""
+
+    merged = sparse_int_histogram(ds, col=col, merge_partitions=merge_partitions)
     counts = merged["n"].to_numpy(np.int64)
     values = merged["v"].to_numpy(np.int64)
     cum = np.cumsum(counts)

@@ -307,6 +307,40 @@ def run_bench() -> dict:
     pagerank(edges, n_nodes=n_docs, iters=5).count()
     queries["pagerank"] = round(time.perf_counter() - t0, 3)
 
+    # keyed window functions over the events stream (per-user ROW_NUMBER +
+    # running SUM + LAG in one keyed exchange)
+    from abwcf_ray.stages.winfun import keyed_window_functions
+
+    t0 = time.perf_counter()
+    evw = rd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["event_id", "user_id", "ts", "props"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "plen": _pc.utf8_length(t.column("props")).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    keyed_window_functions(
+        evw, key_col="user_id", order_cols=["ts_us", "event_id"],
+        sum_col="plen", lag_col="ts_us",
+    ).count()
+    queries["window_functions"] = round(time.perf_counter() - t0, 3)
+
+    # global total-order rank over documents (histogram-derived range sort)
+    from abwcf_ray.stages.rank import global_rank
+
+    t0 = time.perf_counter()
+    global_rank(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "n_chars"]),
+        key_col="n_chars", id_col="doc_id",
+    ).count()
+    queries["global_rank"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "crawl pages/s + frontier-wave wall-time (fixture corpus "
         f"n_pages={corpus.n_pages}, {CRAWL_WAVES} waves) + training-data ops over {SF_DIR}",

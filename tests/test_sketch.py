@@ -145,3 +145,21 @@ def test_hll_merge_is_layout_invariant(ray_session):
     a = hll_distinct_count(rd.from_pandas(df).repartition(2), p=12)
     b = hll_distinct_count(rd.from_pandas(df).repartition(9), p=12)
     assert a == b  # register max-merge is order/layout independent
+
+
+def test_sparse_int_histogram_regime_parity(ray_session):
+    """Driver-merge and keyed-exchange regimes of sparse_int_histogram
+    produce identical (v, n) tables."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.sketch import sparse_int_histogram
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({"x": rng.integers(-40, 40, 3000).astype(np.int64)})
+    ds = rd.from_pandas(df).repartition(7)
+    a = sparse_int_histogram(ds, col="x")  # driver merge (under threshold)
+    b = sparse_int_histogram(ds, col="x", driver_merge_max_rows=0)  # keyed
+    pd.testing.assert_frame_equal(a, b)
+    exp = df["x"].value_counts().sort_index()
+    assert (a["v"].to_numpy() == exp.index.to_numpy()).all()
+    assert (a["n"].to_numpy() == exp.to_numpy()).all()
