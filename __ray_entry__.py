@@ -1497,6 +1497,54 @@ def _q_token_quantiles(sf_dir: str):
     )
 
 
+def _event_value_milli(sf_dir: str):
+    """events.value (double) -> milli-unit int64 (FLOOR(value*1000)):
+    both sides compute the SAME IEEE double multiply + floor, so the
+    derivation is hash-exact (the single-float-op discipline)."""
+    import ray.data as rd
+
+    def milli(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"x": pa.array(np.floor(v * 1000.0).astype(np.int64), pa.int64())}
+        )
+
+    return rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"), columns=["value"]
+    ).map_batches(milli, batch_format="pyarrow")
+
+
+_KLL_QS = [0.01, 0.10, 0.25, 0.50, 0.75, 0.90, 0.99]
+
+
+def _q_kll_quantiles_exact(sf_dir: str):
+    """Quantile compactor sketch (stages/kll.kll_quantiles), DEGENERATE
+    regime: capacity >= row count means no compaction ever fires, so the
+    mergeable-summary machinery (per-block sketch rows, stack merge,
+    weighted quantile rule) must reproduce exact quantile_disc — a full
+    SQL value oracle on the sketch plumbing (the minhash_dedup_exact
+    pattern). The headline small-k regime is kll_quantiles."""
+    from abwcf_ray.stages.kll import kll_quantiles
+
+    _quiet()
+    return kll_quantiles(
+        _event_value_milli(sf_dir), col="x", qs=_KLL_QS, k=2_000_000
+    )
+
+
+def _q_kll_quantiles(sf_dir: str):
+    """Same sketch at working capacity (k=512): O(k·log(n/k)) rows per
+    block cross the exchange regardless of the value domain — the
+    unbounded-domain (timestamps, scaled floats) counterpart of the exact
+    int_quantiles histogram. Approximate + merge-order-dependent by
+    nature -> rows-only; the rank-error bound is pytest-verified
+    (tests/test_kll.py)."""
+    from abwcf_ray.stages.kll import kll_quantiles
+
+    _quiet()
+    return kll_quantiles(_event_value_milli(sf_dir), col="x", qs=_KLL_QS, k=512)
+
+
 def _q_compression_signal(sf_dir: str):
     """zlib compression-ratio quality signal per document (the redundancy
     proxy next to the Gopher repetition fractions). zlib isn't available
@@ -1795,6 +1843,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_signal": _q_compression_signal,
         "hll_distinct": _q_hll_distinct,
         "token_quantiles": _q_token_quantiles,
+        "kll_quantiles_exact": _q_kll_quantiles_exact,
+        "kll_quantiles": _q_kll_quantiles,
         "top_keywords": _q_top_keywords,
         "range_join": _q_range_join,
         "range_pairs": _q_range_pairs,
@@ -2645,6 +2695,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT CAST(90 AS BIGINT) AS q_pct, quantile_disc(nt, 0.9) AS value FROM n
             UNION ALL SELECT CAST(99 AS BIGINT) AS q_pct, quantile_disc(nt, 0.99) AS value FROM n
             UNION ALL SELECT CAST(100 AS BIGINT) AS q_pct, quantile_disc(nt, 1.0) AS value FROM n
+        """,
+        "kll_quantiles_exact": """
+            WITH n AS (
+                SELECT CAST(FLOOR(value*1000) AS BIGINT) AS x FROM events
+            )
+            SELECT CAST(1 AS BIGINT) AS q_pct, quantile_disc(x, 0.01) AS value FROM n
+            UNION ALL SELECT CAST(10 AS BIGINT) AS q_pct, quantile_disc(x, 0.1) AS value FROM n
+            UNION ALL SELECT CAST(25 AS BIGINT) AS q_pct, quantile_disc(x, 0.25) AS value FROM n
+            UNION ALL SELECT CAST(50 AS BIGINT) AS q_pct, quantile_disc(x, 0.5) AS value FROM n
+            UNION ALL SELECT CAST(75 AS BIGINT) AS q_pct, quantile_disc(x, 0.75) AS value FROM n
+            UNION ALL SELECT CAST(90 AS BIGINT) AS q_pct, quantile_disc(x, 0.9) AS value FROM n
+            UNION ALL SELECT CAST(99 AS BIGINT) AS q_pct, quantile_disc(x, 0.99) AS value FROM n
         """,
         "distinct_words": r"""
             SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct
