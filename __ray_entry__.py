@@ -1545,6 +1545,36 @@ def _q_kll_quantiles(sf_dir: str):
     return kll_quantiles(_event_value_milli(sf_dir), col="x", qs=_KLL_QS, k=512)
 
 
+def _q_host_quantiles(sf_dir: str):
+    """Exact per-group quantiles (stages/sketch.group_int_quantiles):
+    quantile_disc of document length per host — sparse (group, value)
+    histograms map-side, ONE hash(group)-keyed merge lands each group's
+    histogram whole, quantiles off the per-group cumulative counts.
+    Exchange O(distinct pairs), never O(docs)."""
+    from abwcf_ray.stages.sketch import group_int_quantiles
+
+    _quiet()
+
+    def with_host(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "host": pa.array(
+                    [f"h{i % _HOSTS}.example" for i in d], pa.string()
+                ),
+                "n_chars": t.column("n_chars"),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        with_host, batch_format="pyarrow"
+    )
+    out = group_int_quantiles(
+        ds, group_col="host", col="n_chars", qs=[0.25, 0.50, 0.90]
+    ).to_pandas()
+    return out.sort_values(["host", "q_pct"]).reset_index(drop=True)
+
+
 def _q_compression_signal(sf_dir: str):
     """zlib compression-ratio quality signal per document (the redundancy
     proxy next to the Gopher repetition fractions). zlib isn't available
@@ -1844,6 +1874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": _q_hll_distinct,
         "token_quantiles": _q_token_quantiles,
         "kll_quantiles_exact": _q_kll_quantiles_exact,
+        "host_quantiles": _q_host_quantiles,
         "kll_quantiles": _q_kll_quantiles,
         "top_keywords": _q_top_keywords,
         "range_join": _q_range_join,
@@ -2695,6 +2726,20 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT CAST(90 AS BIGINT) AS q_pct, quantile_disc(nt, 0.9) AS value FROM n
             UNION ALL SELECT CAST(99 AS BIGINT) AS q_pct, quantile_disc(nt, 0.99) AS value FROM n
             UNION ALL SELECT CAST(100 AS BIGINT) AS q_pct, quantile_disc(nt, 1.0) AS value FROM n
+        """,
+        "host_quantiles": """
+            WITH d AS (
+                SELECT 'h' || (doc_id % 97) || '.example' AS host, n_chars
+                FROM documents
+            )
+            SELECT host, CAST(25 AS BIGINT) AS q_pct,
+                   quantile_disc(n_chars, 0.25) AS value FROM d GROUP BY host
+            UNION ALL
+            SELECT host, CAST(50 AS BIGINT) AS q_pct,
+                   quantile_disc(n_chars, 0.5) AS value FROM d GROUP BY host
+            UNION ALL
+            SELECT host, CAST(90 AS BIGINT) AS q_pct,
+                   quantile_disc(n_chars, 0.9) AS value FROM d GROUP BY host
         """,
         "kll_quantiles_exact": """
             WITH n AS (

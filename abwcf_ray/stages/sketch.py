@@ -300,3 +300,68 @@ def hll_distinct_count(
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)  # linear counting small-range correction
     return float(est)
+
+
+def group_int_quantiles(
+    ds,
+    *,
+    group_col: str,
+    col: str,
+    qs: list,
+    merge_partitions: int = 64,
+):
+    """Exact per-group discrete quantiles (``quantile_disc(col, q) GROUP
+    BY group``): per-batch sparse (group, value, count) histograms (the
+    combiner — exchange O(distinct pairs), never O(rows)), ONE
+    hash(group)-keyed merge that lands every group's histogram whole in
+    one shard, then the quantiles come straight off each group's
+    cumulative counts in that shard. Returns a Dataset
+    (group_col, q_pct:int64, value:int64) — exact int arithmetic, same
+    ceil(q·N) rank rule as int_quantiles."""
+    from abwcf_ray.functions.hashing import hash64
+
+    def hist(batch: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                group_col: batch.column(group_col).to_pandas(),
+                "v": batch.column(col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = pdf.groupby([group_col, "v"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def gkey(b: pa.Table) -> np.ndarray:
+        c = b.column(group_col)
+        if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
+            return hash64(c)
+        return c.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        merged = g.groupby([group_col, "v"], as_index=False, sort=False).agg(
+            n=("n", "sum")
+        )
+        for gval, sub in merged.groupby(group_col, sort=False):
+            sub = sub.sort_values("v", kind="mergesort")
+            cum = np.cumsum(sub["n"].to_numpy(np.int64))
+            vals = sub["v"].to_numpy(np.int64)
+            total = int(cum[-1])
+            for q in qs:
+                rank = max(1, int(np.ceil(q * total)))
+                pos = int(np.searchsorted(cum, rank, side="left"))
+                rows.append((gval, int(round(q * 100)), int(vals[pos])))
+        out = pd.DataFrame(rows, columns=[group_col, "q_pct", "value"])
+        out["q_pct"] = out["q_pct"].astype(np.int64)
+        out["value"] = out["value"].astype(np.int64)
+        return out
+
+    return keyed_hash_agg(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        gkey,
+        quant,
+        partitions=merge_partitions,
+    )

@@ -163,3 +163,64 @@ def test_sparse_int_histogram_regime_parity(ray_session):
     exp = df["x"].value_counts().sort_index()
     assert (a["v"].to_numpy() == exp.index.to_numpy()).all()
     assert (a["n"].to_numpy() == exp.to_numpy()).all()
+
+
+def test_group_int_quantiles_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.sketch import group_int_quantiles
+
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame(
+        {
+            "g": "h" + pd.Series(rng.integers(0, 9, 4000)).astype(str),
+            "x": rng.integers(-100, 100, 4000).astype(np.int64),
+        }
+    )
+    qs = [0.25, 0.5, 0.9]
+    got = (
+        group_int_quantiles(
+            rd.from_pandas(df).repartition(6), group_col="g", col="x", qs=qs
+        )
+        .to_pandas()
+        .sort_values(["g", "q_pct"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for gval, sub in df.groupby("g"):
+        s = np.sort(sub["x"].to_numpy())
+        for q in qs:
+            rows.append(
+                (gval, int(round(q * 100)),
+                 int(s[max(1, int(np.ceil(q * len(s)))) - 1]))
+            )
+    exp = pd.DataFrame(rows, columns=["g", "q_pct", "value"])
+    exp["q_pct"] = exp["q_pct"].astype(np.int64)
+    exp["value"] = exp["value"].astype(np.int64)
+    exp = exp.sort_values(["g", "q_pct"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_group_int_quantiles_layout_invariance(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.sketch import group_int_quantiles
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 4, 1500).astype(np.int64),
+            "x": rng.integers(0, 30, 1500).astype(np.int64),
+        }
+    )
+    outs = [
+        group_int_quantiles(
+            rd.from_pandas(df).repartition(p), group_col="g", col="x",
+            qs=[0.5, 0.99], merge_partitions=m,
+        )
+        .to_pandas()
+        .sort_values(["g", "q_pct"])
+        .reset_index(drop=True)
+        for p, m in ((1, 8), (11, 64))
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
