@@ -1575,6 +1575,27 @@ def _q_host_quantiles(sf_dir: str):
     return out.sort_values(["host", "q_pct"]).reset_index(drop=True)
 
 
+def _q_user_event_pivot(sf_dir: str):
+    """PIVOT (stages/pivot.pivot_counts): per-user event counts laid out
+    wide (one int64 column per event type) — map-side bincount combiner
+    emits one slim wide row per distinct user per batch, ONE hash(user)-
+    keyed merge sums. Mirrors COUNT(*) FILTER (WHERE event_type = ...)."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.pivot import pivot_counts
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"), columns=["user_id", "event_type"]
+    )
+    out = pivot_counts(
+        ev, group_col="user_id", pivot_col="event_type",
+        categories=["click", "error", "purchase", "signup", "view"],
+    ).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_compression_signal(sf_dir: str):
     """zlib compression-ratio quality signal per document (the redundancy
     proxy next to the Gopher repetition fractions). zlib isn't available
@@ -1875,6 +1896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": _q_token_quantiles,
         "kll_quantiles_exact": _q_kll_quantiles_exact,
         "host_quantiles": _q_host_quantiles,
+        "user_event_pivot": _q_user_event_pivot,
         "kll_quantiles": _q_kll_quantiles,
         "top_keywords": _q_top_keywords,
         "range_join": _q_range_join,
@@ -2726,6 +2748,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT CAST(90 AS BIGINT) AS q_pct, quantile_disc(nt, 0.9) AS value FROM n
             UNION ALL SELECT CAST(99 AS BIGINT) AS q_pct, quantile_disc(nt, 0.99) AS value FROM n
             UNION ALL SELECT CAST(100 AS BIGINT) AS q_pct, quantile_disc(nt, 1.0) AS value FROM n
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
         """,
         "host_quantiles": """
             WITH d AS (
