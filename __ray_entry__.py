@@ -821,6 +821,43 @@ def _q_host_distinct_hll(sf_dir: str):
     return out.sort_values("host").reset_index(drop=True)
 
 
+def _q_orders_full_join(sf_dir: str):
+    """FULL OUTER hash equi-join (stages/join.equi_join how='outer',
+    bucketed by construction — only the keyed exchange can emit each
+    unmatched right row exactly once). Left = orders of custkeys < 100,
+    right = customers 50..149, so BOTH unmatched directions are
+    non-empty; nulls sentinel-filled identically in the SQL."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.join import equi_join
+
+    _quiet()
+    orders = rd.read_parquet(
+        str(Path(sf_dir) / "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    ).filter(expr="o_custkey < 100")
+    cust = (
+        rd.read_parquet(
+            str(Path(sf_dir) / "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
+        )
+        .filter(expr="c_custkey >= 50 and c_custkey < 150")
+        .map_batches(
+            lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    out = equi_join(orders, cust, on="o_custkey", how="outer").to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].fillna(-1).astype("int64")
+    out["o_custkey"] = out["o_custkey"].astype("int64")
+    out["c_nationkey"] = out["c_nationkey"].fillna(-1).astype("int64")
+    return (
+        out[["o_orderkey", "o_custkey", "c_nationkey"]]
+        .sort_values(["o_orderkey", "o_custkey"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_top_per_host(sf_dir: str):
     """Exact top-5 longest documents per host (the per-domain best-quality
     pick): two-level top-k — per-block prune to <=k per group, then one
@@ -1863,6 +1900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_join_bucketed": _q_orders_join_bucketed,
         "orders_left_join": _q_orders_left_join,
         "orders_left_join_bucketed": _q_orders_left_join_bucketed,
+        "orders_full_join": _q_orders_full_join,
         "user_running": _q_user_running,
         "doc_rank": _q_doc_rank,
         "lang_source_rollup": _q_lang_source_rollup,
@@ -2277,6 +2315,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
                        AS rank
             FROM documents
+        """,
+        "orders_full_join": """
+            SELECT COALESCE(o.o_orderkey, -1) AS o_orderkey,
+                   COALESCE(o.o_custkey, c.c_custkey) AS o_custkey,
+                   CAST(COALESCE(c.c_nationkey, -1) AS BIGINT) AS c_nationkey
+            FROM (SELECT o_orderkey, o_custkey FROM orders
+                  WHERE o_custkey < 100) o
+            FULL JOIN (SELECT c_custkey, c_nationkey FROM customer
+                       WHERE c_custkey >= 50 AND c_custkey < 150) c
+              ON o.o_custkey = c.c_custkey
         """,
         "user_running": """
             SELECT event_id, user_id,

@@ -19,7 +19,9 @@ offers:
   the hash, and nothing materializes on the driver.
 
 Column collisions resolve pandas-style: non-key right columns that clash
-with left names get ``suffix``.
+with left names get ``suffix``. Keys may be composite (``on`` as a list;
+the bucketed partition key folds per-column hashes). ``how`` covers
+inner / left / full outer; outer always runs bucketed (see equi_join).
 """
 
 from __future__ import annotations
@@ -68,22 +70,38 @@ def _key_u64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False).astype(np.int64).astype(np.uint64)
 
 
+def _keys_u64(t: pa.Table, keys: list[str]) -> np.ndarray:
+    """Composite 64-bit key hash: fold per-column hashes with the golden-
+    ratio mix (order-sensitive, so (a, b) != (b, a))."""
+    h = _key_u64(t.column(keys[0]))
+    for c in keys[1:]:
+        h = h * np.uint64(0x9E3779B97F4A7C15) ^ _key_u64(t.column(c))
+    return h
+
+
 def equi_join(
     left,
     right,
     *,
-    on: str,
+    on: str | list[str],
     how: str = "inner",
     broadcast_max_rows: int = 2_000_000,
     partitions: int = DEFAULT_JOIN_PARTITIONS,
     suffix: str = "_r",
 ):
-    """Join two Datasets on one key column. ``how`` is ``inner`` or
-    ``left``. Output column order: all left columns, then right non-key
-    columns (suffixed on clash). Row multiplicity matches SQL join
-    semantics exactly (duplicate keys multiply)."""
-    if how not in ("inner", "left"):
+    """Join two Datasets on one or more key columns. ``how`` is ``inner``,
+    ``left``, or ``outer`` (FULL OUTER). Output column order: all left
+    columns, then right non-key columns (suffixed on clash). Row
+    multiplicity matches SQL join semantics exactly (duplicate keys
+    multiply).
+
+    ``outer`` always takes the bucketed path: the broadcast probe sees the
+    build side once PER LEFT BATCH, so it cannot emit each unmatched right
+    row exactly once — the keyed exchange can, because every key lives in
+    exactly one bucket."""
+    if how not in ("inner", "left", "outer"):
         raise ValueError(f"unsupported how={how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
 
     rschema = right.schema()
     lschema_w = left.schema()
@@ -92,12 +110,11 @@ def equi_join(
     rtype = {c: _arrow_type(t) for c, t in zip(rschema.names, rschema.types)}
     ltype = {c: _arrow_type(t) for c, t in zip(lschema_w.names, lschema_w.types)}
     ren = {
-        c: (c + suffix if (c in lnames and c != on) else c)
+        c: (c + suffix if (c in lnames and c not in keys) else c)
         for c in rnames
     }
 
-    n_right = right.count()
-    if n_right <= broadcast_max_rows:
+    if how != "outer" and right.count() <= broadcast_max_rows:
         import ray
 
         tables = [t for t in ray.get(right.to_arrow_refs()) if t.num_rows]
@@ -111,21 +128,21 @@ def equi_join(
 
         def probe(batch: pd.DataFrame) -> pd.DataFrame:
             build = ray.get(rref)  # zero-copy per node after first fetch
-            return batch.merge(build, on=on, how=how, sort=False)
+            return batch.merge(build, on=keys, how=how, sort=False)
 
         return left.map_batches(probe, batch_format="pandas")
 
     # -- bucketed big-big path -------------------------------------------
     # one union + one keyed exchange; each side fills the other's columns
     # with nulls (arrow validity bitmaps — cheap) so schemas unify
-    out_right = [ren[c] for c in rnames if c != on]
+    out_right = [ren[c] for c in rnames if c not in keys]
 
     ren_inv = {v: k for k, v in ren.items()}
 
     # canonical unified column order (union requires identical schemas):
     # left columns, right non-key columns (renamed), _pkey, _side
     def tag_left(t: pa.Table) -> pa.Table:
-        pkey = (_key_u64(t.column(on)) % np.uint64(partitions)).astype(np.int64)
+        pkey = (_keys_u64(t, keys) % np.uint64(partitions)).astype(np.int64)
         cols = {c: t.column(c) for c in lnames}
         for c in out_right:
             cols[c] = pa.nulls(t.num_rows, rtype[ren_inv[c]])
@@ -135,9 +152,9 @@ def equi_join(
 
     def tag_right(t: pa.Table) -> pa.Table:
         t = t.rename_columns([ren[c] for c in t.column_names])
-        pkey = (_key_u64(t.column(on)) % np.uint64(partitions)).astype(np.int64)
+        pkey = (_keys_u64(t, keys) % np.uint64(partitions)).astype(np.int64)
         cols = {
-            c: (t.column(on) if c == on else pa.nulls(t.num_rows, ltype[c]))
+            c: (t.column(c) if c in keys else pa.nulls(t.num_rows, ltype[c]))
             for c in lnames
         }
         for c in out_right:
@@ -153,16 +170,16 @@ def equi_join(
     # once split by _side each part is null-free again — cast back to the
     # source dtypes so join keys and values stay exact
     latypes = {c: ltype[c] for c in lnames}
-    ratypes = {on: ltype[on]}
+    ratypes = {c: ltype[c] for c in keys}
     ratypes.update({c: rtype[ren_inv[c]] for c in out_right})
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         li = g[g["_side"] == 0]
         ri = g[g["_side"] == 1]
         lpart = _cast_exact(li, lnames, latypes)
-        rpart = _cast_exact(ri, [on] + out_right, ratypes)
-        out = lpart.merge(rpart, on=on, how=how, sort=False, suffixes=("", suffix))
-        if how == "left":  # unmatched right ints: keep exact + nullable
+        rpart = _cast_exact(ri, keys + out_right, ratypes)
+        out = lpart.merge(rpart, on=keys, how=how, sort=False, suffixes=("", suffix))
+        if how != "inner":  # unmatched-side ints: keep exact + nullable
             out = _cast_exact(out, list(out.columns), {**latypes, **ratypes})
         return out
 

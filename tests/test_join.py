@@ -186,3 +186,60 @@ def test_bloom_has_no_false_negatives(ray_session):
     )
     fp = _bloom_probe(bm, m, absent).mean()
     assert fp < 0.05, fp
+
+
+def test_full_outer_join_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.join import equi_join
+
+    left, right = _frames(7)
+    got = equi_join(
+        rd.from_pandas(left).repartition(5),
+        rd.from_pandas(right).repartition(3),
+        on="k",
+        how="outer",
+    ).to_pandas()
+    exp = left.merge(right, on="k", how="outer", sort=False)
+    for c in ("k", "lv", "rv"):
+        got[c] = got[c].astype("float64")
+        exp[c] = exp[c].astype("float64")
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp))
+    # both unmatched directions must be present in this fixture
+    assert got["lv"].isna().any() and got["rv"].isna().any()
+
+
+@pytest.mark.parametrize("broadcast_max_rows", [1_000_000, 0])
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_composite_key_join_matches_pandas(ray_session, broadcast_max_rows, how):
+    import ray.data as rd
+
+    from abwcf_ray.stages.join import equi_join
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame(
+        {
+            "a": rng.integers(0, 8, 400).astype(np.int64),
+            "b": pd.Series(rng.integers(0, 6, 400)).map("s{}".format),
+            "lv": np.arange(400, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "a": rng.integers(0, 10, 90).astype(np.int64),
+            "b": pd.Series(rng.integers(0, 8, 90)).map("s{}".format),
+            "rv": np.arange(90, dtype=np.int64) * 7,
+        }
+    )
+    got = equi_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(3),
+        on=["a", "b"],
+        how=how,
+        broadcast_max_rows=broadcast_max_rows,
+    ).to_pandas()
+    exp = left.merge(right, on=["a", "b"], how=how, sort=False)
+    if how == "left":
+        got["rv"] = got["rv"].astype("float64")
+        exp["rv"] = exp["rv"].astype("float64")
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp))
