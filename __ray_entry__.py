@@ -858,6 +858,86 @@ def _q_orders_full_join(sf_dir: str):
     )
 
 
+def _q_orders_revenue_top(sf_dir: str):
+    """TPC-H Q3-style COMPOSED pipeline: semi-join (customers in the
+    BUILDING segment -> their orders) -> semi-join (their lineitems) ->
+    keyed revenue aggregate -> exact distributed top-10 by (revenue desc,
+    orderkey). Revenue is integer-exact: floor(price*100) and
+    floor(discount*100) are single IEEE ops computed identically in SQL,
+    then pure int64 arithmetic — so the whole four-operator composition
+    value-hashes against DuckDB."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+    from abwcf_ray.stages.join import semi_join
+    from abwcf_ray.stages.sample import topk_per_group
+
+    _quiet()
+    cust = (
+        rd.read_parquet(
+            str(Path(sf_dir) / "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"],
+        )
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
+        .map_batches(
+            lambda t: t.rename_columns(["o_custkey"]), batch_format="pyarrow"
+        )
+    )
+    orders = semi_join(
+        rd.read_parquet(
+            str(Path(sf_dir) / "orders.parquet"),
+            columns=["o_orderkey", "o_custkey"],
+        ),
+        cust,
+        on="o_custkey",
+    ).select_columns(["o_orderkey"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey"]), batch_format="pyarrow"
+    )
+    items = semi_join(
+        rd.read_parquet(
+            str(Path(sf_dir) / "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        ),
+        orders,
+        on="l_orderkey",
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        p = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        d = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "revenue": pa.array(p * (100 - d), pa.int64()),
+            }
+        )
+
+    agg = keyed_hash_agg(
+        items.map_batches(revenue, batch_format="pyarrow"),
+        lambda b: b.column("o_orderkey").to_numpy(zero_copy_only=False),
+        lambda g: g.groupby("o_orderkey", as_index=False).agg(
+            revenue=("revenue", "sum")
+        ),
+    ).map_batches(
+        lambda t: t.append_column("g", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )
+    out = topk_per_group(
+        agg, 10, group_col="g", score_col="revenue", id_col="o_orderkey"
+    ).to_pandas()
+    out["revenue"] = out["revenue"].astype("int64")
+    return (
+        out[["o_orderkey", "revenue"]]
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
 def _q_top_per_host(sf_dir: str):
     """Exact top-5 longest documents per host (the per-domain best-quality
     pick): two-level top-k — per-block prune to <=k per group, then one
@@ -1901,6 +1981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_left_join": _q_orders_left_join,
         "orders_left_join_bucketed": _q_orders_left_join_bucketed,
         "orders_full_join": _q_orders_full_join,
+        "orders_revenue_top": _q_orders_revenue_top,
         "user_running": _q_user_running,
         "doc_rank": _q_doc_rank,
         "lang_source_rollup": _q_lang_source_rollup,
@@ -2315,6 +2396,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
                        AS rank
             FROM documents
+        """,
+        "orders_revenue_top": """
+            WITH rev AS (
+                SELECT l_orderkey AS o_orderkey,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)
+                           * (100 - CAST(FLOOR(l_discount*100) AS BIGINT)))
+                           AS BIGINT) AS revenue
+                FROM lineitem
+                WHERE l_orderkey IN (
+                    SELECT o_orderkey FROM orders o
+                    JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_mktsegment = 'BUILDING')
+                GROUP BY l_orderkey
+            )
+            SELECT o_orderkey, revenue FROM rev
+            QUALIFY ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderkey) <= 10
         """,
         "orders_full_join": """
             SELECT COALESCE(o.o_orderkey, -1) AS o_orderkey,
