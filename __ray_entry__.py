@@ -1940,6 +1940,61 @@ def _q_pagerank_distributed(sf_dir: str):
     return out.to_pandas().sort_values("node").reset_index(drop=True)
 
 
+def _q_jsonl_roundtrip(sf_dir: str):
+    """Malformed-tolerant JSONL source (sources/jsonl.py) under a full SQL
+    value oracle: write ``documents`` out as JSONL shards (distributed
+    ``write_json``, one file per block), append a deterministic garbage
+    shard (truncated writer tail, binary junk, a non-object line — the
+    defect classes the source exists for), read it back with
+    ``read_jsonl``'s fixed-schema coercion, drop the ``_bad`` tombstones,
+    and aggregate by lang. sum_textlen goes through JSON string escaping
+    both ways, so the oracle checks text fidelity, not just row counts."""
+    import os
+
+    from abwcf_ray.sources.jsonl import read_jsonl
+
+    _quiet()
+    out_dir = f"/tmp/abwcf_jsonl_{Path(sf_dir).name}_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"]).write_json(out_dir)
+    with open(f"{out_dir}/zz_garbage.json", "w") as f:
+        f.write('{"doc_id": 999999999, "text": "truncated by a killed wr\n')
+        f.write("\x01\x02 not json at all\n")
+        f.write("[1, 2, 3]\n")
+
+    schema = {
+        "doc_id": pa.int64(),
+        "text": pa.string(),
+        "lang": pa.string(),
+        "n_chars": pa.int64(),
+    }
+
+    def clean_lens(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("_bad"), 0))
+        return b.append_column(
+            "text_len", pc.utf8_length(b.column("text")).cast(pa.int64())
+        )
+
+    ds = read_jsonl(out_dir, schema=schema).map_batches(
+        clean_lens, batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        ds.groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Sum("text_len", alias_name="sum_textlen"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return agg[["lang", "n_docs", "sum_chars", "sum_textlen"]]
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: the end-to-end crawl."""
     return _q_crawl("/root/testdata/sf0.001")
@@ -2026,6 +2081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degrees": _q_graph_degrees,
         "pagerank": _q_pagerank,
         "pagerank_distributed": _q_pagerank_distributed,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "crawl_wave": _q_crawl,
         "crawl_wave_cuckoo": _q_crawl_cuckoo,
     }
@@ -2104,6 +2160,12 @@ def oracle_sql() -> dict[str, str]:
         "host_histogram": f"""
             WITH frontier AS ({_FRONTIER_SQL})
             SELECT host, COUNT(*) AS n_pages FROM frontier GROUP BY host
+        """,
+        "jsonl_roundtrip": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_textlen
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "scope_filter": f"""
             WITH frontier AS ({_FRONTIER_SQL})
