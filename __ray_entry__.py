@@ -771,6 +771,19 @@ def _q_lang_source_rollup(sf_dir: str):
     return rollup_counts(ds, group_cols=["lang", "source"], sum_col="n_chars")
 
 
+def _q_lang_source_cube(sf_dir: str):
+    """CUBE aggregation (stages/rollup.cube_counts): doc count + total
+    chars at ALL FOUR subsets of (lang, source) — including the
+    rollup-unreachable (source)-only slice — still ONE pass over the rows
+    (every level derives from the shared merged finest table). Mirrors
+    GROUP BY CUBE(lang, source) with the GROUPING() bitmask."""
+    from abwcf_ray.stages.rollup import cube_counts
+
+    _quiet()
+    ds = _docs(sf_dir, ["lang", "source", "n_chars"])
+    return cube_counts(ds, group_cols=["lang", "source"], sum_col="n_chars")
+
+
 def _host_word_pairs(sf_dir: str):
     """documents -> exploded (host, word) rows: host from the standard
     doc_id % 97 derivation, words = whitespace tokens (the term_postings
@@ -2040,6 +2053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running": _q_user_running,
         "doc_rank": _q_doc_rank,
         "lang_source_rollup": _q_lang_source_rollup,
+        "lang_source_cube": _q_lang_source_cube,
         "host_distinct_terms": _q_host_distinct_terms,
         "host_distinct_hll": _q_host_distinct_hll,
         "orders_semi": _q_orders_semi,
@@ -2452,6 +2466,15 @@ def oracle_sql() -> dict[str, str]:
                        AS level
             FROM documents
             GROUP BY ROLLUP(lang, source)
+        """,
+        "lang_source_cube": """
+            SELECT COALESCE(lang, '*') AS lang,
+                   COALESCE(source, '*') AS source,
+                   CAST(COUNT(*) AS BIGINT) AS count,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+                   CAST(GROUPING(lang, source) AS BIGINT) AS grouping
+            FROM documents
+            GROUP BY CUBE(lang, source)
         """,
         "doc_rank": """
             SELECT doc_id, n_chars,

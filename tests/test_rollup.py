@@ -84,3 +84,58 @@ def test_single_group_col_count_only(ray_session):
     exp = df.groupby("a").size()
     for _, r in per.iterrows():
         assert r["count"] == exp[r["a"]]
+
+
+def _brute_cube(df):
+    from itertools import compress, product
+
+    rows = []
+    for mask in range(4):
+        keep = list(compress(["a", "b"], [not (mask & 2), not (mask & 1)]))
+        if keep:
+            g = df.groupby(keep, as_index=False).agg(
+                count=("v", "size"), sum_v=("v", "sum")
+            )
+        else:
+            g = pd.DataFrame([{"count": len(df), "sum_v": int(df["v"].sum())}])
+        for c in ("a", "b"):
+            if c not in keep:
+                g[c] = "*"
+        g["grouping"] = np.int64(mask)
+        rows.append(g[["a", "b", "count", "sum_v", "grouping"]])
+    out = pd.concat(rows, ignore_index=True)
+    out["count"] = out["count"].astype(np.int64)
+    out["sum_v"] = out["sum_v"].astype(np.int64)
+    return out.sort_values(["grouping", "a", "b"]).reset_index(drop=True)
+
+
+def test_cube_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.rollup import cube_counts
+
+    df = _frame(seed=7)
+    got = cube_counts(
+        rd.from_pandas(df).repartition(6), group_cols=["a", "b"], sum_col="v"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["a", "b", "count", "sum_v", "grouping"]], _brute_cube(df)
+    )
+
+
+def test_cube_layout_invariance(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.rollup import cube_counts
+
+    df = _frame(seed=13)
+    outs = [
+        cube_counts(
+            rd.from_pandas(df).repartition(p),
+            group_cols=["a", "b"],
+            sum_col="v",
+            merge_partitions=m,
+        ).reset_index(drop=True)
+        for p, m in ((1, 4), (9, 64))
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
