@@ -758,6 +758,47 @@ def _q_doc_rank(sf_dir: str):
     )
 
 
+def _q_user_rank_tiles(sf_dir: str):
+    """DENSE_RANK + NTILE over the keyed window exchange
+    (stages/winfun.keyed_window_functions): per user, events ranked
+    tie-aware by payload length (dense_rank increments on value change,
+    not row change — ts has heavy ties so the two genuinely differ) and
+    bucketed into quartiles with standard SQL NTILE fill (first cnt%4
+    buckets one row fatter). Same ONE hash(user)-keyed exchange as
+    user_running; all-int64."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.winfun import keyed_window_functions
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_id", "user_id", "props"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "plen": pc.utf8_length(t.column("props")).cast(pa.int64()),
+            }
+        )
+
+    out = keyed_window_functions(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id",
+        order_cols=["plen", "event_id"],
+        dense_rank_cols=["plen"],
+        ntile=4,
+    )
+    return (
+        out.to_pandas()[["event_id", "user_id", "plen", "dense_rank", "ntile"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_lang_source_rollup(sf_dir: str):
     """ROLLUP aggregation (stages/rollup.rollup_counts): doc count +
     total chars at (lang, source), (lang), and () granularities in ONE
@@ -2051,6 +2092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_full_join": _q_orders_full_join,
         "orders_revenue_top": _q_orders_revenue_top,
         "user_running": _q_user_running,
+        "user_rank_tiles": _q_user_rank_tiles,
         "doc_rank": _q_doc_rank,
         "lang_source_rollup": _q_lang_source_rollup,
         "lang_source_cube": _q_lang_source_cube,
@@ -2520,6 +2562,17 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "user_rank_tiles": """
+            SELECT event_id, user_id,
+                   CAST(length(props) AS BIGINT) AS plen,
+                   CAST(DENSE_RANK() OVER
+                        (PARTITION BY user_id ORDER BY length(props))
+                        AS BIGINT) AS dense_rank,
+                   CAST(NTILE(4) OVER
+                        (PARTITION BY user_id ORDER BY length(props), event_id)
+                        AS BIGINT) AS ntile
+            FROM events ORDER BY event_id
         """,
         "orders_semi": """
             SELECT o_orderkey, o_custkey FROM orders o

@@ -57,6 +57,8 @@ def keyed_window_functions(
     sum_col: str | None = None,
     lag_col: str | None = None,
     lag_sentinel: int = -1,
+    dense_rank_cols: list[str] | None = None,
+    ntile: int | None = None,
     partitions: int = DEFAULT_WINFUN_PARTITIONS,
 ):
     """Append per-key ordered window columns to ``ds``.
@@ -68,6 +70,15 @@ def keyed_window_functions(
       window, ROWS UNBOUNDED PRECEDING — exact int64.
     - ``lag_prev`` (if ``lag_col``): LAG(lag_col, 1) over the same window,
       ``lag_sentinel`` for each key's first row (COALESCE in the oracle).
+    - ``dense_rank`` (if ``dense_rank_cols``): DENSE_RANK() over the key
+      ordered by ``dense_rank_cols`` ONLY — a strict prefix of
+      ``order_cols`` (the remaining order cols are just the deterministic
+      tiebreak; dense rank is tie-aware by definition, so it increments on
+      value change, not row change).
+    - ``ntile`` (if ``ntile=t``): NTILE(t) over the full window order —
+      standard SQL bucketing (first ``cnt % t`` buckets get one extra
+      row), vectorized off group sizes; needs no second pass because each
+      key's rows are already whole in one shard.
 
     ``order_cols``, ``sum_col`` and ``lag_col`` must be integer-valued
     (cast timestamps to epoch microseconds upstream). Output rows are the
@@ -79,6 +90,12 @@ def keyed_window_functions(
         int_cols.append(sum_col)
     if lag_col is not None and lag_col not in int_cols:
         int_cols.append(lag_col)
+    if dense_rank_cols is not None and (
+        list(dense_rank_cols) != order_cols[: len(dense_rank_cols)]
+    ):
+        raise ValueError("dense_rank_cols must be a prefix of order_cols")
+    if ntile is not None and ntile < 1:
+        raise ValueError("ntile must be >= 1")
 
     def tag(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -114,6 +131,25 @@ def keyed_window_functions(
             prev[1:] = lv[:-1]
             prev[new] = lag_sentinel
             out["lag_prev"] = prev
+        if dense_rank_cols is not None:
+            chg = new.copy()
+            for c in dense_rank_cols:
+                v = out[c].to_numpy(np.int64)
+                chg[1:] |= v[1:] != v[:-1]
+            d = np.cumsum(chg)
+            out["dense_rank"] = d - d[start] + 1
+        if ntile is not None:
+            gid = np.cumsum(new) - 1
+            cnt = np.bincount(gid)[gid]
+            pos = idx - start  # 0-based row number within the key
+            q, r = cnt // ntile, cnt % ntile
+            thr = r * (q + 1)
+            # np.where evaluates both branches: clamp q to dodge a /0 on
+            # groups smaller than ntile (their rows all take the thr branch)
+            out["ntile"] = (
+                np.where(pos < thr, pos // (q + 1), r + (pos - thr) // np.maximum(q, 1))
+                + 1
+            )
         return out
 
     return (

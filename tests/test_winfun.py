@@ -130,3 +130,55 @@ def test_negative_values_exact(ray_session):
     exp = _brute(df, "k", ["ts", "id"], "v", "v")
     cols = ["id", "rn", "run_sum", "lag_prev"]
     pd.testing.assert_frame_equal(_canon(got)[cols], _canon(exp)[cols])
+
+
+def _brute_dense_ntile(df, key, rank_col, tiebreak, t):
+    df = df.sort_values([key, rank_col, tiebreak], kind="mergesort").reset_index(
+        drop=True
+    )
+    out = df.copy()
+    dense, tiles = [], []
+    for _, g in df.groupby(key, sort=False):
+        v = g[rank_col].to_numpy()
+        d = np.ones(len(g), np.int64)
+        d[1:] += np.cumsum(v[1:] != v[:-1])
+        dense.append(d)
+        cnt = len(g)
+        q, r = divmod(cnt, t)
+        buckets = []
+        for b in range(1, t + 1):
+            buckets.extend([b] * (q + (1 if b <= r else 0)))
+        tiles.append(np.array(buckets[:cnt], np.int64))
+    out["dense_rank"] = np.concatenate(dense)
+    out["ntile"] = np.concatenate(tiles)
+    return out
+
+
+@pytest.mark.parametrize("t", [1, 3, 4, 50])
+def test_dense_rank_and_ntile_match_brute_force(ray_session, t):
+    import ray.data as rd
+
+    df = _frame(seed=21)
+    got = keyed_window_functions(
+        rd.from_pandas(df).repartition(5),
+        key_col="k",
+        order_cols=["ts", "id"],
+        dense_rank_cols=["ts"],
+        ntile=t,
+        partitions=8,
+    ).to_pandas()
+    exp = _brute_dense_ntile(df, "k", "ts", "id", t)
+    cols = ["id", "k", "ts", "dense_rank", "ntile"]
+    pd.testing.assert_frame_equal(_canon(got)[cols], _canon(exp)[cols])
+
+
+def test_dense_rank_cols_must_prefix_order_cols(ray_session):
+    import ray.data as rd
+
+    with pytest.raises(ValueError):
+        keyed_window_functions(
+            rd.from_pandas(_frame(n=10)),
+            key_col="k",
+            order_cols=["ts", "id"],
+            dense_rank_cols=["id"],
+        )
