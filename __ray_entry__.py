@@ -812,6 +812,33 @@ def _q_lang_source_rollup(sf_dir: str):
     return rollup_counts(ds, group_cols=["lang", "source"], sum_col="n_chars")
 
 
+def _q_lang_source_stats(sf_dir: str):
+    """Grouped moment statistics (stages/stats.group_stats): per
+    (lang, source), exact int64 count/sum/sumsq/min/max of n_chars in ONE
+    combiner + keyed-merge pass, with mean and population variance as
+    SINGLE IEEE divisions of the exact moments — the SQL twin computes the
+    identical expressions (NOT var_pop(), whose Welford recurrence rounds
+    differently), so the float columns hash-match bit-for-bit."""
+    from abwcf_ray.stages.stats import group_stats
+
+    _quiet()
+    out = group_stats(
+        _docs(sf_dir, ["lang", "source", "n_chars"]),
+        group_cols=["lang", "source"],
+        value_col="n_chars",
+    ).to_pandas()
+    out = out.rename(
+        columns={
+            "count": "n_rows",
+            "sum": "sum_v",
+            "sumsq": "sumsq_v",
+            "min": "min_v",
+            "max": "max_v",
+        }
+    )
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
 def _q_lang_source_cube(sf_dir: str):
     """CUBE aggregation (stages/rollup.cube_counts): doc count + total
     chars at ALL FOUR subsets of (lang, source) — including the
@@ -2096,6 +2123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rank": _q_doc_rank,
         "lang_source_rollup": _q_lang_source_rollup,
         "lang_source_cube": _q_lang_source_cube,
+        "lang_source_stats": _q_lang_source_stats,
         "host_distinct_terms": _q_host_distinct_terms,
         "host_distinct_hll": _q_host_distinct_hll,
         "orders_semi": _q_orders_semi,
@@ -2517,6 +2545,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GROUPING(lang, source) AS BIGINT) AS grouping
             FROM documents
             GROUP BY CUBE(lang, source)
+        """,
+        "lang_source_stats": """
+            WITH m AS (
+                SELECT lang, source,
+                       CAST(COUNT(*) AS BIGINT) AS n_rows,
+                       CAST(SUM(n_chars) AS BIGINT) AS sum_v,
+                       CAST(SUM(n_chars * n_chars) AS BIGINT) AS sumsq_v,
+                       MIN(n_chars) AS min_v,
+                       MAX(n_chars) AS max_v
+                FROM documents GROUP BY lang, source
+            )
+            SELECT lang, source, n_rows, sum_v, sumsq_v, min_v, max_v,
+                   CAST(sum_v AS DOUBLE) / CAST(n_rows AS DOUBLE) AS mean,
+                   CAST(n_rows * sumsq_v - sum_v * sum_v AS DOUBLE)
+                       / CAST(n_rows * n_rows AS DOUBLE) AS var_pop
+            FROM m ORDER BY lang, source
         """,
         "doc_rank": """
             SELECT doc_id, n_chars,

@@ -1,0 +1,71 @@
+"""Grouped moment statistics (stages/stats.py): brute-force parity,
+layout invariance, exact float discipline on degenerate groups."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from abwcf_ray.stages.stats import group_stats
+
+
+def _frame(n=400, seed=9):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "a": rng.choice(["en", "de", "fr"], n),
+            "b": rng.choice(["w", "x", "y", "z"], n),
+            "v": rng.integers(-50, 200, n).astype(np.int64),
+        }
+    )
+
+
+def _brute(df):
+    g = df.groupby(["a", "b"], as_index=False).agg(
+        count=("v", "size"),
+        sum=("v", "sum"),
+        sumsq=("v", lambda s: int((s.to_numpy() ** 2).sum())),
+        min=("v", "min"),
+        max=("v", "max"),
+    )
+    for c in ("count", "sum", "sumsq", "min", "max"):
+        g[c] = g[c].astype(np.int64)
+    n = g["count"].to_numpy()
+    s = g["sum"].to_numpy()
+    sq = g["sumsq"].to_numpy()
+    g["mean"] = s.astype(np.float64) / n
+    g["var_pop"] = (n * sq - s * s).astype(np.float64) / (n * n).astype(np.float64)
+    return g.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _run(df, parts=6, merge=8):
+    import ray.data as rd
+
+    out = group_stats(
+        rd.from_pandas(df).repartition(parts),
+        group_cols=["a", "b"],
+        value_col="v",
+        merge_partitions=merge,
+    ).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def test_matches_brute_force(ray_session):
+    df = _frame()
+    got = _run(df)
+    cols = ["a", "b", "count", "sum", "sumsq", "min", "max", "mean", "var_pop"]
+    pd.testing.assert_frame_equal(got[cols], _brute(df)[cols])
+
+
+def test_layout_invariance_bit_exact(ray_session):
+    df = _frame(seed=17)
+    a = _run(df, parts=1, merge=4)
+    b = _run(df, parts=11, merge=64)
+    pd.testing.assert_frame_equal(a, b)  # exact, incl. float bits
+
+
+def test_single_row_groups_zero_variance(ray_session):
+    df = pd.DataFrame({"a": ["p", "q"], "b": ["r", "s"], "v": [7, -3]})
+    got = _run(df, parts=2, merge=2)
+    assert (got["var_pop"] == 0.0).all()
+    assert (got["mean"] == got["v" if "v" in got else "sum"].astype(float)).all()
