@@ -812,6 +812,56 @@ def _q_lang_source_rollup(sf_dir: str):
     return rollup_counts(ds, group_cols=["lang", "source"], sum_col="n_chars")
 
 
+def _lang_bigrams(sf_dir: str, lang: str):
+    """documents -> one exploded ``w`` column of consecutive-token BIGRAMS
+    from the given language's docs. Bigrams, not unigrams, on purpose: the
+    fixture corpus draws every language from ONE 31-token vocabulary, so
+    unigram sets are identical across languages (set ops degenerate);
+    bigram coverage differs per language. Vectorized: findall-explode +
+    per-doc groupby shift — no per-row Python."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        ex = pdf.loc[pdf["lang"] == lang, "text"].str.findall(r"\S+").explode()
+        nxt = ex.groupby(level=0).shift(-1)
+        big = (ex + " " + nxt).dropna()
+        return pa.table({"w": pa.array(big.to_numpy(), pa.string())})
+
+    return _docs(sf_dir, ["text", "lang"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def _q_bigram_setop(sf_dir: str, op: str):
+    from abwcf_ray.stages.setops import set_op
+
+    _quiet()
+    out = set_op(
+        _lang_bigrams(sf_dir, "en"),
+        _lang_bigrams(sf_dir, "de"),
+        op=op,
+        key_cols=["w"],
+    ).to_pandas()
+    if out.empty:  # empty Datasets surface with no columns
+        return pd.DataFrame({"w": pd.Series([], dtype=object)})
+    return out.sort_values("w").reset_index(drop=True)
+
+
+def _q_bigram_intersect(sf_dir: str):
+    """Distributed INTERSECT DISTINCT (stages/setops.set_op): bigrams the
+    English and German slices share — per-batch distinct combiner,
+    plan-level union, ONE keyed tuple exchange, per-partition presence-flag
+    merge. Mirrors SQL INTERSECT exactly."""
+    return _q_bigram_setop(sf_dir, "intersect")
+
+
+def _q_bigram_except(sf_dir: str):
+    """Distributed EXCEPT DISTINCT (stages/setops.set_op): bigrams only
+    the English slice has. Same shape as bigram_intersect; mirrors SQL
+    EXCEPT exactly."""
+    return _q_bigram_setop(sf_dir, "except")
+
+
 def _q_lang_source_stats(sf_dir: str):
     """Grouped moment statistics (stages/stats.group_stats): per
     (lang, source), exact int64 count/sum/sumsq/min/max of n_chars in ONE
@@ -2124,6 +2174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_rollup": _q_lang_source_rollup,
         "lang_source_cube": _q_lang_source_cube,
         "lang_source_stats": _q_lang_source_stats,
+        "bigram_intersect": _q_bigram_intersect,
+        "bigram_except": _q_bigram_except,
         "host_distinct_terms": _q_host_distinct_terms,
         "host_distinct_hll": _q_host_distinct_hll,
         "orders_semi": _q_orders_semi,
@@ -2561,6 +2613,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_rows * sumsq_v - sum_v * sum_v AS DOUBLE)
                        / CAST(n_rows * n_rows AS DOUBLE) AS var_pop
             FROM m ORDER BY lang, source
+        """,
+        "bigram_intersect": r"""
+            WITH en AS (SELECT regexp_extract_all(text, '\S+') AS l
+                        FROM documents WHERE lang = 'en'),
+                 de AS (SELECT regexp_extract_all(text, '\S+') AS l
+                        FROM documents WHERE lang = 'de')
+            SELECT unnest([l[i] || ' ' || l[i+1]
+                           FOR i IN generate_series(1, len(l)-1)]) AS w
+            FROM en
+            INTERSECT
+            SELECT unnest([l[i] || ' ' || l[i+1]
+                           FOR i IN generate_series(1, len(l)-1)]) AS w
+            FROM de
+            ORDER BY w
+        """,
+        "bigram_except": r"""
+            WITH en AS (SELECT regexp_extract_all(text, '\S+') AS l
+                        FROM documents WHERE lang = 'en'),
+                 de AS (SELECT regexp_extract_all(text, '\S+') AS l
+                        FROM documents WHERE lang = 'de')
+            SELECT unnest([l[i] || ' ' || l[i+1]
+                           FOR i IN generate_series(1, len(l)-1)]) AS w
+            FROM en
+            EXCEPT
+            SELECT unnest([l[i] || ' ' || l[i+1]
+                           FOR i IN generate_series(1, len(l)-1)]) AS w
+            FROM de
+            ORDER BY w
         """,
         "doc_rank": """
             SELECT doc_id, n_chars,

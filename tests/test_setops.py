@@ -1,0 +1,84 @@
+"""Distributed set operations (stages/setops.py): brute-force parity on
+all three ops, duplicate collapse, layout invariance, composite keys."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from abwcf_ray.stages.setops import set_op
+
+
+def _frames(seed=3, n=300):
+    rng = np.random.default_rng(seed)
+    mk = lambda m: pd.DataFrame(
+        {
+            "a": rng.choice(["u", "v", "w", "x", "y"], m),
+            "b": rng.integers(0, 12, m).astype(np.int64),
+        }
+    )
+    return mk(n), mk(n // 2)
+
+
+def _brute(l, r, op):
+    ls = set(map(tuple, l[["a", "b"]].itertuples(index=False)))
+    rs = set(map(tuple, r[["a", "b"]].itertuples(index=False)))
+    got = {
+        "intersect": ls & rs,
+        "except": ls - rs,
+        "union": ls | rs,
+    }[op]
+    return (
+        pd.DataFrame(sorted(got), columns=["a", "b"])
+        .astype({"b": np.int64})
+        .reset_index(drop=True)
+    )
+
+
+def _run(l, r, op, pl=5, pr=3, m=8):
+    import ray.data as rd
+
+    out = set_op(
+        rd.from_pandas(l).repartition(pl),
+        rd.from_pandas(r).repartition(pr),
+        op=op,
+        key_cols=["a", "b"],
+        partitions=m,
+    ).to_pandas()
+    if out.empty:  # empty Datasets surface with no columns
+        return out
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("op", ["intersect", "except", "union"])
+def test_matches_brute_force(ray_session, op):
+    l, r = _frames()
+    pd.testing.assert_frame_equal(_run(l, r, op), _brute(l, r, op))
+
+
+@pytest.mark.parametrize("op", ["intersect", "except"])
+def test_layout_invariance(ray_session, op):
+    l, r = _frames(seed=11)
+    a = _run(l, r, op, pl=1, pr=1, m=4)
+    b = _run(l, r, op, pl=9, pr=7, m=64)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_disjoint_and_identical(ray_session):
+    l = pd.DataFrame({"a": ["p", "q"], "b": np.array([1, 2], np.int64)})
+    r = pd.DataFrame({"a": ["z"], "b": np.array([9], np.int64)})
+    assert len(_run(l, r, "intersect", pl=1, pr=1, m=2)) == 0
+    pd.testing.assert_frame_equal(
+        _run(l, l, "intersect", pl=1, pr=1, m=2),
+        l.sort_values(["a", "b"]).reset_index(drop=True),
+    )
+    assert len(_run(l, l, "except", pl=1, pr=1, m=2)) == 0
+
+
+def test_bad_op_rejected(ray_session):
+    import ray.data as rd
+
+    l = rd.from_items([{"a": "x", "b": 1}])
+    with pytest.raises(ValueError):
+        set_op(l, l, op="minus", key_cols=["a", "b"])
