@@ -2126,6 +2126,21 @@ def _q_jsonl_roundtrip(sf_dir: str):
     return agg[["lang", "n_docs", "sum_chars", "sum_textlen"]]
 
 
+def _q_triangles(sf_dir: str):
+    """Exact triangle count of the undirected link graph
+    (stages/graph.triangle_count): degree-oriented wedge-check — canonical
+    distinct edges, (deg, id) orientation via two equi_joins, per-apex
+    vectorized combination explode combined to wedge counts, one closing-
+    edge co-partition probe. The SQL twin is the canonical three-way
+    self-join on the same lo<hi edge set."""
+    from abwcf_ray.stages.graph import triangle_count
+
+    _quiet()
+    edges, _n = _graph_edges(sf_dir)
+    t = triangle_count(edges)
+    return pd.DataFrame({"n_triangles": np.array([t], np.int64)})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: the end-to-end crawl."""
     return _q_crawl("/root/testdata/sf0.001")
@@ -2217,6 +2232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degrees": _q_graph_degrees,
         "pagerank": _q_pagerank,
         "pagerank_distributed": _q_pagerank_distributed,
+        "triangles": _q_triangles,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "crawl_wave": _q_crawl,
         "crawl_wave_cuckoo": _q_crawl_cuckoo,
@@ -3350,6 +3366,17 @@ def oracle_sql() -> dict[str, str]:
                         AND bullet_line_frac <= 0.9
                         AND ellipsis_line_frac <= 0.3 AS BIGINT) AS gopher_pass
             FROM scored
+        """,
+        "triangles": f"""
+            WITH edges AS ({_GRAPH_EDGES_SQL}),
+            und AS (
+                SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+                FROM edges
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM und a
+            JOIN und b ON b.lo = a.hi
+            JOIN und c ON c.lo = a.lo AND c.hi = b.hi
         """,
         "graph_degrees": f"""
             WITH edges AS ({_GRAPH_EDGES_SQL}),

@@ -575,3 +575,208 @@ def make_host_rank_priority(host_rank_df, *, default_rank: int = 0):
         return np.where(hs[pos] == h, ranks[pos], np.int64(default_rank))
 
     return priority_fn
+
+
+def triangle_count(
+    edges,
+    *,
+    partitions: int = 64,
+) -> int:
+    """Exact triangle count of the UNDIRECTED simple graph induced by an
+    (src, dst) edge Dataset (self-loops dropped, duplicate/reciprocal
+    edges collapsed).
+
+    The classic degree-oriented wedge-check (node-iterator++ / the
+    MapReduce shape of Suri & Vassilvitskii 2011), expressed as three
+    keyed exchanges — never an all-pairs anything:
+
+    1. *canonicalize*: per-batch (lo, hi) dedupe (combiner), then a
+       hash(lo, hi)-keyed exchange settles GLOBAL distinct edges (each
+       pair lives in exactly one partition — the pair-hash idiom from
+       stages/distinct.py).
+    2. *orient by degree*: undirected degrees via one keyed merge
+       (exchange O(nodes)); each edge is oriented low-(deg, id) ->
+       high-(deg, id), attached with two equi_joins (broadcast regime
+       under the join's row bound, bucketed big-big above — stages/
+       join.py picks per input). Degree orientation caps every node's
+       OUT-degree at O(sqrt(m)), so the wedge explode below is bounded
+       even on power-law graphs where an id-orientation would explode
+       at the hubs.
+    3. *wedges + closing probe*: a hash(u)-keyed exchange lands each
+       node's out-neighborhood whole; per partition, one vectorized
+       combination explode emits each out-pair (a, b) in orientation
+       order, pre-combined to (a, b, n_wedges) counts (the combiner —
+       repeated wedges collapse before the wire). A triangle's closing
+       edge {a, b} is itself oriented a -> b, so ONE final hash(a, b)
+       co-partition of wedge counts with oriented edges scores
+       sum(n_wedges where the edge exists). Each triangle is counted
+       exactly once, at its unique minimum-(deg, id) apex.
+
+    Exchange budget: edges cross 4 exchanges (distinct, 2 joins in the
+    bucketed regime, wedge/probe); wedge volume is sum-over-u C(d+(u),2)
+    <= O(m^1.5) worst case, combined per partition before the exchange.
+    Returns the exact count as a python int (the only driver-side value).
+    """
+    import ray.data  # noqa: F401  (Dataset ops used via the inputs)
+
+    from abwcf_ray.functions.hashing import hash64
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+    from abwcf_ray.stages.join import equi_join
+
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    # -- 1. canonical distinct undirected edges ------------------------
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = _edge_arrays(t)
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        keep = lo != hi
+        g = pd.DataFrame({"lo": lo[keep], "hi": hi[keep]}).drop_duplicates()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def pair_key(b: pa.Table) -> np.ndarray:
+        lo = b.column("lo").to_numpy(zero_copy_only=False).view(np.uint64)
+        hi = b.column("hi").to_numpy(zero_copy_only=False).view(np.uint64)
+        return lo * GOLD ^ hi
+
+    und = keyed_hash_agg(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        pair_key,
+        lambda g: g.drop_duplicates(),
+        partitions=partitions,
+    )
+
+    # -- 2. degrees + (deg, id) orientation ----------------------------
+    def deg_partial(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").to_numpy(zero_copy_only=False)
+        hi = t.column("hi").to_numpy(zero_copy_only=False)
+        n, c = _sparse_sum(
+            np.concatenate([lo, hi]),
+            np.ones(2 * t.num_rows, np.int64),
+        )
+        return pa.table({"node": pa.array(n, pa.int64()), "deg": pa.array(c)})
+
+    deg = keyed_hash_agg(
+        und.map_batches(deg_partial, batch_format="pyarrow"),
+        lambda b: b.column("node").to_numpy(zero_copy_only=False).view(np.uint64)
+        * GOLD,
+        lambda g: g.groupby("node", as_index=False, sort=False).agg(
+            deg=("deg", "sum")
+        ),
+        partitions=partitions,
+    )
+
+    def ren(c_from: str, c_to: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [c_to if c == "node" else (c_from if c == "deg" else c) for c in t.column_names]
+            )
+
+        return f
+
+    j = equi_join(
+        und, deg.map_batches(ren("deg_lo", "lo"), batch_format="pyarrow"), on="lo"
+    )
+    j = equi_join(
+        j, deg.map_batches(ren("deg_hi", "hi"), batch_format="pyarrow"), on="hi"
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = t.column("hi").to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = t.column("deg_lo").to_numpy(zero_copy_only=False).astype(np.int64)
+        dh = t.column("deg_hi").to_numpy(zero_copy_only=False).astype(np.int64)
+        lo_first = (dl < dh) | ((dl == dh) & (lo < hi))
+        u = np.where(lo_first, lo, hi)
+        v = np.where(lo_first, hi, lo)
+        dv = np.where(lo_first, dh, dl)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "deg_v": pa.array(dv, pa.int64()),
+            }
+        )
+
+    oriented = j.map_batches(orient, batch_format="pyarrow")
+
+    # -- 3. wedge explode (per-apex combination pairs) + closing probe --
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=np.int64),
+                    "b": pd.Series([], dtype=np.int64),
+                    "n_wedges": pd.Series([], dtype=np.int64),
+                }
+            )
+        # orientation order within each apex: (deg_v, v) ascending, so a
+        # pair (a, b) comes out with (deg_a, a) < (deg_b, b) — the exact
+        # orientation of its closing edge if that edge exists
+        g = g.sort_values(["u", "deg_v", "v"], kind="mergesort")
+        u = g["u"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        n = len(g)
+        newu = np.empty(n, bool)
+        newu[0] = True
+        np.not_equal(u[1:], u[:-1], out=newu[1:])
+        idx = np.arange(n, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(newu, idx, 0))
+        gid = np.cumsum(newu) - 1
+        size = np.bincount(gid)[gid]
+        reps = size - (idx - start) - 1  # pairs where this row is 'a'
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=np.int64),
+                    "b": pd.Series([], dtype=np.int64),
+                    "n_wedges": pd.Series([], dtype=np.int64),
+                }
+            )
+        first = np.repeat(idx, reps)
+        c = np.concatenate([[0], np.cumsum(reps)])
+        k = np.arange(total, dtype=np.int64) - np.repeat(c[:-1], reps)
+        second = first + 1 + k
+        w = pd.DataFrame({"a": v[first], "b": v[second]})
+        return w.groupby(["a", "b"], as_index=False, sort=False).agg(
+            n_wedges=("a", "size")
+        )
+
+    def u_key(b: pa.Table) -> np.ndarray:
+        return b.column("u").to_numpy(zero_copy_only=False).view(np.uint64) * GOLD
+
+    wedge_counts = keyed_hash_agg(oriented, u_key, wedges, partitions=partitions)
+
+    def edge_flag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": t.column("u"),
+                "b": t.column("v"),
+                "n_wedges": pa.array(np.zeros(t.num_rows, np.int64)),
+                "is_edge": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    def wedge_flag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_edge", pa.array(np.zeros(t.num_rows, np.int64))
+        )
+
+    both = wedge_counts.map_batches(wedge_flag, batch_format="pyarrow").union(
+        oriented.map_batches(edge_flag, batch_format="pyarrow")
+    )
+
+    def ab_key(b: pa.Table) -> np.ndarray:
+        a = b.column("a").to_numpy(zero_copy_only=False).view(np.uint64)
+        bb = b.column("b").to_numpy(zero_copy_only=False).view(np.uint64)
+        return a * GOLD ^ bb
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["a", "b"], as_index=False, sort=False).agg(
+            n_wedges=("n_wedges", "sum"), is_edge=("is_edge", "max")
+        )
+        tri = int(m.loc[m["is_edge"] == 1, "n_wedges"].sum())
+        return pd.DataFrame({"tri": np.array([tri], np.int64)})
+
+    parts = keyed_hash_agg(both, ab_key, score, partitions=partitions).to_pandas()
+    return int(parts["tri"].sum())

@@ -222,3 +222,67 @@ def test_host_pagerank_from_real_crawl(ray_session, tmp_path):
     assert len(out) > 1
     assert (out["rank_scaled"] > 0).all()
     assert out["rank_scaled"].is_monotonic_decreasing
+
+
+def _tri_brute(edges_df, n):
+    """trace(A^3)/6 on the dense undirected simple adjacency."""
+    A = np.zeros((n, n), np.int64)
+    for s, d in edges_df.itertuples(index=False):
+        if s != d:
+            A[s, d] = 1
+            A[d, s] = 1
+    return int(np.trace(A @ A @ A) // 6)
+
+
+def test_triangle_count_brute_force(ray_session):
+    import pandas as pd
+
+    from abwcf_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(19)
+    n = 40
+    e = pd.DataFrame(
+        {
+            "src": rng.integers(0, n, 500).astype(np.int64),
+            "dst": rng.integers(0, n, 500).astype(np.int64),
+        }
+    )
+    got = triangle_count(rd.from_pandas(e).repartition(7), partitions=8)
+    assert got == _tri_brute(e, n)
+
+
+def test_triangle_count_known_graphs(ray_session):
+    import pandas as pd
+
+    from abwcf_ray.stages.graph import triangle_count
+
+    # K5: C(5,3) = 10 triangles; input deliberately noisy — duplicates,
+    # reciprocals, self-loops — the canonicalize step must absorb all
+    k5 = [(i, j) for i in range(5) for j in range(5) if i != j]
+    noisy = k5 + k5[:7] + [(2, 2), (4, 4)]
+    e = pd.DataFrame(noisy, columns=["src", "dst"]).astype(np.int64)
+    assert triangle_count(rd.from_pandas(e).repartition(3), partitions=4) == 10
+
+    # star graph: no triangles
+    star = pd.DataFrame(
+        {"src": np.zeros(20, np.int64), "dst": np.arange(1, 21, dtype=np.int64)}
+    )
+    assert triangle_count(rd.from_pandas(star), partitions=4) == 0
+
+
+def test_triangle_count_layout_invariance(ray_session):
+    import pandas as pd
+
+    from abwcf_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(23)
+    n = 60
+    e = pd.DataFrame(
+        {
+            "src": rng.integers(0, n, 900).astype(np.int64),
+            "dst": rng.integers(0, n, 900).astype(np.int64),
+        }
+    )
+    a = triangle_count(rd.from_pandas(e).repartition(1), partitions=4)
+    b = triangle_count(rd.from_pandas(e).repartition(11), partitions=64)
+    assert a == b == _tri_brute(e, n)
