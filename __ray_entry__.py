@@ -799,6 +799,42 @@ def _q_user_rank_tiles(sf_dir: str):
     )
 
 
+def _q_funnel(sf_dir: str):
+    """Funnel analysis (stages/funnel.funnel_counts): users completing
+    view -> click -> purchase as an ORDERED subsequence of their event
+    history — one hash(user)-keyed exchange, per-shard vectorized greedy
+    earliest-match (one segmented-min per funnel step, no per-user loop).
+    The SQL twin chains per-step MIN(rn) subqueries over the same
+    (ts, event_id) ordering."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.funnel import funnel_counts
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    return funnel_counts(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        user_col="user_id",
+        order_cols=["ts_us", "event_id"],
+        type_col="event_type",
+        steps=["view", "click", "purchase"],
+    )
+
+
 def _q_lang_source_rollup(sf_dir: str):
     """ROLLUP aggregation (stages/rollup.rollup_counts): doc count +
     total chars at (lang, source), (lang), and () granularities in ONE
@@ -2185,6 +2221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_revenue_top": _q_orders_revenue_top,
         "user_running": _q_user_running,
         "user_rank_tiles": _q_user_rank_tiles,
+        "funnel": _q_funnel,
         "doc_rank": _q_doc_rank,
         "lang_source_rollup": _q_lang_source_rollup,
         "lang_source_cube": _q_lang_source_cube,
@@ -2702,6 +2739,33 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "funnel": """
+            WITH pos AS (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            s1 AS (SELECT user_id, MIN(rn) AS r1 FROM pos
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT pos.user_id, MIN(rn) AS r2 FROM pos
+                   JOIN s1 USING (user_id)
+                   WHERE event_type = 'click' AND rn > r1
+                   GROUP BY pos.user_id),
+            s3 AS (SELECT pos.user_id, MIN(rn) AS r3 FROM pos
+                   JOIN s2 USING (user_id)
+                   WHERE event_type = 'purchase' AND rn > r2
+                   GROUP BY pos.user_id)
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_type,
+                   CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'click',
+                   CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'purchase',
+                   CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+            ORDER BY step
         """,
         "user_rank_tiles": """
             SELECT event_id, user_id,
