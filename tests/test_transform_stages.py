@@ -60,7 +60,7 @@ def test_normalize_stage_matches_scalar_kernel():
         max_size=60,
     )
 )
-@settings(max_examples=300)
+@settings(max_examples=300, deadline=None)
 def test_normalize_fast_path_agrees(s):
     """Anything the canonical fast-path regex accepts must be a fixed point
     of the full normalizer under EVERY config."""
@@ -83,7 +83,7 @@ _seg = st.text(alphabet=string.ascii_letters + string.digits + "_-", min_size=1,
     segs=st.lists(_seg, min_size=0, max_size=5),
     trailing=st.booleans(),
 )
-@settings(max_examples=300)
+@settings(max_examples=300, deadline=None)
 def test_normalize_fast_path_agrees_dense(scheme, host, segs, trailing):
     """Component-wise generator: every url built from the canonical grammar
     (which the fast-path regex accepts by construction) is a fixed point of
@@ -274,7 +274,7 @@ def test_bucketed_robots_filter_matches_broadcast(ray_session):
     ),
     trailing=st.booleans(),
 )
-@settings(max_examples=400)
+@settings(max_examples=400, deadline=None)
 def test_normalize_rescue_pass_matches_scalar(scheme, host, port, segs, trailing):
     """The vectorized rescue pass (lowercase scheme/host, default-port
     strip, ''->'/' path) must agree with normalize_url for every config —

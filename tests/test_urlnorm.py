@@ -78,7 +78,7 @@ def test_batch_matches_scalar():
 
 
 @given(st.sampled_from([v[0] for v in VECTORS]))
-@settings(max_examples=30)
+@settings(max_examples=30, deadline=None)
 def test_idempotence(url):
     once = normalize_url(url, STRICT_NORMALIZATION)
     assert once is not None
