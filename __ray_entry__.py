@@ -2107,6 +2107,53 @@ def _q_pagerank_distributed(sf_dir: str):
     return out.to_pandas().sort_values("node").reset_index(drop=True)
 
 
+def _seed_nodes(sf_dir: str):
+    """Deterministic BFS seed set: every 17th doc (same derivation inline
+    in the bfs_hops SQL oracle — the _GRAPH_EDGES_SQL shared-synthesis
+    pattern)."""
+    def pick(b: pa.Table) -> pa.Table:
+        node = b.column("node").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(node[node % 17 == 0], pa.int64())})
+
+    return _graph_nodes(sf_dir).map_batches(pick, batch_format="pyarrow")
+
+
+def _q_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distance from the seed set over the link
+    graph, capped at 4 hops, BROADCAST regime (dense int64 distance
+    vector in the object store; edges stream, each round emits only
+    improving relaxations). Fixed synchronous rounds of integer min
+    relaxation make the result exactly SQL-expressible — the oracle
+    mirrors the rounds with chained CTEs."""
+    from abwcf_ray.stages.graph import bfs_hops
+
+    _quiet()
+    edges, n = _graph_edges(sf_dir)
+    out = bfs_hops(edges, _seed_nodes(sf_dir), n_nodes=n, max_hops=4)
+    return out.to_pandas().sort_values("node").reset_index(drop=True)
+
+
+def _q_bfs_hops_distributed(sf_dir: str):
+    """Same BFS forced onto the DISTRIBUTED regime (distances are rows;
+    two keyed exchanges per round, nothing graph-sized on the driver) —
+    the same value oracle covers it because integer min relaxation is
+    bit-identical across regimes (pytest pins regime parity too)."""
+    from abwcf_ray.stages.graph import bfs_hops
+
+    _quiet()
+    edges, n = _graph_edges(sf_dir)
+    out = bfs_hops(
+        edges,
+        _seed_nodes(sf_dir),
+        n_nodes=n,
+        nodes_ds=_graph_nodes(sf_dir),
+        max_hops=4,
+        broadcast_max_nodes=0,
+        merge_partitions=16,
+    )
+    return out.to_pandas().sort_values("node").reset_index(drop=True)
+
+
 def _q_jsonl_roundtrip(sf_dir: str):
     """Malformed-tolerant JSONL source (sources/jsonl.py) under a full SQL
     value oracle: write ``documents`` out as JSONL shards (distributed
@@ -2269,6 +2316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degrees": _q_graph_degrees,
         "pagerank": _q_pagerank,
         "pagerank_distributed": _q_pagerank_distributed,
+        "bfs_hops": _q_bfs_hops,
+        "bfs_hops_distributed": _q_bfs_hops_distributed,
         "triangles": _q_triangles,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "crawl_wave": _q_crawl,
@@ -2318,6 +2367,46 @@ def _pagerank_sql(iters: int = 5) -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT node, rank AS rank_scaled FROM {prev}"
+    )
+
+
+def _bfs_hops_sql(max_hops: int = 4) -> str:
+    """Chained-CTE mirror of stages/graph.bfs_hops: one CTE per
+    synchronous min-relaxation round, sentinel S = max_hops + 1 for
+    unreached, all arithmetic integer so it hash-matches the engine
+    bit-for-bit."""
+    S = max_hops + 1
+    ctes = [
+        f"edges AS ({_GRAPH_EDGES_SQL})",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        f"""d0 AS (
+            SELECT node,
+                   CAST(CASE WHEN node % 17 = 0 THEN 0 ELSE {S} END AS BIGINT) AS hops
+            FROM nodes
+        )""",
+    ]
+    prev = "d0"
+    for i in range(1, max_hops + 1):
+        ctes.append(
+            f"""d{i} AS (
+                SELECT p.node,
+                       CAST(LEAST(p.hops, COALESCE(m.nh, {S})) AS BIGINT) AS hops
+                FROM {prev} p LEFT JOIN (
+                    SELECT e.dst AS node, MIN(q.hops + 1) AS nh
+                    FROM edges e
+                    JOIN {prev} q ON q.node = e.src AND q.hops < {S}
+                    GROUP BY e.dst
+                ) m ON m.node = p.node
+            )"""
+        )
+        prev = f"d{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT node,
+               CAST(CASE WHEN hops >= {S} THEN -1 ELSE hops END AS BIGINT) AS hops
+        FROM {prev}"""
     )
 
 
@@ -3456,4 +3545,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(5),
         "pagerank_distributed": _pagerank_sql(5),
+        "bfs_hops": _bfs_hops_sql(4),
+        "bfs_hops_distributed": _bfs_hops_sql(4),
     }

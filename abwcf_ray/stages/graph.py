@@ -780,3 +780,271 @@ def triangle_count(
 
     parts = keyed_hash_agg(both, ab_key, score, partitions=partitions).to_pandas()
     return int(parts["tri"].sum())
+
+
+# --------------------------------------------------------------------------
+# multi-source BFS hop distance
+# --------------------------------------------------------------------------
+def _sparse_min(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact int64 segment MIN of vals by key (sort + minimum.reduceat —
+    the min twin of :func:`_sparse_sum`)."""
+    if len(keys) == 0:
+        return keys, vals
+    order = np.argsort(keys, kind="stable")
+    k = keys[order]
+    v = vals[order]
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    return k[starts], np.minimum.reduceat(v, starts)
+
+
+def _bfs_broadcast(edges_m, n_nodes: int, seed_idx: np.ndarray, max_hops: int):
+    """Broadcast regime: the distance vector is ONE dense int64 array in
+    the object store per round; edges stream, each batch emits only the
+    IMPROVING candidates (dist[src]+1 < dist[dst]) pre-combined by a
+    sparse per-batch min, and the keyed-partition merge settles per-node
+    mins whose driver-bound output is <= n_frontier rows. Rounds where no
+    edge improves end the walk early — the fixed-round result is
+    identical because min-propagation is monotone."""
+    import ray
+
+    from abwcf_ray.stages.dedup import _int_pkey
+
+    P = GRAPH_MERGE_PARTITIONS
+    S = max_hops + 1  # sentinel: unreached within max_hops
+    dist = np.full(n_nodes, S, np.int64)
+    dist[seed_idx] = 0
+
+    def merge_mins(g: pd.DataFrame) -> pd.DataFrame:
+        k, v = _sparse_min(g["node"].to_numpy(), g["h"].to_numpy())
+        return pd.DataFrame({"node": k, "h": v})
+
+    for _ in range(max_hops):
+        ref = ray.put(dist)
+
+        def relax_partial(batch: pa.Table, *, _ref=ref) -> pa.Table:
+            d = ray.get(_ref)  # zero-copy shared-memory read per task
+            src, dst = _edge_arrays(batch)
+            cand = d[src] + 1
+            imp = cand < d[dst]
+            k, v = _sparse_min(dst[imp], cand[imp])
+            return pa.table(
+                {
+                    "pkey": pa.array(_int_pkey(k, P), pa.int64()),
+                    "node": pa.array(k, pa.int64()),
+                    "h": pa.array(v, pa.int64()),
+                }
+            )
+
+        agg = (
+            edges_m.map_batches(relax_partial, batch_format="pyarrow")
+            .groupby("pkey")
+            .map_groups(merge_mins, batch_format="pandas")
+        )
+        changed = False
+        for b in agg.iter_batches(batch_format="pyarrow"):
+            nd = b.column("node").to_numpy(zero_copy_only=False)
+            h = b.column("h").to_numpy(zero_copy_only=False)
+            np.minimum.at(dist, nd, h)
+            changed = changed or len(nd) > 0
+        if not changed:
+            break
+    return dist
+
+
+def _bfs_distributed(
+    edges_m, nodes_ds, seeds_ds, max_hops: int, partitions: int
+):
+    """Distributed regime: distances are rows; each round is the
+    ``_pagerank_distributed`` two-exchange message-passing shape with MIN
+    in place of SUM — distance rows meet edges in hash(src) partitions
+    (sentinel dst = -1 marks a distance row), relaxed candidates are
+    pre-combined per partition, and a hash(dst) exchange settles the new
+    per-node min against the carried current distance. Nothing
+    graph-sized ever reaches the driver."""
+    from abwcf_ray.stages.dedup import _int_pkey
+
+    P = partitions
+    S = max_hops + 1
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        src, dst = _edge_arrays(batch)
+        return pa.table(
+            {
+                "skey": pa.array(_int_pkey(src, P), pa.int64()),
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "h": pa.array(np.zeros(len(src), np.int64), pa.int64()),
+            }
+        )
+
+    keyed_edges = edges_m.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    # init: nodes at sentinel, seeds at 0, settled by one keyed min
+    def node_rows(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "dkey": pa.array(_int_pkey(node, P), pa.int64()),
+                "node": pa.array(node, pa.int64()),
+                "h": pa.array(np.full(len(node), S, np.int64), pa.int64()),
+            }
+        )
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "dkey": pa.array(_int_pkey(node, P), pa.int64()),
+                "node": pa.array(node, pa.int64()),
+                "h": pa.array(np.zeros(len(node), np.int64), pa.int64()),
+            }
+        )
+
+    def reduce_mins(g: pd.DataFrame) -> pd.DataFrame:
+        k, v = _sparse_min(g["node"].to_numpy(), g["h"].to_numpy())
+        return pd.DataFrame({"node": k, "h": v})
+
+    nodes_m = nodes_ds.materialize()
+    dists = (
+        nodes_m.map_batches(node_rows, batch_format="pyarrow")
+        .union(seeds_ds.map_batches(seed_rows, batch_format="pyarrow"))
+        .groupby("dkey")
+        .map_groups(reduce_mins, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def dist_msgs(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "skey": pa.array(_int_pkey(node, P), pa.int64()),
+                "src": pa.array(node, pa.int64()),
+                "dst": pa.array(np.full(len(node), -1, np.int64), pa.int64()),
+                "h": pa.array(h, pa.int64()),
+            }
+        )
+
+    def emit_relaxed(g: pd.DataFrame) -> pd.DataFrame:
+        is_dist = g["dst"].to_numpy() == -1
+        dr = g[is_dist]
+        ed = g[~is_dist]
+        lookup = pd.Series(dr["h"].to_numpy(), index=dr["src"].to_numpy())
+        hs = lookup.reindex(ed["src"].to_numpy()).to_numpy()
+        live = hs < S
+        cand = (hs[live] + 1).astype(np.int64)
+        dst = ed["dst"].to_numpy()[live]
+        k, v = _sparse_min(dst, cand)
+        return pd.DataFrame({"dkey": _int_pkey(k, P), "node": k, "h": v})
+
+    def carry_rows(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "dkey": pa.array(_int_pkey(node, P), pa.int64()),
+                "node": pa.array(node, pa.int64()),
+                "h": batch.column("h"),
+            }
+        )
+
+    for _ in range(max_hops):
+        msgs = keyed_edges.union(
+            dists.map_batches(dist_msgs, batch_format="pyarrow")
+        )
+        relaxed = (
+            msgs.groupby("skey")
+            .map_groups(emit_relaxed, batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow")
+        )
+        dists = (
+            relaxed.union(dists.map_batches(carry_rows, batch_format="pyarrow"))
+            .groupby("dkey")
+            .map_groups(reduce_mins, batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow")
+            .materialize()
+        )
+    return dists
+
+
+def bfs_hops(
+    edges_ds,
+    seeds_ds,
+    *,
+    n_nodes: int | None = None,
+    nodes_ds=None,
+    max_hops: int = 4,
+    broadcast_max_nodes: int = PAGERANK_BROADCAST_MAX_NODES,
+    merge_partitions: int = GRAPH_MERGE_PARTITIONS,
+):
+    """Minimum hop distance from ANY seed over a directed edge Dataset
+    (src, dst int64), capped at ``max_hops`` — the crawl-depth /
+    seed-proximity signal (the reference caps traversal depth the same
+    way via its crawl-depth limiter, Frontier.scala:24-38; this computes
+    the same quantity over an already-collected link graph).
+
+    ``seeds_ds`` is a Dataset with one ``node`` column. Returns a Dataset
+    with columns ``(node, hops)`` covering every node (dense ``0..n-1``
+    in the broadcast regime, ``nodes_ds`` rows otherwise); nodes not
+    reached within ``max_hops`` get ``hops = -1``.
+
+    Exactly ``max_hops`` synchronous relaxation rounds — each round is one
+    edge stream + one O(frontier) keyed exchange (broadcast regime: dense
+    shared-memory distance vector) or two keyed exchanges (distributed
+    regime: nothing graph-sized on the driver) — so the result is
+    bit-identical across regimes, layouts, and parallelism, and exactly
+    SQL-expressible (the ``bfs_hops`` DuckDB oracle mirrors the rounds
+    with chained CTEs; early exit on a quiet round is safe because min
+    relaxation is monotone).
+    """
+    import ray.data as rd
+
+    edges_m = edges_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b.column("src").cast(pa.int64()),
+                "dst": b.column("dst").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    S = max_hops + 1
+    if n_nodes is not None and n_nodes <= broadcast_max_nodes:
+        seed_idx = np.concatenate(
+            [
+                b.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+                for b in seeds_ds.iter_batches(batch_format="pyarrow")
+            ]
+            or [np.empty(0, np.int64)]
+        )
+        dist = _bfs_broadcast(edges_m, n_nodes, seed_idx, max_hops)
+        hops = np.where(dist >= S, -1, dist)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(np.arange(n_nodes, dtype=np.int64), pa.int64()),
+                    "hops": pa.array(hops, pa.int64()),
+                }
+            )
+        )
+
+    if nodes_ds is None:
+        if n_nodes is None:
+            raise ValueError("bfs_hops needs n_nodes (dense ids) or nodes_ds")
+        nodes_ds = rd.range(n_nodes).map_batches(
+            lambda b: pa.table({"node": b.column("id").cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+    out = _bfs_distributed(edges_m, nodes_ds, seeds_ds, max_hops, merge_partitions)
+
+    def finish(b: pa.Table) -> pa.Table:
+        h = b.column("h").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": b.column("node"),
+                "hops": pa.array(np.where(h >= S, -1, h), pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -286,3 +286,90 @@ def test_triangle_count_layout_invariance(ray_session):
     a = triangle_count(rd.from_pandas(e).repartition(1), partitions=4)
     b = triangle_count(rd.from_pandas(e).repartition(11), partitions=64)
     assert a == b == _tri_brute(e, n)
+
+
+# --------------------------------------------------------------------------
+# bfs_hops
+# --------------------------------------------------------------------------
+def _ref_bfs(src, dst, n, seeds, max_hops):
+    S = max_hops + 1
+    dist = np.full(n, S, np.int64)
+    dist[np.asarray(seeds, np.int64)] = 0
+    for _ in range(max_hops):
+        cand = dist[src] + 1
+        new = dist.copy()
+        np.minimum.at(new, dst, cand)
+        if np.array_equal(new, dist):
+            break
+        dist = new
+    return np.where(dist >= S, -1, dist)
+
+
+def _seeds_ds(seeds):
+    return rd.from_arrow(
+        pa.table({"node": pa.array(np.asarray(seeds, np.int64), pa.int64())})
+    )
+
+
+def test_bfs_hops_broadcast_matches_reference(ray_session):
+    from abwcf_ray.stages.graph import bfs_hops
+
+    src, dst = _random_graph(11, 60, 150)
+    seeds = [0, 7, 41]
+    out = (
+        bfs_hops(_edges_ds(src, dst), _seeds_ds(seeds), n_nodes=60, max_hops=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    ref = _ref_bfs(src, dst, 60, seeds, 3)
+    assert out["node"].tolist() == list(range(60))
+    np.testing.assert_array_equal(out["hops"].to_numpy(), ref)
+    # seeds are 0, unreached are -1 (the random graph at m=150/n=60 leaves some)
+    assert (out["hops"].to_numpy()[seeds] == 0).all()
+
+
+def test_bfs_hops_regime_parity_and_layout_invariance(ray_session):
+    from abwcf_ray.stages.graph import bfs_hops
+
+    src, dst = _random_graph(23, 80, 240)
+    seeds = [3, 4, 77]
+    ref = _ref_bfs(src, dst, 80, seeds, 4)
+    for blocks in (1, 7):
+        broadcast = (
+            bfs_hops(
+                _edges_ds(src, dst, blocks), _seeds_ds(seeds), n_nodes=80, max_hops=4
+            )
+            .to_pandas()
+            .sort_values("node")["hops"]
+            .to_numpy()
+        )
+        distributed = (
+            bfs_hops(
+                _edges_ds(src, dst, blocks),
+                _seeds_ds(seeds),
+                n_nodes=80,
+                max_hops=4,
+                broadcast_max_nodes=0,  # force the distributed regime
+            )
+            .to_pandas()
+            .sort_values("node")["hops"]
+            .to_numpy()
+        )
+        np.testing.assert_array_equal(broadcast, ref)
+        np.testing.assert_array_equal(distributed, ref)
+
+
+def test_bfs_hops_chain_graph_exact_depths(ray_session):
+    from abwcf_ray.stages.graph import bfs_hops
+
+    # 0 -> 1 -> 2 -> 3 -> 4, seed {0}: hops = index, capped at max_hops=2
+    src = np.array([0, 1, 2, 3], np.int64)
+    dst = np.array([1, 2, 3, 4], np.int64)
+    out = (
+        bfs_hops(_edges_ds(src, dst, 2), _seeds_ds([0]), n_nodes=5, max_hops=2)
+        .to_pandas()
+        .sort_values("node")["hops"]
+        .tolist()
+    )
+    assert out == [0, 1, 2, -1, -1]
