@@ -2154,6 +2154,56 @@ def _q_bfs_hops_distributed(sf_dir: str):
     return out.to_pandas().sort_values("node").reset_index(drop=True)
 
 
+def _q_skyline(sf_dir: str):
+    """2-D skyline (Pareto frontier) of lineitem over (quantity,
+    price-in-cents), both maximized: per-batch vectorized local skyline
+    (the operator is algebraic, so local prune loses nothing) + one
+    final merge block. Integer dims make the dominance set exactly
+    SQL-expressible; the oracle uses a per-qty max + running-max window,
+    not a quadratic NOT EXISTS."""
+    from pathlib import Path
+
+    import ray.data as rd
+
+    from abwcf_ray.stages.skyline import skyline2d
+
+    _quiet()
+    li = rd.read_parquet(
+        str(Path(sf_dir) / "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+
+    def pts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                "linenumber": t.column("l_linenumber").cast(pa.int64()),
+                "qty": pa.array(
+                    t.column("l_quantity")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
+                "price_c": pa.array(
+                    np.floor(
+                        t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                        * 100.0
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = skyline2d(
+        li.map_batches(pts, batch_format="pyarrow"), x_col="qty", y_col="price_c"
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["qty", "price_c", "l_orderkey", "linenumber"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_jsonl_roundtrip(sf_dir: str):
     """Malformed-tolerant JSONL source (sources/jsonl.py) under a full SQL
     value oracle: write ``documents`` out as JSONL shards (distributed
@@ -2318,6 +2368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_distributed": _q_pagerank_distributed,
         "bfs_hops": _q_bfs_hops,
         "bfs_hops_distributed": _q_bfs_hops_distributed,
+        "skyline": _q_skyline,
         "triangles": _q_triangles,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "crawl_wave": _q_crawl,
@@ -3547,4 +3598,25 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_distributed": _pagerank_sql(5),
         "bfs_hops": _bfs_hops_sql(4),
         "bfs_hops_distributed": _bfs_hops_sql(4),
+        "skyline": """
+            WITH pts AS (
+                SELECT l_orderkey,
+                       CAST(l_linenumber AS BIGINT) AS linenumber,
+                       CAST(FLOOR(l_quantity) AS BIGINT) AS qty,
+                       CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS price_c
+                FROM lineitem
+            ),
+            m AS (SELECT qty, MAX(price_c) AS mp FROM pts GROUP BY qty),
+            s AS (
+                SELECT qty, mp,
+                       MAX(mp) OVER (
+                           ORDER BY qty DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS prev_best
+                FROM m
+            )
+            SELECT p.l_orderkey, p.linenumber, p.qty, p.price_c
+            FROM pts p JOIN s ON p.qty = s.qty AND p.price_c = s.mp
+            WHERE s.prev_best IS NULL OR s.mp > s.prev_best
+        """,
     }
