@@ -2204,6 +2204,36 @@ def _q_skyline(sf_dir: str):
     )
 
 
+def _q_resample_ffill(sf_dir: str):
+    """Hourly per-user resample of the event stream with forward fill
+    (stages/resample.py): map-side last-per-(user, bucket) combiner, ONE
+    hash(user) exchange, vectorized gap expansion AFTER the exchange so
+    fill rows never cross the wire. The fill only MOVES float values
+    (never recomputes), so the oracle hash-matches bit-for-bit."""
+    from pathlib import Path
+
+    import ray.data as rd
+
+    from abwcf_ray.stages.resample import resample_ffill
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    out = resample_ffill(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        val_col="value",
+        tie_col="event_id",
+        span_us=3_600_000_000,
+    )
+    return (
+        out.to_pandas().sort_values(["user_id", "bucket"]).reset_index(drop=True)
+    )
+
+
 def _q_jsonl_roundtrip(sf_dir: str):
     """Malformed-tolerant JSONL source (sources/jsonl.py) under a full SQL
     value oracle: write ``documents`` out as JSONL shards (distributed
@@ -2369,6 +2399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": _q_bfs_hops,
         "bfs_hops_distributed": _q_bfs_hops_distributed,
         "skyline": _q_skyline,
+        "resample_ffill": _q_resample_ffill,
         "triangles": _q_triangles,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "crawl_wave": _q_crawl,
@@ -3618,5 +3649,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.l_orderkey, p.linenumber, p.qty, p.price_c
             FROM pts p JOIN s ON p.qty = s.qty AND p.price_c = s.mp
             WHERE s.prev_best IS NULL OR s.mp > s.prev_best
+        """,
+        "resample_ffill": """
+            WITH obs AS (
+                SELECT user_id, bucket, value FROM (
+                    SELECT user_id,
+                           epoch_us(ts) // 3600000000 AS bucket,
+                           value,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY user_id, epoch_us(ts) // 3600000000
+                               ORDER BY ts DESC, event_id DESC
+                           ) AS rn
+                    FROM events
+                ) WHERE rn = 1
+            ),
+            spans AS (
+                SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+                FROM obs GROUP BY user_id
+            ),
+            grid AS (
+                SELECT user_id, UNNEST(generate_series(b0, b1)) AS bucket
+                FROM spans
+            ),
+            j AS (
+                SELECT g.user_id, g.bucket, o.value AS v,
+                       CASE WHEN o.user_id IS NULL THEN 0 ELSE 1 END AS ob
+                FROM grid g
+                LEFT JOIN obs o ON o.user_id = g.user_id AND o.bucket = g.bucket
+            )
+            SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+                   LAST_VALUE(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS value,
+                   CAST(ob AS BIGINT) AS observed
+            FROM j
         """,
     }
