@@ -2234,6 +2234,31 @@ def _q_resample_ffill(sf_dir: str):
     )
 
 
+def _q_event_transitions(sf_dir: str):
+    """Global first-order Markov chain of user behavior
+    (stages/transitions.py): per-user time-ordered next-event bigram
+    counts via ONE hash(user) exchange + per-shard vectorized bincount;
+    the probability column is one IEEE division of two exact int64s,
+    mirrored verbatim by the oracle."""
+    from pathlib import Path
+
+    import ray.data as rd
+
+    from abwcf_ray.stages.transitions import transition_matrix
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return transition_matrix(
+        ev,
+        user_col="user_id",
+        order_cols=["ts", "event_id"],
+        type_col="event_type",
+    )
+
+
 def _q_jsonl_roundtrip(sf_dir: str):
     """Malformed-tolerant JSONL source (sources/jsonl.py) under a full SQL
     value oracle: write ``documents`` out as JSONL shards (distributed
@@ -2400,6 +2425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops_distributed": _q_bfs_hops_distributed,
         "skyline": _q_skyline,
         "resample_ffill": _q_resample_ffill,
+        "event_transitions": _q_event_transitions,
         "triangles": _q_triangles,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "crawl_wave": _q_crawl,
@@ -3649,6 +3675,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.l_orderkey, p.linenumber, p.qty, p.price_c
             FROM pts p JOIN s ON p.qty = s.qty AND p.price_c = s.mp
             WHERE s.prev_best IS NULL OR s.mp > s.prev_best
+        """,
+        "event_transitions": """
+            WITH pairs AS (
+                SELECT event_type AS src,
+                       LEAD(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS dst
+                FROM events
+            ),
+            m AS (
+                SELECT src, dst, COUNT(*) AS n
+                FROM pairs WHERE dst IS NOT NULL
+                GROUP BY src, dst
+            )
+            SELECT src, dst, n,
+                   CAST(n AS DOUBLE) / CAST(
+                       SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+            FROM m ORDER BY src, dst
         """,
         "resample_ffill": """
             WITH obs AS (

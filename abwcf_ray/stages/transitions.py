@@ -1,0 +1,111 @@
+"""Markov transition matrix over an event stream — the sessionized
+path-mining primitive: for each user's history ordered by time, count
+every consecutive (event_type -> next event_type) step, globally.
+
+The output is the first-order Markov chain of user behavior (click-path
+analysis, next-action priors for curriculum mixing). Counts are exact
+int64; the per-source probability is ONE IEEE division of two exact
+integers, mirrored verbatim by the SQL oracle (the repo's float-hash
+discipline, see repetition_signals).
+
+Distributed shape: ONE hash(user)-keyed exchange (the funnel/winfun
+idiom — each user's history lands whole in one shard; transitions never
+cross shard boundaries because users don't), then a per-shard vectorized
+scan: mergesort by (user, order_cols), factorize the type column, and
+the bigram counts are one ``np.add.at`` over ``src_code * K + dst_code``
+for the row pairs whose user matches — no per-event Python loop. Each
+shard emits at most K^2 partial rows (K = distinct event types, tiny),
+so the final merge is a driver-side pandas groupby over
+partitions * K^2 rows, politeness-bounded by the type vocabulary, never
+by the event count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from abwcf_ray.stages.dedup import keyed_hash_agg
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def transition_counts(
+    ds,
+    *,
+    user_col: str,
+    order_cols: list[str],
+    type_col: str,
+    partitions: int = 64,
+):
+    """Per-shard partial transition counts: Dataset of (src, dst, n) where
+    n = number of i with user[i] == user[i+1] and (type[i], type[i+1]) ==
+    (src, dst) in the per-user (order_cols) order. ``order_cols`` must be
+    a total order per user (append a unique id column)."""
+
+    def key_of(b: pa.Table) -> np.ndarray:
+        return (
+            b.column(user_col).to_numpy(zero_copy_only=False).view(np.uint64)
+            * _GOLD
+        )
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "src": pd.Series([], dtype=object),
+                "dst": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values([user_col, *order_cols], kind="mergesort")
+        users = g[user_col].to_numpy()
+        types, codes = np.unique(g[type_col].to_numpy(), return_inverse=True)
+        k = len(types)
+        same = users[1:] == users[:-1]
+        if not same.any():
+            return empty
+        pair = codes[:-1][same] * k + codes[1:][same]
+        counts = np.bincount(pair, minlength=k * k).astype(np.int64)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame(
+            {
+                "src": types[nz // k],
+                "dst": types[nz % k],
+                "n": counts[nz],
+            }
+        )
+
+    return keyed_hash_agg(ds, key_of, scan, partitions=partitions)
+
+
+def transition_matrix(
+    ds,
+    *,
+    user_col: str,
+    order_cols: list[str],
+    type_col: str,
+    partitions: int = 64,
+) -> pd.DataFrame:
+    """The global first-order Markov chain: one row per observed
+    (src, dst) transition — (src, dst, n, p) with n the exact transition
+    count and p = n / total-transitions-out-of-src (one IEEE division of
+    two exact int64s). Rows sorted by (src, dst)."""
+    parts = transition_counts(
+        ds,
+        user_col=user_col,
+        order_cols=order_cols,
+        type_col=type_col,
+        partitions=partitions,
+    ).to_pandas()
+    m = (
+        parts.groupby(["src", "dst"], as_index=False)["n"]
+        .sum()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    src_tot = m.groupby("src")["n"].transform("sum").to_numpy()
+    m["p"] = m["n"].to_numpy().astype(np.float64) / src_tot.astype(np.float64)
+    return m

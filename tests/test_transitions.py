@@ -1,0 +1,82 @@
+"""Markov transition matrix (stages/transitions.py) vs a pandas shift()
+reference, under block-layout variation and single-event users."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from abwcf_ray.stages.transitions import transition_matrix
+
+
+def _ref(df: pd.DataFrame) -> pd.DataFrame:
+    d = df.sort_values(["user_id", "ts", "event_id"])
+    nxt = d.groupby("user_id")["event_type"].shift(-1)
+    pairs = pd.DataFrame({"src": d["event_type"], "dst": nxt}).dropna()
+    m = (
+        pairs.groupby(["src", "dst"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    m["n"] = m["n"].astype(np.int64)
+    m["p"] = m["n"] / m.groupby("src")["n"].transform("sum")
+    return m
+
+
+def _events(seed: int, n: int, n_users: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    base = np.datetime64("2024-01-01", "us").astype(np.int64)
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": (base + rng.integers(0, 10**9, n)).astype("datetime64[us]"),
+            "user_id": rng.integers(0, n_users, n).astype(np.int64),
+            "event_type": rng.choice(["view", "cart", "buy", "search"], n),
+        }
+    )
+
+
+def _run(df: pd.DataFrame, blocks: int) -> pd.DataFrame:
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(blocks)
+    return transition_matrix(
+        ds,
+        user_col="user_id",
+        order_cols=["ts", "event_id"],
+        type_col="event_type",
+        partitions=8,
+    )
+
+
+def test_transition_matrix_matches_pandas(ray_session):
+    df = _events(7, 3000, 40)
+    pd.testing.assert_frame_equal(_run(df, 6), _ref(df))
+
+
+def test_transition_matrix_layout_invariance(ray_session):
+    df = _events(11, 900, 5)
+    pd.testing.assert_frame_equal(_run(df, 1), _run(df, 17))
+
+
+def test_transition_matrix_single_event_users_drop_out(ray_session):
+    # users with one event contribute no transition; a lone pair counts once
+    df = pd.DataFrame(
+        {
+            "event_id": np.array([0, 1, 2], np.int64),
+            "ts": np.array(
+                ["2024-01-01T00:00:00"] * 3, dtype="datetime64[us]"
+            ),
+            "user_id": np.array([1, 2, 2], np.int64),
+            "event_type": ["view", "view", "buy"],
+        }
+    )
+    out = _run(df, 2)
+    assert out.to_dict("list") == {
+        "src": ["view"],
+        "dst": ["buy"],
+        "n": [1],
+        "p": [1.0],
+    }
