@@ -2234,6 +2234,30 @@ def _q_resample_ffill(sf_dir: str):
     )
 
 
+def _q_fuzzy_names(sf_dir: str):
+    """Entity-resolution fuzzy self-join (stages/fuzzy.py): every pair of
+    customer names within Levenshtein distance 1, via SymSpell/FastSS
+    deletion-neighborhood banding (rolling-hash variants, no O(len^2)
+    materialization) + exact vectorized verify through
+    verify_edges_distributed. The oracle is DuckDB's levenshtein() over
+    the length-banded cross join."""
+    from pathlib import Path
+
+    import ray.data as rd
+
+    from abwcf_ray.stages.fuzzy import fuzzy_join_ed1
+
+    _quiet()
+    cust = rd.read_parquet(
+        str(Path(sf_dir) / "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+    out = fuzzy_join_ed1(cust, id_col="c_custkey", str_col="c_name")
+    return (
+        out.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+
+
 def _q_event_transitions(sf_dir: str):
     """Global first-order Markov chain of user behavior
     (stages/transitions.py): per-user time-ordered next-event bigram
@@ -2426,6 +2450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": _q_skyline,
         "resample_ffill": _q_resample_ffill,
         "event_transitions": _q_event_transitions,
+        "fuzzy_names": _q_fuzzy_names,
         "triangles": _q_triangles,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "crawl_wave": _q_crawl,
@@ -3675,6 +3700,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.l_orderkey, p.linenumber, p.qty, p.price_c
             FROM pts p JOIN s ON p.qty = s.qty AND p.price_c = s.mp
             WHERE s.prev_best IS NULL OR s.mp > s.prev_best
+        """,
+        "fuzzy_names": """
+            SELECT a.c_custkey AS src, b.c_custkey AS dst
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+             AND abs(length(a.c_name) - length(b.c_name)) <= 1
+             AND levenshtein(a.c_name, b.c_name) <= 1
+            ORDER BY src, dst
         """,
         "event_transitions": """
             WITH pairs AS (
