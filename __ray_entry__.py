@@ -2258,6 +2258,28 @@ def _q_fuzzy_names(sf_dir: str):
     )
 
 
+def _q_fuzzy_clusters(sf_dir: str):
+    """Entity clustering (stages/fuzzy.fuzzy_clusters_ed1): transitive
+    closure of the ed<=1 fuzzy name join through the shared CC
+    dispatcher; cluster = component min custkey. Oracle: recursive-CTE
+    min-label reachability over the levenshtein edge set."""
+    from pathlib import Path
+
+    import numpy as np
+    import ray.data as rd
+
+    from abwcf_ray.stages.fuzzy import fuzzy_clusters_ed1
+
+    _quiet()
+    cust = rd.read_parquet(
+        str(Path(sf_dir) / "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+    out = fuzzy_clusters_ed1(cust, id_col="c_custkey", str_col="c_name")
+    out["is_dup"] = out["is_dup"].astype(np.int64)
+    return out
+
+
 def _q_event_transitions(sf_dir: str):
     """Global first-order Markov chain of user behavior
     (stages/transitions.py): per-user time-ordered next-event bigram
@@ -2451,6 +2473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_ffill": _q_resample_ffill,
         "event_transitions": _q_event_transitions,
         "fuzzy_names": _q_fuzzy_names,
+        "fuzzy_clusters": _q_fuzzy_clusters,
         "triangles": _q_triangles,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "crawl_wave": _q_crawl,
@@ -3708,6 +3731,29 @@ def oracle_sql() -> dict[str, str]:
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
              AND levenshtein(a.c_name, b.c_name) <= 1
             ORDER BY src, dst
+        """,
+        "fuzzy_clusters": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.c_custkey AS src, b.c_custkey AS dst
+                FROM customer a JOIN customer b
+                  ON a.c_custkey < b.c_custkey
+                 AND abs(length(a.c_name) - length(b.c_name)) <= 1
+                 AND levenshtein(a.c_name, b.c_name) <= 1
+            ),
+            sym AS (
+                SELECT src, dst FROM pairs
+                UNION
+                SELECT dst AS src, src AS dst FROM pairs
+            ),
+            reach(id, r) AS (
+                SELECT c_custkey, c_custkey FROM customer
+                UNION
+                SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+            )
+            SELECT id AS c_custkey,
+                   MIN(r) AS cluster,
+                   CAST(id <> MIN(r) AS BIGINT) AS is_dup
+            FROM reach GROUP BY id ORDER BY c_custkey
         """,
         "event_transitions": """
             WITH pairs AS (

@@ -279,3 +279,35 @@ def fuzzy_join_ed1(
         ed_le1_mask,
         payload_type=pa.list_(pa.uint64()),
     )
+
+
+def fuzzy_clusters_ed1(
+    ds,
+    *,
+    id_col: str,
+    str_col: str,
+    partitions: int = 64,
+    max_bucket: int = 4096,
+    return_dataset: bool = False,
+    cc_edge_threshold: int | None = None,
+):
+    """Entity resolution: cluster records whose ``str_col`` values chain
+    together at edit distance <= 1 (transitive closure of the fuzzy
+    join). Returns (id_col, cluster, is_dup) with cluster = the
+    component's min id — the fuzzy edges feed the SAME union-find /
+    distributed min-label-propagation dispatcher the near-dup families
+    use (driver union-find below CC_EDGE_THRESHOLD, O(diameter)
+    keyed-exchange rounds above it)."""
+    from abwcf_ray.stages.dedup import CC_EDGE_THRESHOLD, _labels_result
+
+    edges = fuzzy_join_ed1(
+        ds,
+        id_col=id_col,
+        str_col=str_col,
+        partitions=partitions,
+        max_bucket=max_bucket,
+    )
+    thr = CC_EDGE_THRESHOLD if cc_edge_threshold is None else cc_edge_threshold
+    return _labels_result(
+        ds, edges, id_col, return_dataset, cc_edge_threshold=thr
+    )

@@ -112,3 +112,38 @@ def test_fuzzy_join_layout_invariance(ray_session):
     a, b = run(1), run(11)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == len(_brute(ws))
+
+
+def _cc_ref(n: int, edges: set[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n)}
+
+
+def test_fuzzy_clusters_matches_unionfind_both_cc_paths(ray_session):
+    from abwcf_ray.stages.fuzzy import fuzzy_clusters_ed1
+
+    ws = _words(21, 250)
+    want = _cc_ref(len(ws), _brute(ws))
+    df = pd.DataFrame({"id": np.arange(len(ws), dtype=np.int64), "s": ws})
+    for thr in (10**9, 0):  # driver union-find path, distributed path
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+        out = fuzzy_clusters_ed1(
+            ds, id_col="id", str_col="s", partitions=8, cc_edge_threshold=thr
+        )
+        got = dict(zip(out["id"], out["cluster"]))
+        assert got == want, f"thr={thr}"
+        assert (
+            (out["cluster"].to_numpy() != out["id"].to_numpy())
+            == out["is_dup"].to_numpy()
+        ).all()
