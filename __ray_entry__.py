@@ -2258,6 +2258,54 @@ def _q_fuzzy_names(sf_dir: str):
     )
 
 
+def _q_group_covariance(sf_dir: str):
+    """Grouped bivariate covariance (stages/stats.group_cov): exact
+    int64 moments (n, Σx, Σy, Σxy) combined map-side + one keyed merge;
+    each covariance is a single IEEE division of exact integers, so the
+    oracle hash-matches by computing the identical expressions (NOT
+    covar_samp(), whose streaming update rounds differently)."""
+    from pathlib import Path
+
+    import numpy as np
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_cov
+
+    _quiet()
+    li = rd.read_parquet(
+        str(Path(sf_dir) / "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_discount"],
+    )
+
+    def ints(t):
+        import pyarrow as pa
+
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "x": pa.array(q, pa.int64()),
+                "y": pa.array(d, pa.int64()),
+            }
+        )
+
+    out = group_cov(
+        li.map_batches(ints, batch_format="pyarrow"),
+        group_cols=["l_returnflag", "l_linestatus"],
+        x_col="x",
+        y_col="y",
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_fuzzy_clusters(sf_dir: str):
     """Entity clustering (stages/fuzzy.fuzzy_clusters_ed1): transitive
     closure of the ed<=1 fuzzy name join through the shared CC
@@ -2474,6 +2522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "fuzzy_names": _q_fuzzy_names,
         "fuzzy_clusters": _q_fuzzy_clusters,
+        "group_covariance": _q_group_covariance,
         "triangles": _q_triangles,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "crawl_wave": _q_crawl,
@@ -3731,6 +3780,30 @@ def oracle_sql() -> dict[str, str]:
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
              AND levenshtein(a.c_name, b.c_name) <= 1
             ORDER BY src, dst
+        """,
+        "group_covariance": """
+            WITH t AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(l_quantity AS BIGINT) AS x,
+                       CAST(FLOOR(l_discount * 100) AS BIGINT) AS y
+                FROM lineitem
+            ),
+            m AS (
+                SELECT l_returnflag, l_linestatus,
+                       COUNT(*) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy
+                FROM t GROUP BY l_returnflag, l_linestatus
+            )
+            SELECT l_returnflag, l_linestatus, n, sx, sy, sxy,
+                   CASE WHEN n > 1 THEN
+                       CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * (n - 1) AS DOUBLE)
+                   END AS cov_samp,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * n AS DOUBLE) AS cov_pop
+            FROM m ORDER BY l_returnflag, l_linestatus
         """,
         "fuzzy_clusters": """
             WITH RECURSIVE pairs AS (

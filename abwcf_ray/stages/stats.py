@@ -90,3 +90,76 @@ def group_stats(
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+_COV_AGGS = {
+    "n": ("n", "sum"),
+    "sx": ("sx", "sum"),
+    "sy": ("sy", "sum"),
+    "sxy": ("sxy", "sum"),
+}
+
+
+def group_cov(
+    ds,
+    *,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    merge_partitions: int = 64,
+):
+    """Per-group bivariate covariance of integer columns: returns a
+    Dataset with ``group_cols + [n, sx, sy, sxy, cov_samp, cov_pop]``.
+    Same shape as :func:`group_stats` — associative int64 partials
+    (count, Σx, Σy, Σxy) combine map-side, ONE keyed-partition exchange
+    merges, and each covariance is a SINGLE IEEE division —
+
+        cov_samp = (n·Σxy − Σx·Σy) / (n·(n−1))    (NaN when n < 2)
+        cov_pop  = (n·Σxy − Σx·Σy) / n²
+
+    — of exact integers, so the oracle hash-matches by computing the
+    identical expressions (NOT covar_samp(), whose streaming update
+    rounds differently). Caller bound: n·Σxy and Σx·Σy under 2^63."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {c: t.column(c).to_pandas() for c in group_cols}
+        cols.update(n=np.ones(t.num_rows, np.int64), sx=x, sy=y, sxy=x * y)
+        g = (
+            pd.DataFrame(cols)
+            .groupby(group_cols, as_index=False, sort=False)
+            .agg(**_COV_AGGS)
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def key_of(b: pa.Table) -> np.ndarray:
+        k = hash64(b.column(group_cols[0]))
+        for c in group_cols[1:]:
+            k = k * np.uint64(0x9E3779B97F4A7C15) ^ hash64(b.column(c))
+        return k
+
+    merged = keyed_hash_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key_of,
+        lambda g: g.groupby(group_cols, as_index=False, sort=False).agg(
+            **_COV_AGGS
+        ),
+        partitions=merge_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = t.column("sx").to_numpy(zero_copy_only=False).astype(np.int64)
+        sy = t.column("sy").to_numpy(zero_copy_only=False).astype(np.int64)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False).astype(np.int64)
+        num = (n * sxy - sx * sy).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            samp = np.where(
+                n > 1, num / (n * (n - 1)).astype(np.float64), np.nan
+            )
+            popv = num / (n * n).astype(np.float64)
+        t = t.append_column("cov_samp", pa.array(samp, pa.float64()))
+        return t.append_column("cov_pop", pa.array(popv, pa.float64()))
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -69,3 +69,63 @@ def test_single_row_groups_zero_variance(ray_session):
     got = _run(df, parts=2, merge=2)
     assert (got["var_pop"] == 0.0).all()
     assert (got["mean"] == got["v" if "v" in got else "sum"].astype(float)).all()
+
+
+def _frame_xy(n=500, seed=17):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "a": rng.choice(["en", "de", "fr"], n),
+            "x": rng.integers(-40, 120, n).astype(np.int64),
+            "y": rng.integers(0, 30, n).astype(np.int64),
+        }
+    )
+
+
+def _brute_cov(df):
+    g = df.groupby("a", as_index=False).agg(
+        n=("x", "size"),
+        sx=("x", "sum"),
+        sy=("y", "sum"),
+        sxy=("x", lambda s: int((s.to_numpy() * df.loc[s.index, "y"].to_numpy()).sum())),
+    )
+    num = (g["n"] * g["sxy"] - g["sx"] * g["sy"]).astype(np.float64)
+    g["cov_samp"] = np.where(
+        g["n"] > 1, num / (g["n"] * (g["n"] - 1)).astype(np.float64), np.nan
+    )
+    g["cov_pop"] = num / (g["n"] * g["n"]).astype(np.float64)
+    return g.sort_values("a").reset_index(drop=True)
+
+
+def _run_cov(df, blocks):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_cov
+
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(blocks)
+    out = group_cov(ds, group_cols=["a"], x_col="x", y_col="y", merge_partitions=8)
+    return out.to_pandas().sort_values("a").reset_index(drop=True)
+
+
+def test_group_cov_matches_bruteforce(ray_session):
+    df = _frame_xy()
+    got = _run_cov(df, 6)
+    want = _brute_cov(df)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_group_cov_bits_layout_invariant(ray_session):
+    df = _frame_xy(300, 23)
+    a, b = _run_cov(df, 1), _run_cov(df, 13)
+    # bit-identical floats, not just approx: partials are exact ints
+    assert a["cov_samp"].to_numpy().tobytes() == b["cov_samp"].to_numpy().tobytes()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_group_cov_singleton_group_nan(ray_session):
+    df = pd.DataFrame({"a": ["solo", "p", "p"], "x": [3, 1, 2], "y": [7, 5, 9]})
+    df[["x", "y"]] = df[["x", "y"]].astype(np.int64)
+    out = _run_cov(df, 2)
+    row = out[out["a"] == "solo"].iloc[0]
+    assert np.isnan(row["cov_samp"]) and row["cov_pop"] == 0.0
