@@ -2306,6 +2306,26 @@ def _q_group_covariance(sf_dir: str):
     )
 
 
+def _q_group_mode(sf_dir: str):
+    """Per-user modal event type (stages/stats.group_mode): map-side
+    (group, value) partial counts, ONE hash(group) exchange landing each
+    group's histogram whole, smallest-value tie-break — deterministic
+    under any layout and mirrored by the oracle's window rank."""
+    from pathlib import Path
+
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_mode
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    out = group_mode(ev, group_cols=["user_id"], value_col="event_type")
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
 def _q_fuzzy_clusters(sf_dir: str):
     """Entity clustering (stages/fuzzy.fuzzy_clusters_ed1): transitive
     closure of the ed<=1 fuzzy name join through the shared CC
@@ -2523,6 +2543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_names": _q_fuzzy_names,
         "fuzzy_clusters": _q_fuzzy_clusters,
         "group_covariance": _q_group_covariance,
+        "group_mode": _q_group_mode,
         "triangles": _q_triangles,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "crawl_wave": _q_crawl,
@@ -3780,6 +3801,16 @@ def oracle_sql() -> dict[str, str]:
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
              AND levenshtein(a.c_name, b.c_name) <= 1
             ORDER BY src, dst
+        """,
+        "group_mode": """
+            SELECT user_id, mode_value, n FROM (
+                SELECT user_id, event_type AS mode_value, COUNT(*) AS n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY COUNT(*) DESC, event_type
+                       ) AS rn
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1 ORDER BY user_id
         """,
         "group_covariance": """
             WITH t AS (

@@ -163,3 +163,61 @@ def group_cov(
         return t.append_column("cov_pop", pa.array(popv, pa.float64()))
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def group_mode(
+    ds,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    merge_partitions: int = 64,
+):
+    """Per-group MODE: the most frequent ``value_col`` per group, ties
+    broken by smallest value (deterministic under any layout). Returns a
+    Dataset with ``group_cols + [mode_value, n]`` (n = the winning
+    count).
+
+    Shape: map-side (group, value) partial counts (vectorized groupby
+    size — dense streams collapse before the wire), ONE hash(GROUP)
+    exchange (exchange volume O(distinct pairs); keying on the group
+    rather than the pair lands each group's histogram whole in one
+    partition, so the argmax needs no second pass), per-partition merged
+    counts + one (group, -n, value) mergesort picks winners."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c).to_pandas() for c in group_cols}
+        cols["mode_value"] = t.column(value_col).to_pandas()
+        g = (
+            pd.DataFrame(cols)
+            .groupby(group_cols + ["mode_value"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def key_of(b: pa.Table) -> np.ndarray:
+        k = hash64(b.column(group_cols[0]))
+        for c in group_cols[1:]:
+            k = k * np.uint64(0x9E3779B97F4A7C15) ^ hash64(b.column(c))
+        return k
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(group_cols + ["mode_value"], as_index=False, sort=False)[
+            "n"
+        ].sum()
+        m = m.sort_values(
+            group_cols + ["n", "mode_value"],
+            ascending=[True] * len(group_cols) + [False, True],
+            kind="mergesort",
+        )
+        return m.drop_duplicates(group_cols, keep="first").reset_index(
+            drop=True
+        )
+
+    return keyed_hash_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key_of,
+        pick,
+        partitions=merge_partitions,
+    )

@@ -129,3 +129,42 @@ def test_group_cov_singleton_group_nan(ray_session):
     out = _run_cov(df, 2)
     row = out[out["a"] == "solo"].iloc[0]
     assert np.isnan(row["cov_samp"]) and row["cov_pop"] == 0.0
+
+
+def _run_mode(df, blocks):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_mode
+
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(blocks)
+    out = group_mode(ds, group_cols=["a"], value_col="v", merge_partitions=8)
+    return out.to_pandas().sort_values("a").reset_index(drop=True)
+
+
+def test_group_mode_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["p", "q", "r", "s"], 600),
+            "v": rng.choice(list("abcde"), 600),
+        }
+    )
+    got = _run_mode(df, 7)
+    want = (
+        df.groupby(["a", "v"], as_index=False)
+        .size()
+        .rename(columns={"v": "mode_value", "size": "n"})
+        .sort_values(["a", "n", "mode_value"], ascending=[True, False, True])
+        .drop_duplicates("a")
+        .reset_index(drop=True)
+    )
+    want["n"] = want["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_group_mode_tie_breaks_smallest_and_layout_invariant(ray_session):
+    df = pd.DataFrame({"a": ["g"] * 4, "v": ["z", "b", "z", "b"]})
+    for blocks in (1, 3):
+        out = _run_mode(df, blocks)
+        assert out.to_dict("list") == {"a": ["g"], "mode_value": ["b"], "n": [2]}
