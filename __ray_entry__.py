@@ -2326,6 +2326,34 @@ def _q_group_mode(sf_dir: str):
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 
+def _q_cooccurrence(sf_dir: str):
+    """Document co-occurrence counts (stages/cooccur.cooccurrence):
+    vectorized per-doc distinct-token pair explode (segment_pair_indices
+    gather, shared with the fuzzy-join band buckets), map-side partial
+    counts, ONE hash(w1,w2) exchange. Pairs in >= 2 docs, w1 < w2."""
+    from abwcf_ray.stages.cooccur import cooccurrence
+
+    _quiet()
+    out = cooccurrence(_docs(sf_dir, ["text"]), min_count=2).to_pandas()
+    return out.sort_values(
+        ["n", "w1", "w2"], ascending=[False, True, True]
+    ).reset_index(drop=True)
+
+
+def _q_cooccur_lift(sf_dir: str):
+    """Co-occurrence association strength (stages/cooccur
+    .cooccurrence_lift): pair counts + a broadcast term-document-frequency
+    vocabulary; lift = n_docs*n/(df1*df2) as ONE IEEE division of exact
+    int64 products, so the float hash-matches SQL bit-for-bit."""
+    from abwcf_ray.stages.cooccur import cooccurrence_lift
+
+    _quiet()
+    out = cooccurrence_lift(_docs(sf_dir, ["text"]), min_count=3).to_pandas()
+    return out.sort_values(
+        ["n", "w1", "w2"], ascending=[False, True, True]
+    ).reset_index(drop=True)
+
+
 def _q_fuzzy_clusters(sf_dir: str):
     """Entity clustering (stages/fuzzy.fuzzy_clusters_ed1): transitive
     closure of the ed<=1 fuzzy name join through the shared CC
@@ -2544,6 +2572,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_clusters": _q_fuzzy_clusters,
         "group_covariance": _q_group_covariance,
         "group_mode": _q_group_mode,
+        "cooccurrence": _q_cooccurrence,
+        "cooccur_lift": _q_cooccur_lift,
         "triangles": _q_triangles,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "crawl_wave": _q_crawl,
@@ -3811,6 +3841,46 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM events GROUP BY user_id, event_type
             ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "cooccurrence": r"""
+            WITH tok AS (
+                SELECT DISTINCT * FROM (
+                    SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text),
+                                                     '[a-z]{4,}')) AS w
+                    FROM documents)
+            )
+            SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n
+            FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id AND a.w < b.w
+            GROUP BY a.w, b.w
+            HAVING COUNT(*) >= 2
+            ORDER BY n DESC, w1, w2
+        """,
+        "cooccur_lift": r"""
+            WITH tok AS (
+                SELECT DISTINCT * FROM (
+                    SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text),
+                                                     '[a-z]{4,}')) AS w
+                    FROM documents)
+            ),
+            nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+            tdf AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY w),
+            p AS (
+                SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n
+                FROM tok a JOIN tok b
+                  ON a.doc_id = b.doc_id AND a.w < b.w
+                GROUP BY a.w, b.w
+                HAVING COUNT(*) >= 3
+            )
+            SELECT p.w1, p.w2, p.n,
+                   CAST(p.n * nd.n_docs AS DOUBLE)
+                       / CAST(d1.df * d2.df AS DOUBLE) AS lift
+            FROM p CROSS JOIN nd
+            JOIN tdf d1 ON d1.w = p.w1
+            JOIN tdf d2 ON d2.w = p.w2
+            ORDER BY n DESC, w1, w2
         """,
         "group_covariance": """
             WITH t AS (

@@ -125,6 +125,29 @@ def _band_hashes(
     return bands, sidx
 
 
+def segment_pair_indices(
+    seg_start: np.ndarray, seg_len: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """All within-segment index pairs (i < j), vectorized across every
+    segment at once: returns two flat GLOBAL index arrays (a_idx, b_idx)
+    of length sum(len·(len−1)/2). The combination index k → (i, j)
+    inversion uses one float sqrt plus two integer corrections (exact for
+    k < 2^52). Shared by the fuzzy-join band buckets and the
+    co-occurrence per-doc pair explode."""
+    m = seg_len * (seg_len - 1) // 2
+    total = int(m.sum())
+    if total == 0:
+        e = np.empty(0, np.int64)
+        return e, e
+    kk = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+    j = np.floor((np.sqrt(8.0 * kk + 1.0) + 1.0) / 2.0).astype(np.int64)
+    j -= j * (j - 1) // 2 > kk
+    j += (j + 1) * j // 2 <= kk
+    i = kk - j * (j - 1) // 2
+    base = np.repeat(seg_start, m)
+    return base + i, base + j
+
+
 def ed_le1_mask(A: list, B: list) -> np.ndarray:
     """Exact vectorized Levenshtein<=1 over pairs of uint8 sequences.
     Equal lengths: at most one mismatching position. Lengths off by one:
@@ -229,20 +252,10 @@ def fuzzy_join_ed1(
         seg_start = np.flatnonzero(new)
         seg_len = np.diff(np.r_[seg_start, len(b)])
         seg_len = np.where(seg_len > max_bucket, 0, seg_len)
-        m = seg_len * (seg_len - 1) // 2
-        total = int(m.sum())
-        if total == 0:
+        ai, bi = segment_pair_indices(seg_start, seg_len)
+        if len(ai) == 0:
             return empty
-        # combination index k -> (i < j) within each bucket, vectorized
-        kk = np.arange(total, dtype=np.int64) - np.repeat(
-            np.cumsum(m) - m, m
-        )
-        j = np.floor((np.sqrt(8.0 * kk + 1.0) + 1.0) / 2.0).astype(np.int64)
-        j -= j * (j - 1) // 2 > kk
-        j += (j + 1) * j // 2 <= kk
-        i = kk - j * (j - 1) // 2
-        base = np.repeat(seg_start, m)
-        a, c = ids[base + i], ids[base + j]
+        a, c = ids[ai], ids[bi]
         src, dst = np.minimum(a, c), np.maximum(a, c)
         return (
             pd.DataFrame({"src": src, "dst": dst})
