@@ -2107,6 +2107,77 @@ def _q_pagerank_distributed(sf_dir: str):
     return out.to_pandas().sort_values("node").reset_index(drop=True)
 
 
+def _q_hits(sf_dir: str):
+    """Fixed-point integer HITS (stages/graph.hits), 4 hub/authority
+    power iterations, broadcast regime: dense int64 score vectors in the
+    object store, edges stream, in-sums settle in combiner-bounded keyed
+    merges; ONE integer floor-division per node per half-iteration keeps
+    the renormalized iteration exactly SQL-expressible (chained CTEs)."""
+    from abwcf_ray.stages.graph import hits
+
+    _quiet()
+    edges, n = _graph_edges(sf_dir)
+    out = hits(edges, n_nodes=n, iters=4)
+    return out.to_pandas().sort_values("node").reset_index(drop=True)
+
+
+def _hits_sql(iters: int = 4) -> str:
+    """Chained-CTE mirror of stages/graph.hits: per iteration one
+    authority in-sum + integer renormalize, then the same for hubs.
+    HUGEINT-safe sums, all arithmetic integer -> bit-exact hash match."""
+    scale = 10**6
+    ctes = [
+        f"edges AS ({_GRAPH_EDGES_SQL})",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS v FROM nodes)",
+    ]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""ar{i} AS (
+                SELECT e.dst AS node, SUM(p.v) AS s
+                FROM edges e JOIN {prev_h} p ON p.node = e.src
+                GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"at{i} AS (SELECT GREATEST(COALESCE(SUM(s), 0), 1) AS t "
+            f"FROM ar{i})"
+        )
+        ctes.append(
+            f"""a{i} AS (
+                SELECT n.node,
+                       CAST(COALESCE(r.s, 0) * {scale} // at.t AS BIGINT) AS v
+                FROM nodes n LEFT JOIN ar{i} r ON r.node = n.node
+                CROSS JOIN at{i} at)"""
+        )
+        ctes.append(
+            f"""hr{i} AS (
+                SELECT e.src AS node, SUM(q.v) AS s
+                FROM edges e JOIN a{i} q ON q.node = e.dst
+                GROUP BY e.src)"""
+        )
+        ctes.append(
+            f"ht{i} AS (SELECT GREATEST(COALESCE(SUM(s), 0), 1) AS t "
+            f"FROM hr{i})"
+        )
+        ctes.append(
+            f"""h{i} AS (
+                SELECT n.node,
+                       CAST(COALESCE(r.s, 0) * {scale} // ht.t AS BIGINT) AS v
+                FROM nodes n LEFT JOIN hr{i} r ON r.node = n.node
+                CROSS JOIN ht{i} ht)"""
+        )
+        prev_h = f"h{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT h.node, h.v AS hub_scaled, a.v AS auth_scaled
+        FROM h{iters} h JOIN a{iters} a ON a.node = h.node
+        ORDER BY h.node"""
+    )
+
+
 def _seed_nodes(sf_dir: str):
     """Deterministic BFS seed set: every 17th doc (same derivation inline
     in the bfs_hops SQL oracle — the _GRAPH_EDGES_SQL shared-synthesis
@@ -2562,6 +2633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir": _q_dsir,
         "graph_degrees": _q_graph_degrees,
         "pagerank": _q_pagerank,
+        "hits": _q_hits,
         "pagerank_distributed": _q_pagerank_distributed,
         "bfs_hops": _q_bfs_hops,
         "bfs_hops_distributed": _q_bfs_hops_distributed,
@@ -3800,6 +3872,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN i USING (node)
         """,
         "pagerank": _pagerank_sql(5),
+        "hits": _hits_sql(4),
         "pagerank_distributed": _pagerank_sql(5),
         "bfs_hops": _bfs_hops_sql(4),
         "bfs_hops_distributed": _bfs_hops_sql(4),

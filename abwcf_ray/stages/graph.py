@@ -1048,3 +1048,103 @@ def bfs_hops(
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999), fixed-point integer
+# --------------------------------------------------------------------------
+# Integer normalization keeps the iteration SQL-expressible: after each
+# in-sum, scores are rescaled to total mass ~= n * HITS_SCALE via ONE
+# integer division per node ((s * HITS_SCALE) // total). Overflow bound:
+# max_in_degree * HITS_SCALE^2 < 2^63 => in-degree < 9.2e6 at the default
+# scale; raise `partitions` and lower `scale` for denser graphs.
+HITS_SCALE = 10**6
+
+
+def hits(
+    edges_ds,
+    *,
+    n_nodes: int,
+    iters: int = 4,
+    scale: int = HITS_SCALE,
+    partitions: int = GRAPH_MERGE_PARTITIONS,
+):
+    """Fixed-point integer HITS over an edge Dataset (src, dst int64),
+    BROADCAST regime: dense int64 hub/authority vectors live in the
+    object store (8 B/node — the `_pagerank_broadcast` bound), edges
+    stream, per-node in-sums settle in a combiner-bounded keyed merge.
+    The distributed analog is exactly `_pagerank_distributed`'s
+    message-passing shape plus one scalar `sum()` per half-iteration
+    (the normalizer); the fixed-point arithmetic is regime-invariant.
+
+    Returns a Dataset (node, hub_scaled, auth_scaled). Deterministic
+    under any layout: all arithmetic is int64 (sums are associative,
+    ONE floor division per node per half-iteration), mirrored 1:1 by
+    the chained-CTE SQL oracle.
+    """
+    import ray
+    import ray.data as rd
+
+    P = partitions
+
+    edges_m = edges_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b.column("src").cast(pa.int64()),
+                "dst": b.column("dst").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def merge_sums(g: pd.DataFrame) -> pd.DataFrame:
+        k, v = _sparse_sum(g["node"].to_numpy(), g["s"].to_numpy())
+        return pd.DataFrame({"node": k, "s": v})
+
+    def half_step(vec: np.ndarray, out_to_in: bool) -> np.ndarray:
+        """One in-sum + renormalize: authority step (sum hub over
+        in-edges) when out_to_in, hub step (sum auth over out-edges)
+        otherwise."""
+        ref = ray.put(vec)
+
+        def partial(batch: pa.Table, *, _ref=ref) -> pa.Table:
+            v = ray.get(_ref)  # zero-copy shared-memory read
+            src, dst = _edge_arrays(batch)
+            gather, target = (src, dst) if out_to_in else (dst, src)
+            k, s = _sparse_sum(target, v[gather])
+            return pa.table(
+                {
+                    "pkey": pa.array(_int_pkey(k, P), pa.int64()),
+                    "node": pa.array(k, pa.int64()),
+                    "s": pa.array(s, pa.int64()),
+                }
+            )
+
+        raw = np.zeros(len(vec), np.int64)
+        agg = (
+            edges_m.map_batches(partial, batch_format="pyarrow")
+            .groupby("pkey")
+            .map_groups(merge_sums, batch_format="pandas")
+        )
+        for b in agg.iter_batches(batch_format="pyarrow"):
+            nd = b.column("node").to_numpy(zero_copy_only=False)
+            s = b.column("s").to_numpy(zero_copy_only=False)
+            raw[nd] = s
+        total = max(int(raw.sum()), 1)
+        return (raw * np.int64(scale)) // np.int64(total)
+
+    hub = np.full(n_nodes, scale, np.int64)
+    auth = np.zeros(n_nodes, np.int64)
+    for _ in range(iters):
+        auth = half_step(hub, out_to_in=True)
+        hub = half_step(auth, out_to_in=False)
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(np.arange(n_nodes, dtype=np.int64), pa.int64()),
+                "hub_scaled": pa.array(hub, pa.int64()),
+                "auth_scaled": pa.array(auth, pa.int64()),
+            }
+        )
+    )

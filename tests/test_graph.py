@@ -373,3 +373,66 @@ def test_bfs_hops_chain_graph_exact_depths(ray_session):
         .tolist()
     )
     assert out == [0, 1, 2, -1, -1]
+
+
+def _ref_hits(src, dst, n, iters, scale):
+    hub = np.full(n, scale, np.int64)
+    auth = np.zeros(n, np.int64)
+    for _ in range(iters):
+        raw = np.zeros(n, np.int64)
+        np.add.at(raw, dst, hub[src])
+        auth = (raw * scale) // max(int(raw.sum()), 1)
+        raw = np.zeros(n, np.int64)
+        np.add.at(raw, src, auth[dst])
+        hub = (raw * scale) // max(int(raw.sum()), 1)
+    return hub, auth
+
+
+def test_hits_matches_reference(ray_session):
+    from abwcf_ray.stages.graph import HITS_SCALE, hits
+
+    src, dst = _random_graph(11, 60, 400)
+    out = (
+        hits(_edges_ds(src, dst), n_nodes=60, iters=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    hub, auth = _ref_hits(src, dst, 60, 4, HITS_SCALE)
+    np.testing.assert_array_equal(out["hub_scaled"].to_numpy(), hub)
+    np.testing.assert_array_equal(out["auth_scaled"].to_numpy(), auth)
+
+
+def test_hits_layout_invariance_and_star(ray_session):
+    from abwcf_ray.stages.graph import hits
+
+    src, dst = _random_graph(13, 40, 250)
+    a = (
+        hits(_edges_ds(src, dst, blocks=1), n_nodes=40, iters=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    b = (
+        hits(_edges_ds(src, dst, blocks=9), n_nodes=40, iters=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+    # star: all spokes point at hub 0 -> node 0 takes (almost) all
+    # authority, spokes share hub mass, hub 0 has no out-edges -> hub 0
+    n = 8
+    ssrc = np.arange(1, n, dtype=np.int64)
+    sdst = np.zeros(n - 1, np.int64)
+    s = (
+        hits(_edges_ds(ssrc, sdst, blocks=2), n_nodes=n, iters=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert s.loc[0, "auth_scaled"] > 0
+    assert (s.loc[1:, "auth_scaled"] == 0).all()
+    assert s.loc[0, "hub_scaled"] == 0
+    assert s.loc[1:, "hub_scaled"].nunique() == 1
