@@ -2397,6 +2397,32 @@ def _q_group_mode(sf_dir: str):
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 
+def _q_event_paths(sf_dir: str):
+    """Per-user ordered event path (stages/stats.group_string_agg):
+    SQL string_agg(event_type ORDER BY event_id) — rows land whole-group
+    via ONE hash(user) exchange, per-partition mergesort + segmented
+    join."""
+    from pathlib import Path
+
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_string_agg
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["user_id", "event_id", "event_type"],
+    )
+    out = group_string_agg(
+        ev,
+        group_cols=["user_id"],
+        value_col="event_type",
+        order_col="event_id",
+        sep=">",
+    )
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
 def _q_cooccurrence(sf_dir: str):
     """Document co-occurrence counts (stages/cooccur.cooccurrence):
     vectorized per-doc distinct-token pair explode (segment_pair_indices
@@ -2644,6 +2670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_clusters": _q_fuzzy_clusters,
         "group_covariance": _q_group_covariance,
         "group_mode": _q_group_mode,
+        "event_paths": _q_event_paths,
         "cooccurrence": _q_cooccurrence,
         "cooccur_lift": _q_cooccur_lift,
         "triangles": _q_triangles,
@@ -3914,6 +3941,11 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM events GROUP BY user_id, event_type
             ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "event_paths": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY event_id) AS path
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "cooccurrence": r"""
             WITH tok AS (

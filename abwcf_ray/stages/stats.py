@@ -221,3 +221,52 @@ def group_mode(
         pick,
         partitions=merge_partitions,
     )
+
+
+def group_string_agg(
+    ds,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    order_col: str,
+    sep: str = ">",
+    out_col: str = "path",
+    merge_partitions: int = 64,
+):
+    """Per-group ORDERED string concatenation (SQL
+    ``string_agg(value, sep ORDER BY order_col)``) — the event-path /
+    clickstream-sequence build. Returns ``group_cols + [out_col]``.
+
+    Concatenation is associative but not commutative, so each group's
+    rows must land whole: ONE hash(GROUP) exchange (the group_mode
+    shape), then per partition one (group, order) mergesort + one
+    segmented join. ``(group, order_col)`` must be unique per row for a
+    deterministic result — true for (user_id, ts) event streams; ties
+    would make both engine and SQL nondeterministic.
+
+    Exchange volume is O(rows) by nature (every value appears in the
+    output); the win over a native sort-shuffle groupby is the small
+    64-valued sort key (see keyed_hash_agg)."""
+
+    def slim(t: pa.Table) -> pa.Table:
+        return t.select(group_cols + [order_col, value_col])
+
+    def key_of(b: pa.Table) -> np.ndarray:
+        k = hash64(b.column(group_cols[0]))
+        for c in group_cols[1:]:
+            k = k * np.uint64(0x9E3779B97F4A7C15) ^ hash64(b.column(c))
+        return k
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(group_cols + [order_col], kind="mergesort")
+        out = g.groupby(group_cols, as_index=False, sort=False)[
+            value_col
+        ].agg(sep.join)
+        return out.rename(columns={value_col: out_col})
+
+    return keyed_hash_agg(
+        ds.map_batches(slim, batch_format="pyarrow"),
+        key_of,
+        join,
+        partitions=merge_partitions,
+    )

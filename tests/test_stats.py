@@ -168,3 +168,38 @@ def test_group_mode_tie_breaks_smallest_and_layout_invariant(ray_session):
     for blocks in (1, 3):
         out = _run_mode(df, blocks)
         assert out.to_dict("list") == {"a": ["g"], "mode_value": ["b"], "n": [2]}
+
+
+def test_group_string_agg_matches_brute(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_string_agg
+
+    rng = np.random.default_rng(5)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 12, n).astype(np.int64),
+            "o": np.arange(n, dtype=np.int64),
+            "e": rng.choice(["view", "click", "buy"], n),
+        }
+    )
+    df = df.sample(frac=1, random_state=5).reset_index(drop=True)
+    ds = rd.from_pandas(df).repartition(5)
+    got = (
+        group_string_agg(
+            ds, group_cols=["u"], value_col="e", order_col="o", sep=">"
+        )
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["u", "o"])
+        .groupby("u", as_index=False)["e"]
+        .agg(">".join)
+        .rename(columns={"e": "path"})
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
