@@ -2397,6 +2397,45 @@ def _q_group_mode(sf_dir: str):
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 
+def _q_user_rolling(sf_dir: str):
+    """Moving 7-row window SUM per user (stages/winfun
+    .keyed_window_functions roll_rows): SQL ROWS BETWEEN 6 PRECEDING AND
+    CURRENT ROW — one cumsum + one clamped gather per shard on top of the
+    same single keyed exchange as user_running; exact int64."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.winfun import keyed_window_functions
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_id", "ts", "user_id", "props"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "plen": pc.utf8_length(t.column("props")).cast(pa.int64()),
+            }
+        )
+
+    out = keyed_window_functions(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id",
+        order_cols=["ts_us", "event_id"],
+        sum_col="plen",
+        roll_rows=7,
+    ).to_pandas()
+    return (
+        out[["event_id", "user_id", "plen", "rn", "roll_sum"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_event_paths(sf_dir: str):
     """Per-user ordered event path (stages/stats.group_string_agg):
     SQL string_agg(event_type ORDER BY event_id) — rows land whole-group
@@ -2670,6 +2709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_clusters": _q_fuzzy_clusters,
         "group_covariance": _q_group_covariance,
         "group_mode": _q_group_mode,
+        "user_rolling": _q_user_rolling,
         "event_paths": _q_event_paths,
         "cooccurrence": _q_cooccurrence,
         "cooccur_lift": _q_cooccur_lift,
@@ -3941,6 +3981,18 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM events GROUP BY user_id, event_type
             ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "user_rolling": """
+            SELECT event_id, user_id,
+                   CAST(length(props) AS BIGINT) AS plen,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+                   CAST(SUM(CAST(length(props) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS roll_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
         """,
         "event_paths": """
             SELECT user_id,

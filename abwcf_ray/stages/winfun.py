@@ -59,6 +59,7 @@ def keyed_window_functions(
     lag_sentinel: int = -1,
     dense_rank_cols: list[str] | None = None,
     ntile: int | None = None,
+    roll_rows: int | None = None,
     partitions: int = DEFAULT_WINFUN_PARTITIONS,
 ):
     """Append per-key ordered window columns to ``ds``.
@@ -75,6 +76,10 @@ def keyed_window_functions(
       ``order_cols`` (the remaining order cols are just the deterministic
       tiebreak; dense rank is tie-aware by definition, so it increments on
       value change, not row change).
+    - ``roll_sum`` (if ``sum_col`` and ``roll_rows=k``): moving SUM over
+      ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW — the fixed-depth
+      smoothing window; exact int64, one cumsum + one clamped gather, no
+      per-row loop.
     - ``ntile`` (if ``ntile=t``): NTILE(t) over the full window order —
       standard SQL bucketing (first ``cnt % t`` buckets get one extra
       row), vectorized off group sizes; needs no second pass because each
@@ -96,6 +101,8 @@ def keyed_window_functions(
         raise ValueError("dense_rank_cols must be a prefix of order_cols")
     if ntile is not None and ntile < 1:
         raise ValueError("ntile must be >= 1")
+    if roll_rows is not None and (sum_col is None or roll_rows < 1):
+        raise ValueError("roll_rows needs sum_col and roll_rows >= 1")
 
     def tag(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -125,6 +132,13 @@ def keyed_window_functions(
             v = out[sum_col].to_numpy(np.int64)
             c = np.cumsum(v)
             out["run_sum"] = c - c[start] + v[start]
+            if roll_rows is not None:
+                pos = idx - start
+                base = c[start] - v[start]  # prefix mass before the key
+                k = roll_rows
+                out["roll_sum"] = c - np.where(
+                    pos >= k, c[np.maximum(idx - k, 0)], base
+                )
         if lag_col is not None:
             lv = out[lag_col].to_numpy(np.int64)
             prev = np.empty(n, np.int64)

@@ -182,3 +182,52 @@ def test_dense_rank_cols_must_prefix_order_cols(ray_session):
             order_cols=["ts", "id"],
             dense_rank_cols=["id"],
         )
+
+
+def test_roll_sum_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.winfun import keyed_window_functions
+
+    rng = np.random.default_rng(8)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 9, n).astype(np.int64),
+            "o": rng.permutation(n).astype(np.int64),
+            "v": rng.integers(-20, 90, n).astype(np.int64),
+        }
+    )
+    got = (
+        keyed_window_functions(
+            rd.from_pandas(df).repartition(6),
+            key_col="k",
+            order_cols=["o"],
+            sum_col="v",
+            roll_rows=4,
+            partitions=8,
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["k", "o"]).reset_index(drop=True)
+    want["roll"] = (
+        want.groupby("k")["v"].rolling(4, min_periods=1).sum().to_numpy()
+    )
+    np.testing.assert_array_equal(
+        got["roll_sum"].to_numpy(), want["roll"].to_numpy(np.int64)
+    )
+
+
+def test_roll_rows_requires_sum_col(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from abwcf_ray.stages.winfun import keyed_window_functions
+
+    ds = rd.from_pandas(pd.DataFrame({"k": [1], "o": [1]}))
+    with _pytest.raises(ValueError):
+        keyed_window_functions(
+            ds, key_col="k", order_cols=["o"], roll_rows=3
+        )
