@@ -2436,6 +2436,43 @@ def _q_user_rolling(sf_dir: str):
     )
 
 
+def _q_user_pct_rank(sf_dir: str):
+    """Tie-aware RANK + PERCENT_RANK + CUME_DIST per user over the props
+    payload length (stages/winfun rank_cols): tie runs from vectorized
+    change flags, each distribution stat ONE IEEE division of exact
+    int64s — bit-exact against the SQL window functions."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.winfun import keyed_window_functions
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_id", "user_id", "props"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "plen": pc.utf8_length(t.column("props")).cast(pa.int64()),
+            }
+        )
+
+    out = keyed_window_functions(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id",
+        order_cols=["plen", "event_id"],
+        rank_cols=["plen"],
+    ).to_pandas()
+    return (
+        out[["event_id", "user_id", "plen", "rank", "pct_rank", "cume_dist"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_event_paths(sf_dir: str):
     """Per-user ordered event path (stages/stats.group_string_agg):
     SQL string_agg(event_type ORDER BY event_id) — rows land whole-group
@@ -2710,6 +2747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_covariance": _q_group_covariance,
         "group_mode": _q_group_mode,
         "user_rolling": _q_user_rolling,
+        "user_pct_rank": _q_user_pct_rank,
         "event_paths": _q_event_paths,
         "cooccurrence": _q_cooccurrence,
         "cooccur_lift": _q_cooccur_lift,
@@ -3992,6 +4030,16 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS roll_sum
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
+        """,
+        "user_pct_rank": """
+            SELECT event_id, user_id,
+                   CAST(length(props) AS BIGINT) AS plen,
+                   CAST(RANK() OVER w AS BIGINT) AS rank,
+                   PERCENT_RANK() OVER w AS pct_rank,
+                   CUME_DIST() OVER w AS cume_dist
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY length(props))
             ORDER BY event_id
         """,
         "event_paths": """

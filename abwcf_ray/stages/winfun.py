@@ -58,6 +58,7 @@ def keyed_window_functions(
     lag_col: str | None = None,
     lag_sentinel: int = -1,
     dense_rank_cols: list[str] | None = None,
+    rank_cols: list[str] | None = None,
     ntile: int | None = None,
     roll_rows: int | None = None,
     partitions: int = DEFAULT_WINFUN_PARTITIONS,
@@ -76,6 +77,13 @@ def keyed_window_functions(
       ``order_cols`` (the remaining order cols are just the deterministic
       tiebreak; dense rank is tie-aware by definition, so it increments on
       value change, not row change).
+    - ``rank`` / ``pct_rank`` / ``cume_dist`` (if ``rank_cols``): SQL
+      RANK(), PERCENT_RANK() and CUME_DIST() over the key ordered by
+      ``rank_cols`` ONLY (a prefix of ``order_cols``, like
+      ``dense_rank_cols``). The two distribution stats are each ONE IEEE
+      division of exact int64s — (rank-1)/(cnt-1) with the SQL-defined 0
+      for single-row keys, and (rows ≤ current value)/cnt — so they
+      hash-match DuckDB bit-for-bit.
     - ``roll_sum`` (if ``sum_col`` and ``roll_rows=k``): moving SUM over
       ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW — the fixed-depth
       smoothing window; exact int64, one cumsum + one clamped gather, no
@@ -99,6 +107,10 @@ def keyed_window_functions(
         list(dense_rank_cols) != order_cols[: len(dense_rank_cols)]
     ):
         raise ValueError("dense_rank_cols must be a prefix of order_cols")
+    if rank_cols is not None and (
+        list(rank_cols) != order_cols[: len(rank_cols)]
+    ):
+        raise ValueError("rank_cols must be a prefix of order_cols")
     if ntile is not None and ntile < 1:
         raise ValueError("ntile must be >= 1")
     if roll_rows is not None and (sum_col is None or roll_rows < 1):
@@ -152,6 +164,22 @@ def keyed_window_functions(
                 chg[1:] |= v[1:] != v[:-1]
             d = np.cumsum(chg)
             out["dense_rank"] = d - d[start] + 1
+        if rank_cols is not None:
+            chg = new.copy()
+            for c in rank_cols:
+                v = out[c].to_numpy(np.int64)
+                chg[1:] |= v[1:] != v[:-1]
+            run_start = np.maximum.accumulate(np.where(chg, idx, 0))
+            out["rank"] = run_start - start + 1
+            run_id = np.cumsum(chg) - 1
+            run_end = (np.cumsum(np.bincount(run_id)) - 1)[run_id]
+            kid = np.cumsum(new) - 1
+            kcnt = np.bincount(kid)[kid]
+            denom = np.maximum(kcnt - 1, 1)  # SQL: pct_rank of a 1-row key is 0
+            out["pct_rank"] = (run_start - start).astype(np.float64) / denom
+            out["cume_dist"] = (run_end - start + 1).astype(
+                np.float64
+            ) / kcnt.astype(np.float64)
         if ntile is not None:
             gid = np.cumsum(new) - 1
             cnt = np.bincount(gid)[gid]

@@ -231,3 +231,74 @@ def test_roll_rows_requires_sum_col(ray_session):
         keyed_window_functions(
             ds, key_col="k", order_cols=["o"], roll_rows=3
         )
+
+
+def test_rank_pct_cume_match_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from abwcf_ray.stages.winfun import keyed_window_functions
+
+    rng = np.random.default_rng(21)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, n).astype(np.int64),
+            "v": rng.integers(0, 9, n).astype(np.int64),  # heavy ties
+            "i": np.arange(n, dtype=np.int64),
+        }
+    )
+    got = (
+        keyed_window_functions(
+            rd.from_pandas(df).repartition(5),
+            key_col="k",
+            order_cols=["v", "i"],
+            rank_cols=["v"],
+            partitions=8,
+        )
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """
+        SELECT i, CAST(RANK() OVER w AS BIGINT) AS rank,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume_dist
+        FROM df WINDOW w AS (PARTITION BY k ORDER BY v) ORDER BY i
+        """
+    ).df()
+    np.testing.assert_array_equal(got["rank"].to_numpy(), want["rank"].to_numpy())
+    np.testing.assert_array_equal(
+        got["pct_rank"].to_numpy(), want["pct_rank"].to_numpy()
+    )
+    np.testing.assert_array_equal(
+        got["cume_dist"].to_numpy(), want["cume_dist"].to_numpy()
+    )
+
+
+def test_pct_rank_single_row_key_is_zero(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.winfun import keyed_window_functions
+
+    df = pd.DataFrame(
+        {"k": np.array([1, 2, 2], np.int64), "v": np.array([5, 3, 3], np.int64),
+         "i": np.arange(3, dtype=np.int64)}
+    )
+    out = (
+        keyed_window_functions(
+            rd.from_pandas(df),
+            key_col="k",
+            order_cols=["v", "i"],
+            rank_cols=["v"],
+        )
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "pct_rank"] == 0.0
+    assert out.loc[0, "cume_dist"] == 1.0
+    # the tied pair in key 2 shares rank 1 and cume_dist 1.0
+    assert out.loc[1, "rank"] == 1 and out.loc[2, "rank"] == 1
+    assert out.loc[1, "cume_dist"] == 1.0 and out.loc[2, "cume_dist"] == 1.0
