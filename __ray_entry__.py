@@ -1859,6 +1859,35 @@ def _q_host_quantiles(sf_dir: str):
     return out.sort_values(["host", "q_pct"]).reset_index(drop=True)
 
 
+def _q_host_trimmed_mean(sf_dir: str):
+    """Per-host trimmed mean of document length (stages/sketch
+    .group_trimmed_mean): mean within the [p10, p90] quantile_disc band —
+    bounds AND aggregate both off the same single sparse-histogram
+    exchange; mean is ONE IEEE division of exact int64s."""
+    from abwcf_ray.stages.sketch import group_trimmed_mean
+
+    _quiet()
+
+    def with_host(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "host": pa.array(
+                    [f"h{i % _HOSTS}.example" for i in d], pa.string()
+                ),
+                "n_chars": t.column("n_chars"),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        with_host, batch_format="pyarrow"
+    )
+    out = group_trimmed_mean(
+        ds, group_col="host", col="n_chars", q_lo=0.1, q_hi=0.9
+    ).to_pandas()
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def _q_user_event_pivot(sf_dir: str):
     """PIVOT (stages/pivot.pivot_counts): per-user event counts laid out
     wide (one int64 column per event type) — map-side bincount combiner
@@ -2748,6 +2777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_mode": _q_group_mode,
         "user_rolling": _q_user_rolling,
         "user_pct_rank": _q_user_pct_rank,
+        "host_trimmed_mean": _q_host_trimmed_mean,
         "event_paths": _q_event_paths,
         "cooccurrence": _q_cooccurrence,
         "cooccur_lift": _q_cooccur_lift,
@@ -4031,6 +4061,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ORDER BY event_id
+        """,
+        "host_trimmed_mean": """
+            WITH d AS (
+                SELECT 'h' || (doc_id % 97) || '.example' AS host, n_chars
+                FROM documents
+            ),
+            b AS (
+                SELECT host, quantile_disc(n_chars, 0.1) AS lo,
+                       quantile_disc(n_chars, 0.9) AS hi
+                FROM d GROUP BY host
+            )
+            SELECT d.host, COUNT(*) AS n_kept,
+                   CAST(SUM(d.n_chars) AS BIGINT) AS sum_kept,
+                   CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(*) AS trimmed_mean
+            FROM d JOIN b ON d.host = b.host
+            WHERE d.n_chars BETWEEN b.lo AND b.hi
+            GROUP BY d.host ORDER BY d.host
         """,
         "user_pct_rank": """
             SELECT event_id, user_id,

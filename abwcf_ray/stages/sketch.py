@@ -365,3 +365,83 @@ def group_int_quantiles(
         quant,
         partitions=merge_partitions,
     )
+
+
+def group_trimmed_mean(
+    ds,
+    *,
+    group_col: str,
+    col: str,
+    q_lo: float = 0.1,
+    q_hi: float = 0.9,
+    merge_partitions: int = 64,
+):
+    """Per-group TRIMMED MEAN: mean of ``col`` restricted to the closed
+    quantile band [quantile_disc(q_lo), quantile_disc(q_hi)] — the
+    outlier-robust aggregate (winsorized-style trim by rank, inclusive
+    bounds, same ceil(q·N) rank rule as group_int_quantiles).
+
+    Same scale shape as group_int_quantiles: sparse (group, value, count)
+    histograms map-side, ONE hash(group) exchange lands each group's
+    histogram whole, and BOTH the band bounds and the trimmed aggregate
+    come off that histogram in-shard — the raw rows never cross the wire
+    a second time. Returns (group_col, n_kept:int64, sum_kept:int64,
+    trimmed_mean:float64) with the mean as ONE IEEE division of exact
+    int64s (hash-matches SQL bit-for-bit)."""
+    from abwcf_ray.functions.hashing import hash64
+
+    def hist(batch: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                group_col: batch.column(group_col).to_pandas(),
+                "v": batch.column(col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = pdf.groupby([group_col, "v"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def gkey(b: pa.Table) -> np.ndarray:
+        c = b.column(group_col)
+        if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
+            return hash64(c)
+        return c.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def trim(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        merged = g.groupby([group_col, "v"], as_index=False, sort=False).agg(
+            n=("n", "sum")
+        )
+        for gval, sub in merged.groupby(group_col, sort=False):
+            sub = sub.sort_values("v", kind="mergesort")
+            cnt = sub["n"].to_numpy(np.int64)
+            vals = sub["v"].to_numpy(np.int64)
+            cum = np.cumsum(cnt)
+            total = int(cum[-1])
+            bound = []
+            for q in (q_lo, q_hi):
+                rank = max(1, int(np.ceil(q * total)))
+                bound.append(vals[int(np.searchsorted(cum, rank, side="left"))])
+            keep = (vals >= bound[0]) & (vals <= bound[1])
+            n_kept = int(cnt[keep].sum())
+            sum_kept = int((vals[keep] * cnt[keep]).sum())
+            rows.append((gval, n_kept, sum_kept))
+        out = pd.DataFrame(rows, columns=[group_col, "n_kept", "sum_kept"])
+        out["n_kept"] = out["n_kept"].astype(np.int64)
+        out["sum_kept"] = out["sum_kept"].astype(np.int64)
+        out["trimmed_mean"] = out["sum_kept"].to_numpy(
+            np.int64
+        ).astype(np.float64) / out["n_kept"].to_numpy(np.int64).astype(
+            np.float64
+        )
+        return out
+
+    return keyed_hash_agg(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        gkey,
+        trim,
+        partitions=merge_partitions,
+    )

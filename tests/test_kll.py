@@ -74,3 +74,44 @@ def test_empty_and_tiny(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"x": np.array([42], np.int64)}))
     got = kll_quantiles(ds, col="x", qs=[0.5], k=16)
     assert got["value"].tolist() == [42]
+
+
+def test_group_trimmed_mean_matches_brute(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.sketch import group_trimmed_mean
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "v": rng.integers(-100, 5000, n).astype(np.int64),
+        }
+    )
+    got = (
+        group_trimmed_mean(
+            rd.from_pandas(df).repartition(6), group_col="g", col="v",
+            q_lo=0.1, q_hi=0.9, merge_partitions=8,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    rows = []
+    for gval, sub in df.groupby("g"):
+        v = np.sort(sub["v"].to_numpy())
+        total = len(v)
+        lo = v[max(1, int(np.ceil(0.1 * total))) - 1]
+        hi = v[max(1, int(np.ceil(0.9 * total))) - 1]
+        keep = v[(v >= lo) & (v <= hi)]
+        rows.append(
+            (gval, len(keep), int(keep.sum()),
+             float(np.float64(int(keep.sum())) / np.float64(len(keep))))
+        )
+    want = pd.DataFrame(
+        rows, columns=["g", "n_kept", "sum_kept", "trimmed_mean"]
+    )
+    want["n_kept"] = want["n_kept"].astype(np.int64)
+    want["sum_kept"] = want["sum_kept"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
