@@ -2207,6 +2207,56 @@ def _hits_sql(iters: int = 4) -> str:
     )
 
 
+def _q_kcore(sf_dir: str):
+    """k-core membership, k=3 (stages/graph.kcore): 6 synchronous peel
+    rounds over the canonical undirected graph — broadcast alive vector,
+    edges stream, combiner-bounded degree merges; bulk-synchronous
+    rounds make the peel exactly SQL-expressible (chained CTEs)."""
+    from abwcf_ray.stages.graph import kcore
+
+    _quiet()
+    edges, n = _graph_edges(sf_dir)
+    out = kcore(edges, n_nodes=n, k=3, rounds=6)
+    return out.to_pandas().sort_values("node").reset_index(drop=True)
+
+
+def _kcore_sql(k: int = 3, rounds: int = 6) -> str:
+    """Chained-CTE mirror of stages/graph.kcore: UNION-dedup'd
+    undirected edges, one CTE per synchronous peel round."""
+    ctes = [
+        f"edges AS ({_GRAPH_EDGES_SQL})",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        """und AS (
+            SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+            UNION
+            SELECT dst AS a, src AS b FROM edges WHERE src <> dst)""",
+        "a0 AS (SELECT node FROM nodes)",
+    ]
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""a{i} AS (
+                SELECT dd.node FROM (
+                    SELECT e.a AS node, COUNT(*) AS d
+                    FROM und e
+                    JOIN {prev} x ON x.node = e.a
+                    JOIN {prev} y ON y.node = e.b
+                    GROUP BY e.a
+                ) dd WHERE dd.d >= {k})"""
+        )
+        prev = f"a{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT n.node,
+               CAST(CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                   AS in_core
+        FROM nodes n LEFT JOIN {prev} s ON s.node = n.node
+        ORDER BY n.node"""
+    )
+
+
 def _seed_nodes(sf_dir: str):
     """Deterministic BFS seed set: every 17th doc (same derivation inline
     in the bfs_hops SQL oracle — the _GRAPH_EDGES_SQL shared-synthesis
@@ -2765,6 +2815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degrees": _q_graph_degrees,
         "pagerank": _q_pagerank,
         "hits": _q_hits,
+        "kcore": _q_kcore,
         "pagerank_distributed": _q_pagerank_distributed,
         "bfs_hops": _q_bfs_hops,
         "bfs_hops_distributed": _q_bfs_hops_distributed,
@@ -4008,6 +4059,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(5),
         "hits": _hits_sql(4),
+        "kcore": _kcore_sql(3, 6),
         "pagerank_distributed": _pagerank_sql(5),
         "bfs_hops": _bfs_hops_sql(4),
         "bfs_hops_distributed": _bfs_hops_sql(4),

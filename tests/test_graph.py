@@ -436,3 +436,49 @@ def test_hits_layout_invariance_and_star(ray_session):
     assert (s.loc[1:, "auth_scaled"] == 0).all()
     assert s.loc[0, "hub_scaled"] == 0
     assert s.loc[1:, "hub_scaled"].nunique() == 1
+
+
+def _ref_kcore(src, dst, n, k):
+    # converged peel on the undirected simple graph
+    pairs = {(min(a, b), max(a, b)) for a, b in zip(src, dst) if a != b}
+    alive = set(range(n))
+    while True:
+        deg = {v: 0 for v in alive}
+        for a, b in pairs:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        drop = {v for v in alive if deg[v] < k}
+        if not drop:
+            return alive
+        alive -= drop
+
+
+def test_kcore_matches_converged_reference(ray_session):
+    from abwcf_ray.stages.graph import kcore
+
+    src, dst = _random_graph(23, 50, 220)
+    out = (
+        kcore(_edges_ds(src, dst), n_nodes=50, k=3, rounds=50)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want = _ref_kcore(src, dst, 50, 3)
+    got = set(out.loc[out["in_core"] == 1, "node"].tolist())
+    assert got == want
+
+
+def test_kcore_triangle_with_tail(ray_session):
+    from abwcf_ray.stages.graph import kcore
+
+    # triangle 0-1-2 plus a tail 2-3-4: the 2-core is exactly the triangle
+    src = np.array([0, 1, 2, 2, 3], np.int64)
+    dst = np.array([1, 2, 0, 3, 4], np.int64)
+    out = (
+        kcore(_edges_ds(src, dst, blocks=2), n_nodes=5, k=2, rounds=5)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert out["in_core"].tolist() == [1, 1, 1, 0, 0]
