@@ -1909,6 +1909,31 @@ def _q_user_event_pivot(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_event_unpivot(sf_dir: str):
+    """UNPIVOT (stages/pivot.unpivot): the wide per-user event-count
+    matrix melted back to long (user_id, variable, value) rows —
+    map-side only, ZERO shuffle beyond the pivot's own merge; explicit
+    zero counts survive the roundtrip (UNION-ALL mirror in SQL)."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.pivot import pivot_counts, unpivot
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"), columns=["user_id", "event_type"]
+    )
+    cats = ["click", "error", "purchase", "signup", "view"]
+    wide = pivot_counts(
+        ev, group_col="user_id", pivot_col="event_type", categories=cats
+    )
+    out = unpivot(
+        wide, id_cols=["user_id"], value_cols=[f"n_{c}" for c in cats]
+    ).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["value"] = out["value"].astype("int64")
+    return out.sort_values(["user_id", "variable"]).reset_index(drop=True)
+
+
 def _q_compression_signal(sf_dir: str):
     """zlib compression-ratio quality signal per document (the redundancy
     proxy next to the Gopher repetition fractions). zlib isn't available
@@ -2805,6 +2830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_quantiles_exact": _q_kll_quantiles_exact,
         "host_quantiles": _q_host_quantiles,
         "user_event_pivot": _q_user_event_pivot,
+        "event_unpivot": _q_event_unpivot,
         "kll_quantiles": _q_kll_quantiles,
         "top_keywords": _q_top_keywords,
         "range_join": _q_range_join,
@@ -3847,6 +3873,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
                    CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
             FROM events GROUP BY user_id
+        """,
+        "event_unpivot": """
+            WITH w AS (
+                SELECT user_id,
+                       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+                       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+                       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id, variable, value FROM (
+                SELECT user_id, 'n_click' AS variable, n_click AS value FROM w
+                UNION ALL
+                SELECT user_id, 'n_error', n_error FROM w
+                UNION ALL
+                SELECT user_id, 'n_purchase', n_purchase FROM w
+                UNION ALL
+                SELECT user_id, 'n_signup', n_signup FROM w
+                UNION ALL
+                SELECT user_id, 'n_view', n_view FROM w
+            ) ORDER BY user_id, variable
         """,
         "host_quantiles": """
             WITH d AS (
