@@ -2433,6 +2433,77 @@ def _q_fuzzy_names(sf_dir: str):
     )
 
 
+def _q_group_corr(sf_dir: str):
+    """Grouped Pearson correlation (stages/stats.group_corr): exact
+    int64 moments (adds Σx², Σy² to the covariance partials) + exactly
+    three IEEE ops (multiply, sqrt, divide) — the oracle reproduces the
+    float bit-for-bit with the identical expression (NOT corr())."""
+    from pathlib import Path
+
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_corr
+
+    _quiet()
+    li = rd.read_parquet(
+        str(Path(sf_dir) / "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_discount"],
+    )
+
+    def ints(t):
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        d = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "x": pa.array(q, pa.int64()),
+                "y": pa.array(d, pa.int64()),
+            }
+        )
+
+    out = group_corr(
+        li.map_batches(ints, batch_format="pyarrow"),
+        group_cols=["l_returnflag", "l_linestatus"],
+        x_col="x",
+        y_col="y",
+    ).to_pandas()
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(
+        drop=True
+    )
+
+
+def _q_host_mad(sf_dir: str):
+    """Per-host median + median-absolute-deviation of document length
+    (stages/sketch.group_mad): both statistics off ONE sparse-histogram
+    exchange (the MAD re-keys the in-shard histogram by |v − med|);
+    exact int64 end-to-end."""
+    from abwcf_ray.stages.sketch import group_mad
+
+    _quiet()
+
+    def with_host(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "host": pa.array(
+                    [f"h{i % _HOSTS}.example" for i in d], pa.string()
+                ),
+                "n_chars": t.column("n_chars"),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        with_host, batch_format="pyarrow"
+    )
+    out = group_mad(ds, group_col="host", col="n_chars").to_pandas()
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def _q_group_covariance(sf_dir: str):
     """Grouped bivariate covariance (stages/stats.group_cov): exact
     int64 moments (n, Σx, Σy, Σxy) combined map-side + one keyed merge;
@@ -2851,6 +2922,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_names": _q_fuzzy_names,
         "fuzzy_clusters": _q_fuzzy_clusters,
         "group_covariance": _q_group_covariance,
+        "group_corr": _q_group_corr,
+        "host_mad": _q_host_mad,
         "group_mode": _q_group_mode,
         "user_rolling": _q_user_rolling,
         "user_pct_rank": _q_user_pct_rank,
@@ -4233,6 +4306,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN tdf d1 ON d1.w = p.w1
             JOIN tdf d2 ON d2.w = p.w2
             ORDER BY n DESC, w1, w2
+        """,
+        "group_corr": """
+            WITH t AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(l_quantity AS BIGINT) AS x,
+                       CAST(FLOOR(l_discount * 100) AS BIGINT) AS y
+                FROM lineitem
+            ),
+            m AS (
+                SELECT l_returnflag, l_linestatus,
+                       COUNT(*) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx,
+                       CAST(SUM(y * y) AS BIGINT) AS syy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy
+                FROM t GROUP BY l_returnflag, l_linestatus
+            )
+            SELECT l_returnflag, l_linestatus, n, sx, sy, sxx, syy, sxy,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
+            FROM m ORDER BY l_returnflag, l_linestatus
+        """,
+        "host_mad": """
+            WITH d AS (
+                SELECT 'h' || (doc_id % 97) || '.example' AS host, n_chars
+                FROM documents
+            ),
+            m AS (
+                SELECT host, quantile_disc(n_chars, 0.5) AS med
+                FROM d GROUP BY host
+            )
+            SELECT d.host, m.med,
+                   quantile_disc(abs(d.n_chars - m.med), 0.5) AS mad
+            FROM d JOIN m ON d.host = m.host
+            GROUP BY d.host, m.med
+            ORDER BY d.host
         """,
         "group_covariance": """
             WITH t AS (

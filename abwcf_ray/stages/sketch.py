@@ -445,3 +445,75 @@ def group_trimmed_mean(
         trim,
         partitions=merge_partitions,
     )
+
+
+def group_mad(
+    ds,
+    *,
+    group_col: str,
+    col: str,
+    merge_partitions: int = 64,
+):
+    """Per-group MEDIAN + MAD (median absolute deviation, the robust
+    spread statistic), both discrete (quantile_disc rank rule,
+    ceil(N/2)) and exact int64 end-to-end.
+
+    ONE sparse-histogram exchange (the group_int_quantiles shape): the
+    median comes off each group's cumulative counts, and the MAD comes
+    off the SAME in-shard histogram re-keyed by |value − median| (counts
+    at mirrored offsets merge) — the raw rows never cross the wire a
+    second time, unlike the naive two-pass subtract-then-requantile.
+    Returns (group_col, med:int64, mad:int64)."""
+    from abwcf_ray.functions.hashing import hash64
+
+    def hist(batch: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                group_col: batch.column(group_col).to_pandas(),
+                "v": batch.column(col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = pdf.groupby([group_col, "v"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def gkey(b: pa.Table) -> np.ndarray:
+        c = b.column(group_col)
+        if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
+            return hash64(c)
+        return c.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def _disc_median(vals: np.ndarray, cnt: np.ndarray) -> int:
+        cum = np.cumsum(cnt)
+        rank = max(1, int(np.ceil(0.5 * int(cum[-1]))))
+        return int(vals[int(np.searchsorted(cum, rank, side="left"))])
+
+    def mad(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        merged = g.groupby([group_col, "v"], as_index=False, sort=False).agg(
+            n=("n", "sum")
+        )
+        for gval, sub in merged.groupby(group_col, sort=False):
+            sub = sub.sort_values("v", kind="mergesort")
+            vals = sub["v"].to_numpy(np.int64)
+            cnt = sub["n"].to_numpy(np.int64)
+            med = _disc_median(vals, cnt)
+            dev = np.abs(vals - med)
+            order = np.argsort(dev, kind="mergesort")
+            # mirrored offsets collide; the rank rule only needs sorted
+            # cumulative counts, so collisions need no explicit merge
+            rows.append((gval, med, _disc_median(dev[order], cnt[order])))
+        out = pd.DataFrame(rows, columns=[group_col, "med", "mad"])
+        out["med"] = out["med"].astype(np.int64)
+        out["mad"] = out["mad"].astype(np.int64)
+        return out
+
+    return keyed_hash_agg(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        gkey,
+        mad,
+        partitions=merge_partitions,
+    )

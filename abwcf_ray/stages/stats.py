@@ -270,3 +270,83 @@ def group_string_agg(
         join,
         partitions=merge_partitions,
     )
+
+
+_CORR_AGGS = {
+    "n": ("n", "sum"),
+    "sx": ("sx", "sum"),
+    "sy": ("sy", "sum"),
+    "sxx": ("sxx", "sum"),
+    "syy": ("syy", "sum"),
+    "sxy": ("sxy", "sum"),
+}
+
+
+def group_corr(
+    ds,
+    *,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    merge_partitions: int = 64,
+):
+    """Per-group Pearson correlation of integer columns: returns
+    ``group_cols + [n, sx, sy, sxx, syy, sxy, corr]``. Same one-exchange
+    moment shape as :func:`group_cov`, with the extra second moments.
+
+    corr = (n·Σxy − Σx·Σy) / sqrt((n·Σxx − Σx²) · (n·Σyy − Σy²))
+
+    computed as EXACT int64 numerator/moment terms followed by exactly
+    three IEEE operations — one multiply, one sqrt (correctly rounded by
+    IEEE 754), one divide — in that order, so the SQL oracle reproduces
+    the float bit-for-bit by writing the identical expression (NOT
+    corr(), whose streaming update rounds differently). NaN when either
+    variance term is zero (then the numerator is too — Cauchy–Schwarz —
+    so 0/0 on both sides). Caller bound: every moment term under 2^63.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {c: t.column(c).to_pandas() for c in group_cols}
+        cols.update(
+            n=np.ones(t.num_rows, np.int64),
+            sx=x, sy=y, sxx=x * x, syy=y * y, sxy=x * y,
+        )
+        g = (
+            pd.DataFrame(cols)
+            .groupby(group_cols, as_index=False, sort=False)
+            .agg(**_CORR_AGGS)
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def key_of(b: pa.Table) -> np.ndarray:
+        k = hash64(b.column(group_cols[0]))
+        for c in group_cols[1:]:
+            k = k * np.uint64(0x9E3779B97F4A7C15) ^ hash64(b.column(c))
+        return k
+
+    merged = keyed_hash_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key_of,
+        lambda g: g.groupby(group_cols, as_index=False, sort=False).agg(
+            **_CORR_AGGS
+        ),
+        partitions=merge_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = t.column("sx").to_numpy(zero_copy_only=False).astype(np.int64)
+        sy = t.column("sy").to_numpy(zero_copy_only=False).astype(np.int64)
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False).astype(np.int64)
+        syy = t.column("syy").to_numpy(zero_copy_only=False).astype(np.int64)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False).astype(np.int64)
+        num = (n * sxy - sx * sy).astype(np.float64)
+        d1 = (n * sxx - sx * sx).astype(np.float64)
+        d2 = (n * syy - sy * sy).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = num / np.sqrt(d1 * d2)
+        return t.append_column("corr", pa.array(corr, pa.float64()))
+
+    return merged.map_batches(finish, batch_format="pyarrow")

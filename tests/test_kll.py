@@ -115,3 +115,37 @@ def test_group_trimmed_mean_matches_brute(ray_session):
     want["n_kept"] = want["n_kept"].astype(np.int64)
     want["sum_kept"] = want["sum_kept"].astype(np.int64)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_group_mad_matches_brute(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.sketch import group_mad
+
+    rng = np.random.default_rng(41)
+    n = 1200
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c", "d"], n),
+            "v": rng.integers(-50, 500, n).astype(np.int64),
+        }
+    )
+    got = (
+        group_mad(
+            rd.from_pandas(df).repartition(7), group_col="g", col="v",
+            merge_partitions=8,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+
+    def disc_med(a):
+        a = np.sort(a)
+        return int(a[max(1, int(np.ceil(0.5 * len(a)))) - 1])
+
+    for _, r in got.iterrows():
+        v = df.loc[df["g"] == r["g"], "v"].to_numpy()
+        med = disc_med(v)
+        assert r["med"] == med
+        assert r["mad"] == disc_med(np.abs(v - med))

@@ -203,3 +203,55 @@ def test_group_string_agg_matches_brute(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_group_corr_matches_reference(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_corr
+
+    rng = np.random.default_rng(31)
+    n = 1500
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["p", "q"], n),
+            "x": rng.integers(0, 50, n).astype(np.int64),
+        }
+    )
+    df["y"] = df["x"] * 2 + rng.integers(-5, 6, n).astype(np.int64)
+    got = (
+        group_corr(
+            rd.from_pandas(df).repartition(5),
+            group_cols=["g"], x_col="x", y_col="y",
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    for _, r in got.iterrows():
+        sub = df[df["g"] == r["g"]]
+        nn, sx, sy = len(sub), int(sub.x.sum()), int(sub.y.sum())
+        sxx = int((sub.x**2).sum())
+        syy = int((sub.y**2).sum())
+        sxy = int((sub.x * sub.y).sum())
+        want = np.float64(nn * sxy - sx * sy) / np.sqrt(
+            np.float64(nn * sxx - sx * sx) * np.float64(nn * syy - sy * sy)
+        )
+        assert r["corr"] == want  # bit-exact
+        # strong linear relation -> corr near 1
+        assert r["corr"] > 0.95
+
+
+def test_group_corr_zero_variance_is_nan(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_corr
+
+    df = pd.DataFrame(
+        {"g": ["a"] * 4, "x": np.array([3, 3, 3, 3], np.int64),
+         "y": np.array([1, 2, 3, 4], np.int64)}
+    )
+    out = group_corr(
+        rd.from_pandas(df), group_cols=["g"], x_col="x", y_col="y"
+    ).to_pandas()
+    assert np.isnan(out.loc[0, "corr"])
