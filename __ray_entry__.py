@@ -2648,6 +2648,44 @@ def _q_user_pct_rank(sf_dir: str):
     )
 
 
+def _q_user_coverage(sf_dir: str):
+    """Per-user interval union (stages/intervals.interval_union): events
+    become [ts, ts + len(props) s) activity intervals; merged-block count
+    + total covered span per user via ONE hash(user) exchange and a
+    vectorized gaps-and-islands pass. Exact int64; the oracle is the
+    standard windowed-running-max islands query."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.intervals import interval_union
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["user_id", "ts", "props"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = t.column("ts").cast(pa.int64())
+        plen = pc.utf8_length(t.column("props")).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "s": s,
+                "e": pc.add(
+                    s, pc.multiply(plen, pa.scalar(1_000_000, pa.int64()))
+                ),
+            }
+        )
+
+    out = interval_union(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id",
+        start_col="s",
+        end_col="e",
+    )
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
 def _q_event_paths(sf_dir: str):
     """Per-user ordered event path (stages/stats.group_string_agg):
     SQL string_agg(event_type ORDER BY event_id) — rows land whole-group
@@ -2929,6 +2967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_pct_rank": _q_user_pct_rank,
         "host_trimmed_mean": _q_host_trimmed_mean,
         "event_paths": _q_event_paths,
+        "user_coverage": _q_user_coverage,
         "cooccurrence": _q_cooccurrence,
         "cooccur_lift": _q_cooccur_lift,
         "triangles": _q_triangles,
@@ -4261,6 +4300,42 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY length(props))
             ORDER BY event_id
+        """,
+        "user_coverage": """
+            WITH iv AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS s,
+                       CAST(epoch_us(ts) AS BIGINT)
+                           + CAST(length(props) AS BIGINT) * 1000000 AS e
+                FROM events
+            ),
+            x AS (
+                SELECT user_id, s, e,
+                       MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) AS pmax
+                FROM iv
+            ),
+            y AS (
+                SELECT user_id, s, e,
+                       CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+                           AS ng
+                FROM x
+            ),
+            z AS (
+                SELECT user_id, s, e,
+                       SUM(ng) OVER (PARTITION BY user_id ORDER BY s, e
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS gid
+                FROM y
+            ),
+            g AS (
+                SELECT user_id, gid, MIN(s) AS gs, MAX(e) AS ge
+                FROM z GROUP BY user_id, gid
+            )
+            SELECT user_id, COUNT(*) AS n_blocks,
+                   CAST(SUM(ge - gs) AS BIGINT) AS covered
+            FROM g GROUP BY user_id ORDER BY user_id
         """,
         "event_paths": """
             SELECT user_id,
