@@ -2293,6 +2293,58 @@ def _seed_nodes(sf_dir: str):
     return _graph_nodes(sf_dir).map_batches(pick, batch_format="pyarrow")
 
 
+def _graph_edges_weighted(sf_dir: str):
+    """The _graph_edges link graph with a deterministic positive weight
+    w = 1 + (src*3 + dst*5) % 7 (crawl-cost analog) — the EXACT same
+    expression is inlined in the sssp SQL oracle's edges CTE."""
+    edges, n = _graph_edges(sf_dir)
+
+    def add_w(b: pa.Table) -> pa.Table:
+        src = b.column("src").to_numpy(zero_copy_only=False)
+        dst = b.column("dst").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "w", pa.array(1 + (src * 3 + dst * 5) % 7, pa.int64())
+        )
+
+    return edges.map_batches(add_w, batch_format="pyarrow"), n
+
+
+def _q_sssp(sf_dir: str):
+    """Multi-source WEIGHTED shortest path (stages/graph.sssp) from the
+    BFS seed set, 4 synchronous Bellman-Ford rounds, BROADCAST regime
+    (dense int64 distance vector; edges stream, each round emits only
+    improving relaxations). Integer min relaxation over fixed rounds is
+    exactly SQL-expressible — the oracle mirrors the rounds with
+    chained CTEs."""
+    from abwcf_ray.stages.graph import sssp
+
+    _quiet()
+    edges, n = _graph_edges_weighted(sf_dir)
+    out = sssp(edges, _seed_nodes(sf_dir), n_nodes=n, rounds=4)
+    return out.to_pandas().sort_values("node").reset_index(drop=True)
+
+
+def _q_sssp_distributed(sf_dir: str):
+    """Same weighted SSSP forced onto the DISTRIBUTED regime (distances
+    are rows; two keyed exchanges per round, nothing graph-sized on the
+    driver) — the same value oracle covers it because integer min
+    relaxation is bit-identical across regimes."""
+    from abwcf_ray.stages.graph import sssp
+
+    _quiet()
+    edges, n = _graph_edges_weighted(sf_dir)
+    out = sssp(
+        edges,
+        _seed_nodes(sf_dir),
+        n_nodes=n,
+        nodes_ds=_graph_nodes(sf_dir),
+        rounds=4,
+        broadcast_max_nodes=0,
+        merge_partitions=16,
+    )
+    return out.to_pandas().sort_values("node").reset_index(drop=True)
+
+
 def _q_bfs_hops(sf_dir: str):
     """Multi-source BFS hop distance from the seed set over the link
     graph, capped at 4 hops, BROADCAST regime (dense int64 distance
@@ -2504,6 +2556,52 @@ def _q_host_mad(sf_dir: str):
     return out.sort_values("host").reset_index(drop=True)
 
 
+def _q_price_wmedian(sf_dir: str):
+    """Quantity-WEIGHTED median of lineitem price-in-cents per
+    (returnflag, linestatus) (stages/sketch.group_weighted_median): one
+    sparse-histogram exchange with int64 summed weights, lower-median
+    rank rule (smallest v with 2·cum ≥ total). Cents come from
+    FLOOR(price*100 + 0.5) — the identical IEEE op sequence in the SQL
+    oracle, so the hash matches bit-for-bit."""
+    from pathlib import Path
+
+    import ray.data as rd
+
+    from abwcf_ray.stages.sketch import group_weighted_median
+
+    _quiet()
+    li = rd.read_parquet(
+        str(Path(sf_dir) / "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_quantity"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        grp = pc.binary_join_element_wise(
+            t.column("l_returnflag").cast(pa.string()),
+            t.column("l_linestatus").cast(pa.string()),
+            "|",
+        )
+        return pa.table(
+            {
+                "grp": grp,
+                "cents": pa.array(
+                    np.floor(price * 100.0 + 0.5).astype(np.int64), pa.int64()
+                ),
+                "qty": pa.array(qty.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = group_weighted_median(
+        li.map_batches(prep, batch_format="pyarrow"),
+        group_col="grp",
+        val_col="cents",
+        weight_col="qty",
+    ).to_pandas()
+    return out.sort_values("grp").reset_index(drop=True)
+
+
 def _q_group_covariance(sf_dir: str):
     """Grouped bivariate covariance (stages/stats.group_cov): exact
     int64 moments (n, Σx, Σy, Σxy) combined map-side + one keyed merge;
@@ -2684,6 +2782,135 @@ def _q_user_coverage(sf_dir: str):
         end_col="e",
     )
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+def _q_event_throttle(sf_dir: str):
+    """Per-(user, event_type) time-proximity duplicate suppression
+    (stages/throttle.window_dedup): drop an event when the same key
+    fired within the previous 60 s — ONE hash(user) exchange + a
+    vectorized lexsort/diff filter per shard; exact LAG(ts) semantics,
+    so the oracle is one SQL window."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.throttle import window_dedup
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+            }
+        )
+
+    out = window_dedup(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key_cols=["user_id", "event_type"],
+        ts_col="ts_us",
+        tiebreak_col="event_id",
+        gap=60_000_000,
+    )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+def _q_conj_search(sf_dir: str):
+    """AND-of-terms conjunctive document search
+    (stages/index.conjunctive_search): keep docs whose whitespace tokens
+    include ALL of {spark, join, window} — broadcast-small-side shape,
+    pure map-side (one vectorized RE2 mask per term per batch, no
+    exchange). Oracle: the identical conjunction of regexp_matches."""
+    from abwcf_ray.stages.index import conjunctive_search
+
+    _quiet()
+    out = conjunctive_search(
+        _docs(sf_dir, ["doc_id", "lang", "text"]),
+        terms=["spark", "join", "window"],
+        keep_cols=["lang"],
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_props_extract(sf_dir: str):
+    """Regex field extraction from the JSON props payload
+    (pc.extract_regex, fully vectorized — no JSON parser in the hot
+    path) feeding per-event-type integer moments
+    (stages/stats.group_stats): the extract-transform-aggregate ETL
+    shape. Exact int64 moments; mean/var are single IEEE divisions."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_stats
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"), columns=["event_type", "props"]
+    )
+
+    def extract(t: pa.Table) -> pa.Table:
+        st = pc.extract_regex(t.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.struct_field(st, "k").cast(pa.int64())
+        tbl = pa.table({"event_type": t.column("event_type"), "k": k})
+        # rows whose props lack the field drop out (same as the SQL
+        # oracle's regexp_extract filter)
+        return tbl.filter(pc.is_valid(k))
+
+    out = group_stats(
+        ev.map_batches(extract, batch_format="pyarrow"),
+        group_cols=["event_type"],
+        value_col="k",
+    ).to_pandas()
+    out = out.rename(
+        columns={
+            "count": "n_rows",
+            "sum": "sum_v",
+            "sumsq": "sumsq_v",
+            "min": "min_v",
+            "max": "max_v",
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def _q_user_decay(sf_dir: str):
+    """Per-user exponentially-decayed event count
+    (stages/stats.group_decayed_count): the freshness / recrawl-priority
+    signal — each event weighs 2^-(age_days), weights are exact int64
+    ``1 << (30 - age)``, one keyed exchange of map-side partials, score
+    is a single IEEE division. t_ref is the corpus max timestamp (one
+    column-pruned aggregate pass); the oracle computes the identical
+    integer expression."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_decayed_count
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"), columns=["user_id", "ts"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    t_ref = int(ev.max("ts_us"))
+    out = group_decayed_count(
+        ev,
+        group_col="user_id",
+        ts_col="ts_us",
+        t_ref=t_ref,
+        halflife=86_400_000_000,
+        clamp=30,
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
 
 
 def _q_event_paths(sf_dir: str):
@@ -2954,6 +3181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_distributed": _q_pagerank_distributed,
         "bfs_hops": _q_bfs_hops,
         "bfs_hops_distributed": _q_bfs_hops_distributed,
+        "sssp": _q_sssp,
+        "sssp_distributed": _q_sssp_distributed,
         "skyline": _q_skyline,
         "resample_ffill": _q_resample_ffill,
         "event_transitions": _q_event_transitions,
@@ -2962,12 +3191,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_covariance": _q_group_covariance,
         "group_corr": _q_group_corr,
         "host_mad": _q_host_mad,
+        "price_wmedian": _q_price_wmedian,
         "group_mode": _q_group_mode,
         "user_rolling": _q_user_rolling,
         "user_pct_rank": _q_user_pct_rank,
         "host_trimmed_mean": _q_host_trimmed_mean,
         "event_paths": _q_event_paths,
         "user_coverage": _q_user_coverage,
+        "event_throttle": _q_event_throttle,
+        "user_decay": _q_user_decay,
+        "conj_search": _q_conj_search,
+        "props_extract": _q_props_extract,
         "cooccurrence": _q_cooccurrence,
         "cooccur_lift": _q_cooccur_lift,
         "triangles": _q_triangles,
@@ -3019,6 +3253,49 @@ def _pagerank_sql(iters: int = 5) -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT node, rank AS rank_scaled FROM {prev}"
+    )
+
+
+def _sssp_sql(rounds: int = 6) -> str:
+    """Chained-CTE mirror of stages/graph.sssp: one CTE per synchronous
+    Bellman-Ford round over the weighted edges (w = 1 + (src*3+dst*5)%7,
+    same expression as _graph_edges_weighted), sentinel INF = 2^62 for
+    unreached, all arithmetic integer so it hash-matches bit-for-bit."""
+    INF = 1 << 62
+    ctes = [
+        f"""edges AS (
+            SELECT src, dst, CAST(1 + (src*3 + dst*5) % 7 AS BIGINT) AS w
+            FROM ({_GRAPH_EDGES_SQL})
+        )""",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        f"""d0 AS (
+            SELECT node,
+                   CAST(CASE WHEN node % 17 = 0 THEN 0 ELSE {INF} END AS BIGINT) AS dist
+            FROM nodes
+        )""",
+    ]
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS (
+                SELECT p.node,
+                       CAST(LEAST(p.dist, COALESCE(m.nd, {INF})) AS BIGINT) AS dist
+                FROM {prev} p LEFT JOIN (
+                    SELECT e.dst AS node, MIN(q.dist + e.w) AS nd
+                    FROM edges e
+                    JOIN {prev} q ON q.node = e.src AND q.dist < {INF}
+                    GROUP BY e.dst
+                ) m ON m.node = p.node
+            )"""
+        )
+        prev = f"d{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT node,
+               CAST(CASE WHEN dist >= {INF} THEN -1 ELSE dist END AS BIGINT) AS dist
+        FROM {prev}"""
     )
 
 
@@ -4223,6 +4500,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_distributed": _pagerank_sql(5),
         "bfs_hops": _bfs_hops_sql(4),
         "bfs_hops_distributed": _bfs_hops_sql(4),
+        "sssp": _sssp_sql(4),
+        "sssp_distributed": _sssp_sql(4),
         "skyline": """
             WITH pts AS (
                 SELECT l_orderkey,
@@ -4299,6 +4578,71 @@ def oracle_sql() -> dict[str, str]:
                    CUME_DIST() OVER w AS cume_dist
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY length(props))
+            ORDER BY event_id
+        """,
+        "conj_search": r"""
+            SELECT doc_id, lang FROM documents
+            WHERE regexp_matches(text, '(?:^|\s)spark(?:\s|$)')
+              AND regexp_matches(text, '(?:^|\s)join(?:\s|$)')
+              AND regexp_matches(text, '(?:^|\s)window(?:\s|$)')
+            ORDER BY doc_id
+        """,
+        "props_extract": r"""
+            WITH x AS (
+                SELECT event_type,
+                       CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+                FROM events
+                WHERE regexp_matches(props, '"k": (\d+)')
+            ),
+            m AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n_rows,
+                       CAST(SUM(k) AS BIGINT) AS sum_v,
+                       CAST(SUM(k * k) AS BIGINT) AS sumsq_v,
+                       MIN(k) AS min_v,
+                       MAX(k) AS max_v
+                FROM x GROUP BY event_type
+            )
+            SELECT event_type, n_rows, sum_v, sumsq_v, min_v, max_v,
+                   CAST(sum_v AS DOUBLE) / CAST(n_rows AS DOUBLE) AS mean,
+                   CAST(n_rows * sumsq_v - sum_v * sum_v AS DOUBLE)
+                       / CAST(n_rows * n_rows AS DOUBLE) AS var_pop
+            FROM m ORDER BY event_type
+        """,
+        "user_decay": """
+            WITH mx AS (SELECT MAX(CAST(epoch_us(ts) AS BIGINT)) AS t FROM events),
+            w AS (
+                SELECT user_id,
+                       ((SELECT t FROM mx) - CAST(epoch_us(ts) AS BIGINT))
+                           // 86400000000 AS age
+                FROM events
+            )
+            SELECT user_id,
+                   COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN age BETWEEN 0 AND 30
+                                 THEN CAST(1 AS BIGINT) << CAST(30 - age AS INTEGER)
+                                 ELSE 0 END) AS BIGINT) AS sum_scaled,
+                   CAST(SUM(CASE WHEN age BETWEEN 0 AND 30
+                                 THEN CAST(1 AS BIGINT) << CAST(30 - age AS INTEGER)
+                                 ELSE 0 END) AS BIGINT)::DOUBLE
+                       / 1073741824.0 AS decayed
+            FROM w
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
+        "event_throttle": """
+            WITH w AS (
+                SELECT event_id, user_id, event_type,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                       LAG(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY epoch_us(ts), event_id
+                       ) AS pts
+                FROM events
+            )
+            SELECT event_id, user_id, event_type, ts_us
+            FROM w
+            WHERE pts IS NULL OR ts_us - pts > 60000000
             ORDER BY event_id
         """,
         "user_coverage": """
@@ -4419,6 +4763,25 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN m ON d.host = m.host
             GROUP BY d.host, m.med
             ORDER BY d.host
+        """,
+        "price_wmedian": """
+            WITH h AS (
+                SELECT l_returnflag || '|' || l_linestatus AS grp,
+                       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+                       CAST(l_quantity AS BIGINT) AS w
+                FROM lineitem
+            ),
+            c AS (SELECT grp, v, CAST(SUM(w) AS BIGINT) AS wv FROM h GROUP BY grp, v),
+            cum AS (
+                SELECT grp, v,
+                       CAST(SUM(wv) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cw,
+                       CAST(SUM(wv) OVER (PARTITION BY grp) AS BIGINT) AS tot
+                FROM c
+            )
+            SELECT grp, CAST(MIN(v) AS BIGINT) AS wmed, CAST(MIN(tot) AS BIGINT) AS total_w
+            FROM cum WHERE 2 * cw >= tot
+            GROUP BY grp
+            ORDER BY grp
         """,
         "group_covariance": """
             WITH t AS (

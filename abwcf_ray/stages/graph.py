@@ -1249,3 +1249,264 @@ def kcore(
             }
         )
     )
+
+
+# --------------------------------------------------------------------------
+# multi-source weighted shortest path (synchronous Bellman-Ford rounds)
+# --------------------------------------------------------------------------
+SSSP_INF = np.int64(1) << np.int64(62)
+
+
+def sssp(
+    edges_ds,
+    seeds_ds,
+    *,
+    n_nodes: int | None = None,
+    nodes_ds=None,
+    rounds: int = 6,
+    broadcast_max_nodes: int = PAGERANK_BROADCAST_MAX_NODES,
+    merge_partitions: int = GRAPH_MERGE_PARTITIONS,
+):
+    """Minimum WEIGHTED distance from any seed over a directed edge
+    Dataset ``(src, dst, w)`` (int64, w >= 0) — the weighted twin of
+    :func:`bfs_hops` (crawl-cost / latency-weighted seed proximity; the
+    reference's crawl-depth limiter, Frontier.scala:24-38, is the w == 1
+    special case of the same traversal bound).
+
+    Exactly ``rounds`` synchronous Bellman-Ford relaxation rounds
+    (``dist[dst] = min(dist[dst], dist[src] + w)`` over every edge at
+    once) — each round is one edge stream plus one keyed min exchange
+    (broadcast regime: dense int64 distance vector in the object store,
+    zero-copy per task) or two keyed exchanges (distributed regime:
+    distances are rows, nothing graph-sized on the driver). Integer min
+    relaxation is monotone, so early exit on a quiet round is safe and
+    the fixed-round result is bit-identical across regimes and
+    parallelism — exactly SQL-expressible (the ``sssp`` DuckDB oracle
+    mirrors the rounds with chained CTEs).
+
+    Returns a Dataset ``(node, dist)``; nodes unreached within
+    ``rounds`` relaxations get ``dist = -1``. Note Bellman-Ford after R
+    rounds bounds paths to <= R EDGES, not R cost units.
+    """
+    import ray.data as rd
+
+    edges_m = edges_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b.column("src").cast(pa.int64()),
+                "dst": b.column("dst").cast(pa.int64()),
+                "w": b.column("w").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    if n_nodes is not None and n_nodes <= broadcast_max_nodes:
+        seed_idx = np.concatenate(
+            [
+                b.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+                for b in seeds_ds.iter_batches(batch_format="pyarrow")
+            ]
+            or [np.empty(0, np.int64)]
+        )
+        dist = _sssp_broadcast(edges_m, n_nodes, seed_idx, rounds)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(np.arange(n_nodes, dtype=np.int64), pa.int64()),
+                    "dist": pa.array(
+                        np.where(dist >= SSSP_INF, -1, dist), pa.int64()
+                    ),
+                }
+            )
+        )
+
+    if nodes_ds is None:
+        if n_nodes is None:
+            raise ValueError("sssp needs n_nodes (dense ids) or nodes_ds")
+        nodes_ds = rd.range(n_nodes).map_batches(
+            lambda b: pa.table({"node": b.column("id").cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+    out = _sssp_distributed(edges_m, nodes_ds, seeds_ds, rounds, merge_partitions)
+
+    def finish(b: pa.Table) -> pa.Table:
+        h = b.column("h").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": b.column("node"),
+                "dist": pa.array(np.where(h >= SSSP_INF, -1, h), pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _sssp_broadcast(edges_m, n_nodes: int, seed_idx: np.ndarray, rounds: int):
+    """Broadcast regime: dense int64 distance vector shared zero-copy
+    per round; each batch emits only IMPROVING candidates
+    (dist[src] + w < dist[dst]) pre-combined by a sparse per-batch min,
+    settled by the keyed-partition merge (same shape as
+    :func:`_bfs_broadcast` with +1 generalized to +w)."""
+    import ray
+
+    from abwcf_ray.stages.dedup import _int_pkey
+
+    P = GRAPH_MERGE_PARTITIONS
+    dist = np.full(n_nodes, SSSP_INF, np.int64)
+    dist[seed_idx] = 0
+
+    def merge_mins(g: pd.DataFrame) -> pd.DataFrame:
+        k, v = _sparse_min(g["node"].to_numpy(), g["h"].to_numpy())
+        return pd.DataFrame({"node": k, "h": v})
+
+    for _ in range(rounds):
+        ref = ray.put(dist)
+
+        def relax_partial(batch: pa.Table, *, _ref=ref) -> pa.Table:
+            d = ray.get(_ref)  # zero-copy shared-memory read per task
+            src, dst = _edge_arrays(batch)
+            w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+            live = d[src] < SSSP_INF
+            cand = d[src[live]] + w[live]
+            dl = dst[live]
+            imp = cand < d[dl]
+            k, v = _sparse_min(dl[imp], cand[imp])
+            return pa.table(
+                {
+                    "pkey": pa.array(_int_pkey(k, P), pa.int64()),
+                    "node": pa.array(k, pa.int64()),
+                    "h": pa.array(v, pa.int64()),
+                }
+            )
+
+        agg = (
+            edges_m.map_batches(relax_partial, batch_format="pyarrow")
+            .groupby("pkey")
+            .map_groups(merge_mins, batch_format="pandas")
+        )
+        changed = False
+        for b in agg.iter_batches(batch_format="pyarrow"):
+            nd = b.column("node").to_numpy(zero_copy_only=False)
+            h = b.column("h").to_numpy(zero_copy_only=False)
+            np.minimum.at(dist, nd, h)
+            changed = changed or len(nd) > 0
+        if not changed:
+            break
+    return dist
+
+
+def _sssp_distributed(edges_m, nodes_ds, seeds_ds, rounds: int, partitions: int):
+    """Distributed regime: distances are rows (sentinel dst = -1 marks a
+    distance row inside the hash(src) partition), relaxed candidates are
+    pre-combined per partition, and a hash(dst) exchange settles the new
+    per-node min against the carried current distance — the
+    :func:`_bfs_distributed` two-exchange shape with +w relaxation.
+    Nothing graph-sized ever reaches the driver."""
+    from abwcf_ray.stages.dedup import _int_pkey
+
+    P = partitions
+    INF = int(SSSP_INF)
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        src, dst = _edge_arrays(batch)
+        w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "skey": pa.array(_int_pkey(src, P), pa.int64()),
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "h": pa.array(w, pa.int64()),  # h carries the edge weight
+            }
+        )
+
+    keyed_edges = edges_m.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "dkey": pa.array(_int_pkey(node, P), pa.int64()),
+                "node": pa.array(node, pa.int64()),
+                "h": pa.array(np.full(len(node), INF, np.int64), pa.int64()),
+            }
+        )
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "dkey": pa.array(_int_pkey(node, P), pa.int64()),
+                "node": pa.array(node, pa.int64()),
+                "h": pa.array(np.zeros(len(node), np.int64), pa.int64()),
+            }
+        )
+
+    def reduce_mins(g: pd.DataFrame) -> pd.DataFrame:
+        k, v = _sparse_min(g["node"].to_numpy(), g["h"].to_numpy())
+        return pd.DataFrame({"node": k, "h": v})
+
+    dists = (
+        nodes_ds.materialize()
+        .map_batches(node_rows, batch_format="pyarrow")
+        .union(seeds_ds.map_batches(seed_rows, batch_format="pyarrow"))
+        .groupby("dkey")
+        .map_groups(reduce_mins, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def dist_msgs(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "skey": pa.array(_int_pkey(node, P), pa.int64()),
+                "src": pa.array(node, pa.int64()),
+                "dst": pa.array(np.full(len(node), -1, np.int64), pa.int64()),
+                "h": pa.array(h, pa.int64()),
+            }
+        )
+
+    def emit_relaxed(g: pd.DataFrame) -> pd.DataFrame:
+        is_dist = g["dst"].to_numpy() == -1
+        dr = g[is_dist]
+        ed = g[~is_dist]
+        lookup = pd.Series(dr["h"].to_numpy(), index=dr["src"].to_numpy())
+        hs = lookup.reindex(ed["src"].to_numpy()).to_numpy()
+        live = hs < INF
+        cand = (hs[live] + ed["h"].to_numpy()[live]).astype(np.int64)
+        dst = ed["dst"].to_numpy()[live]
+        k, v = _sparse_min(dst, cand)
+        return pd.DataFrame({"dkey": _int_pkey(k, P), "node": k, "h": v})
+
+    def carry_rows(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "dkey": pa.array(
+                    _int_pkey(node.astype(np.int64), P), pa.int64()
+                ),
+                "node": batch.column("node").cast(pa.int64()),
+                "h": batch.column("h").cast(pa.int64()),
+            }
+        )
+
+    for _ in range(rounds):
+        msgs = keyed_edges.union(
+            dists.map_batches(dist_msgs, batch_format="pyarrow")
+        )
+        relaxed = (
+            msgs.groupby("skey")
+            .map_groups(emit_relaxed, batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow")
+        )
+        dists = (
+            dists.map_batches(carry_rows, batch_format="pyarrow")
+            .union(relaxed)
+            .groupby("dkey")
+            .map_groups(reduce_mins, batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow")
+            .materialize()
+        )
+    return dists

@@ -80,3 +80,43 @@ def term_postings(
         merge,
         partitions=partitions,
     )
+
+
+def conjunctive_search(
+    ds,
+    *,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+):
+    """AND-of-terms document search: keep documents whose whitespace
+    tokens include EVERY term in ``terms`` — the conjunctive-query
+    primitive over the same token model as :func:`term_postings`
+    (a search engine would intersect posting lists; over a streaming
+    corpus scan the broadcast-small-side form below is the right
+    distributed shape: the query is tiny, the corpus is huge, so no
+    exchange at all — one vectorized RE2 pass per term per batch).
+
+    Pure map-side and embarrassingly parallel: each batch computes one
+    boolean mask per term with ``pc.match_substring_regex`` (token
+    boundaries = start/end or whitespace, exactly the ``\\S+`` token
+    rule), ANDs the masks, and filters. The SQL oracle is the identical
+    conjunction of ``regexp_matches`` predicates.
+    """
+    import re as _re
+
+    import pyarrow.compute as pc
+
+    pats = [f"(?:^|\\s){_re.escape(t)}(?:\\s|$)" for t in terms]
+    cols = [id_col] + (keep_cols or [])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        mask = None
+        for p in pats:
+            m = pc.match_substring_regex(text, p)
+            mask = m if mask is None else pc.and_(mask, m)
+        return batch.filter(pc.fill_null(mask, False)).select(cols)
+
+    return ds.map_batches(filt, batch_format="pyarrow")

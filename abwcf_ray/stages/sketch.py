@@ -517,3 +517,79 @@ def group_mad(
         mad,
         partitions=merge_partitions,
     )
+
+
+def group_weighted_median(
+    ds,
+    *,
+    group_col: str,
+    val_col: str,
+    weight_col: str,
+    merge_partitions: int = 64,
+):
+    """Per-group WEIGHTED median (lower weighted median: the smallest
+    value v whose cumulative weight reaches half the group's total —
+    the quantity-weighted price centre, robust to row-count skew).
+
+    Same one-exchange shape as :func:`group_mad`: map-side sparse
+    histograms keyed by (group, value) carry SUMMED int64 weights (the
+    combiner bounds exchange volume by distinct values, not rows), one
+    hash(group) exchange, then the median falls out of each group's
+    sorted cumulative weights. Exact int64 end-to-end; the SQL oracle is
+    the standard ``2*cum >= total`` windowed-cumsum query and
+    hash-matches bit-for-bit.
+
+    Returns (group_col, wmed:int64, total_w:int64).
+    """
+    from abwcf_ray.functions.hashing import hash64
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    def hist(batch: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                group_col: batch.column(group_col).to_pandas(),
+                "v": batch.column(val_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "w": batch.column(weight_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = pdf.groupby([group_col, "v"], as_index=False, sort=False).agg(
+            w=("w", "sum")
+        )
+        g["w"] = g["w"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def gkey(b: pa.Table) -> np.ndarray:
+        c = b.column(group_col)
+        if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
+            return hash64(c)
+        return c.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        merged = g.groupby([group_col, "v"], as_index=False, sort=False).agg(
+            w=("w", "sum")
+        )
+        for gval, sub in merged.groupby(group_col, sort=False):
+            sub = sub.sort_values("v", kind="mergesort")
+            vals = sub["v"].to_numpy(np.int64)
+            w = sub["w"].to_numpy(np.int64)
+            cum = np.cumsum(w)
+            tot = int(cum[-1])
+            # smallest v with 2*cum >= tot  (== cum >= ceil(tot/2))
+            i = int(np.searchsorted(cum, (tot + 1) // 2, side="left"))
+            rows.append((gval, int(vals[i]), tot))
+        out = pd.DataFrame(rows, columns=[group_col, "wmed", "total_w"])
+        out["wmed"] = out["wmed"].astype(np.int64)
+        out["total_w"] = out["total_w"].astype(np.int64)
+        return out
+
+    return keyed_hash_agg(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        gkey,
+        pick,
+        partitions=merge_partitions,
+    )

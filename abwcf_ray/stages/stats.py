@@ -350,3 +350,86 @@ def group_corr(
         return t.append_column("corr", pa.array(corr, pa.float64()))
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def group_decayed_count(
+    ds,
+    *,
+    group_col: str,
+    ts_col: str,
+    t_ref: int,
+    halflife: int,
+    clamp: int = 30,
+    merge_partitions: int = 64,
+):
+    """Per-group exponentially-decayed event count — the freshness /
+    recrawl-priority signal: each row contributes 2^-(age // halflife)
+    where age = t_ref − ts, so recent activity dominates and stale
+    activity fades by half per halflife (the crawl analog: hosts whose
+    pages change often score high and get re-fetched first; the
+    reference's robots/page TTLs, HostManager re-fetch clocks, are the
+    binary special case of the same freshness weighting).
+
+    Exact arithmetic end-to-end (the repetition_signals float
+    discipline): the decay exponent e = min(clamp, age // halflife) is
+    integer, each row's weight is the exact int64 ``1 << (clamp - e)``
+    (rows older than clamp·halflife contribute 0), per-batch partials
+    sum the weights with a vectorized pandas groupby, ONE keyed
+    exchange merges them, and the final score is a SINGLE IEEE division
+    ``sum_scaled / 2^clamp`` of an exact integer — so a DuckDB oracle
+    computing the identical expression hash-matches bit-for-bit.
+
+    int64 bound contract: rows-per-group · 2^clamp < 2^63 and (for the
+    exact float division) total scaled sums should stay under 2^53 —
+    clamp=30 leaves room for ~8M rows/group at full weight.
+
+    Returns (group_col, n:int64, sum_scaled:int64, decayed:float64).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        age = (np.int64(t_ref) - ts) // np.int64(halflife)
+        e = np.clip(age, 0, clamp)  # keep the shift amount in [0, clamp]
+        w = np.where(
+            (age >= 0) & (age <= clamp),
+            np.int64(1) << (np.int64(clamp) - e.astype(np.int64)),
+            np.int64(0),
+        )
+        pdf = pd.DataFrame(
+            {group_col: t.column(group_col).to_pandas(), "w": w}
+        )
+        g = pdf.groupby(group_col, as_index=False, sort=False).agg(
+            n=("w", "size"), s=("w", "sum")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        g["s"] = g["s"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def gkey(b: pa.Table) -> np.ndarray:
+        c = b.column(group_col)
+        if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
+            return hash64(c)
+        return c.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(group_col, as_index=False, sort=False).agg(
+            n=("n", "sum"), s=("s", "sum")
+        )
+        out = pd.DataFrame(
+            {
+                group_col: m[group_col],
+                "n": m["n"].astype(np.int64),
+                "sum_scaled": m["s"].astype(np.int64),
+            }
+        )
+        out["decayed"] = out["sum_scaled"].to_numpy(np.int64).astype(
+            np.float64
+        ) / np.float64(np.int64(1) << np.int64(clamp))
+        return out
+
+    return keyed_hash_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        gkey,
+        finish,
+        partitions=merge_partitions,
+    )

@@ -482,3 +482,102 @@ def test_kcore_triangle_with_tail(ray_session):
         .reset_index(drop=True)
     )
     assert out["in_core"].tolist() == [1, 1, 1, 0, 0]
+
+
+# --------------------------------------------------------------------------
+# sssp (weighted Bellman-Ford)
+# --------------------------------------------------------------------------
+def _ref_sssp(src, dst, w, n, seeds, rounds):
+    INF = np.int64(1) << np.int64(62)
+    dist = np.full(n, INF, np.int64)
+    dist[np.asarray(seeds, np.int64)] = 0
+    for _ in range(rounds):
+        live = dist[src] < INF
+        cand = dist[src[live]] + w[live]
+        new = dist.copy()
+        np.minimum.at(new, dst[live], cand)
+        if np.array_equal(new, dist):
+            break
+        dist = new
+    return np.where(dist >= INF, -1, dist)
+
+
+def _wedges_ds(src, dst, w, blocks=4):
+    t = pa.table(
+        {
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "w": pa.array(w, pa.int64()),
+        }
+    )
+    return rd.from_arrow(t).repartition(blocks)
+
+
+def test_sssp_broadcast_matches_reference(ray_session):
+    from abwcf_ray.stages.graph import sssp
+
+    src, dst = _random_graph(31, 60, 150)
+    w = (1 + (src * 3 + dst * 5) % 7).astype(np.int64)
+    seeds = [0, 7, 41]
+    out = (
+        sssp(_wedges_ds(src, dst, w), _seeds_ds(seeds), n_nodes=60, rounds=5)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    ref = _ref_sssp(src, dst, w, 60, seeds, 5)
+    assert out["node"].tolist() == list(range(60))
+    np.testing.assert_array_equal(out["dist"].to_numpy(), ref)
+    assert (out["dist"].to_numpy()[seeds] == 0).all()
+
+
+def test_sssp_regime_parity_and_layout_invariance(ray_session):
+    from abwcf_ray.stages.graph import sssp
+
+    src, dst = _random_graph(41, 80, 240)
+    w = (1 + (src + dst) % 4).astype(np.int64)
+    seeds = [3, 4, 77]
+    ref = _ref_sssp(src, dst, w, 80, seeds, 4)
+    for blocks in (7,):
+        broadcast = (
+            sssp(
+                _wedges_ds(src, dst, w, blocks),
+                _seeds_ds(seeds),
+                n_nodes=80,
+                rounds=4,
+            )
+            .to_pandas()
+            .sort_values("node")["dist"]
+            .to_numpy()
+        )
+        distributed = (
+            sssp(
+                _wedges_ds(src, dst, w, blocks),
+                _seeds_ds(seeds),
+                n_nodes=80,
+                rounds=4,
+                broadcast_max_nodes=0,  # force the distributed regime
+            )
+            .to_pandas()
+            .sort_values("node")["dist"]
+            .to_numpy()
+        )
+        np.testing.assert_array_equal(broadcast, ref)
+        np.testing.assert_array_equal(distributed, ref)
+
+
+def test_sssp_chain_graph_takes_cheaper_long_path(ray_session):
+    from abwcf_ray.stages.graph import sssp
+
+    # 0 -> 2 direct cost 10; 0 -> 1 -> 2 cost 2+3: Bellman-Ford must
+    # prefer the cheaper two-edge path once rounds >= 2.
+    src = np.array([0, 0, 1], np.int64)
+    dst = np.array([2, 1, 2], np.int64)
+    w = np.array([10, 2, 3], np.int64)
+    out = (
+        sssp(_wedges_ds(src, dst, w, 2), _seeds_ds([0]), n_nodes=3, rounds=3)
+        .to_pandas()
+        .sort_values("node")["dist"]
+        .to_numpy()
+    )
+    np.testing.assert_array_equal(out, [0, 2, 5])
