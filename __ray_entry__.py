@@ -2820,6 +2820,188 @@ def _q_event_throttle(sf_dir: str):
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
+def _q_order_deciles(sf_dir: str):
+    """Global equi-depth decile analysis (stages/rank.global_ntile_agg):
+    every order gets its exact NTILE(10) OVER (ORDER BY cents,
+    orderkey) via the histogram-pass + range-exchange global rank
+    (nothing row-sized on the driver), then per-decile count + spend.
+    Exact int64; SQL-oracled with the identical NTILE."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.rank import global_ntile_agg
+
+    _quiet()
+    od = rd.read_parquet(
+        str(Path(sf_dir) / "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "cents": pa.array(
+                    np.floor(
+                        t.column("o_totalprice").to_numpy(zero_copy_only=False)
+                        * 100.0
+                        + 0.5
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = global_ntile_agg(
+        od, key_col="cents", id_col="o_orderkey", tiles=10
+    ).to_pandas()
+    return out.sort_values("tile").reset_index(drop=True)
+
+
+def _q_event_streaks(sf_dir: str):
+    """Longest consecutive same-event-type run per user
+    (stages/transitions.longest_streak): ONE hash(user) exchange +
+    vectorized gaps-and-islands scan. Oracle: the ROW_NUMBER-difference
+    islands query."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.transitions import longest_streak
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "event_id": t.column("event_id"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = longest_streak(
+        ev,
+        user_col="user_id",
+        order_cols=["ts_us", "event_id"],
+        type_col="event_type",
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_lang_share(sf_dir: str):
+    """Ratio-to-report: each language's share of total corpus chars —
+    exact int64 sums via map-side partials + one keyed exchange, then a
+    SINGLE IEEE division per lang of two exact integers (the
+    repetition_signals float discipline)."""
+    from abwcf_ray.functions.hashing import hash64
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    _quiet()
+    ds = _docs(sf_dir, ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                "lang": t.column("lang").to_pandas(),
+                "n": np.ones(t.num_rows, np.int64),
+                "s": t.column("n_chars")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = pdf.groupby("lang", as_index=False, sort=False).agg(
+            n=("n", "sum"), s=("s", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = keyed_hash_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        lambda b: hash64(b.column("lang")),
+        lambda g: g.groupby("lang", as_index=False, sort=False).agg(
+            n=("n", "sum"), s=("s", "sum")
+        ),
+        partitions=16,
+    ).to_pandas()
+    # lang cardinality is tiny; the share division happens once on the
+    # politeness-bounded result, not per row
+    merged["n_docs"] = merged["n"].astype(np.int64)
+    merged["sum_chars"] = merged["s"].astype(np.int64)
+    total = np.float64(np.int64(merged["sum_chars"].sum()))
+    merged["share"] = merged["sum_chars"].to_numpy(np.int64).astype(np.float64) / total
+    out = merged[["lang", "n_docs", "sum_chars", "share"]]
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _q_above_avg_orders(sf_dir: str):
+    """Filter-by-group-aggregate: orders strictly above their own
+    customer's mean order value. The mean compare is EXACT integer
+    arithmetic (cents * n_cust > sum_cust — no division anywhere), via
+    one keyed per-customer aggregate + stages/join.equi_join back to
+    the order stream."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+    from abwcf_ray.stages.join import equi_join
+
+    _quiet()
+    od = rd.read_parquet(
+        str(Path(sf_dir) / "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "cents": pa.array(
+                    np.floor(
+                        t.column("o_totalprice").to_numpy(zero_copy_only=False)
+                        * 100.0
+                        + 0.5
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                "o_custkey": t.column("o_custkey").to_pandas(),
+                "n_cust": np.ones(t.num_rows, np.int64),
+                "sum_cust": t.column("cents")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = pdf.groupby("o_custkey", as_index=False, sort=False).agg(
+            n_cust=("n_cust", "sum"), sum_cust=("sum_cust", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    aggs = keyed_hash_agg(
+        od.map_batches(partial, batch_format="pyarrow"),
+        lambda b: b.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64),
+        lambda g: g.groupby("o_custkey", as_index=False, sort=False).agg(
+            n_cust=("n_cust", "sum"), sum_cust=("sum_cust", "sum")
+        ),
+    )
+    joined = equi_join(od, aggs, on="o_custkey", how="inner")
+
+    def filt(t: pa.Table) -> pa.Table:
+        c = t.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("n_cust").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("sum_cust").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(c * n > s)).select(
+            ["o_orderkey", "o_custkey", "cents"]
+        )
+
+    out = joined.map_batches(filt, batch_format="pyarrow").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def _q_conj_search(sf_dir: str):
     """AND-of-terms conjunctive document search
     (stages/index.conjunctive_search): keep docs whose whitespace tokens
@@ -3202,6 +3384,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_decay": _q_user_decay,
         "conj_search": _q_conj_search,
         "props_extract": _q_props_extract,
+        "order_deciles": _q_order_deciles,
+        "event_streaks": _q_event_streaks,
+        "lang_share": _q_lang_share,
+        "above_avg_orders": _q_above_avg_orders,
         "cooccurrence": _q_cooccurrence,
         "cooccur_lift": _q_cooccur_lift,
         "triangles": _q_triangles,
@@ -4579,6 +4765,70 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY length(props))
             ORDER BY event_id
+        """,
+        "order_deciles": """
+            WITH r AS (
+                SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                       NTILE(10) OVER (
+                           ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT),
+                                    o_orderkey
+                       ) AS tile
+                FROM orders
+            )
+            SELECT CAST(tile AS BIGINT) AS tile,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM r GROUP BY tile ORDER BY tile
+        """,
+        "event_streaks": """
+            WITH o AS (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id
+                       ) AS rn_all,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY epoch_us(ts), event_id
+                       ) AS rn_type
+                FROM events
+            ),
+            runs AS (
+                SELECT user_id, COUNT(*) AS len
+                FROM o GROUP BY user_id, event_type, rn_all - rn_type
+            )
+            SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak
+            FROM runs GROUP BY user_id ORDER BY user_id
+        """,
+        "lang_share": """
+            WITH m AS (
+                SELECT lang,
+                       COUNT(*) AS n_docs,
+                       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+                FROM documents GROUP BY lang
+            )
+            SELECT lang, n_docs, sum_chars,
+                   CAST(sum_chars AS DOUBLE)
+                       / CAST((SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents)
+                              AS DOUBLE) AS share
+            FROM m ORDER BY lang
+        """,
+        "above_avg_orders": """
+            WITH o AS (
+                SELECT o_orderkey, o_custkey,
+                       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                FROM orders
+            ),
+            a AS (
+                SELECT o_custkey,
+                       COUNT(*) AS n_cust,
+                       CAST(SUM(cents) AS BIGINT) AS sum_cust
+                FROM o GROUP BY o_custkey
+            )
+            SELECT o.o_orderkey, o.o_custkey, o.cents
+            FROM o JOIN a ON o.o_custkey = a.o_custkey
+            WHERE o.cents * a.n_cust > a.sum_cust
+            ORDER BY o.o_orderkey
         """,
         "conj_search": r"""
             SELECT doc_id, lang FROM documents

@@ -107,3 +107,78 @@ def global_rank(
         .groupby("_pid")
         .map_groups(rank_part, batch_format="pandas")
     )
+
+
+def global_ntile_agg(
+    ds,
+    *,
+    key_col: str,
+    id_col: str,
+    tiles: int,
+    agg_col: str | None = None,
+    partitions: int = DEFAULT_RANK_PARTITIONS,
+):
+    """Global equi-depth bucketing + per-bucket aggregate: assign every
+    row its NTILE(tiles) OVER (ORDER BY key_col, id_col) — the decile /
+    percentile-cohort analysis primitive — and return one row per tile
+    with (tile, n_rows, sum_<agg>). NTILE semantics match SQL exactly:
+    with N rows the first N % tiles tiles hold ceil(N/tiles) rows, the
+    rest floor(N/tiles).
+
+    Distributed shape: :func:`global_rank` (histogram pass + exact range
+    exchange, nothing row-sized on the driver) gives each row its exact
+    1-based global position; the tile is then a pure per-row integer
+    formula, and the aggregate is map-side partials into a tiles-sized
+    keyed merge. One extra column-pruned count pass supplies N.
+    """
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    N = ds.count()
+    size_small = N // tiles
+    n_big = N % tiles
+    cutoff = n_big * (size_small + 1)
+
+    ranked = global_rank(
+        ds, key_col=key_col, id_col=id_col, partitions=partitions
+    )
+    sum_col = f"sum_{agg_col}" if agg_col else f"sum_{key_col}"
+    vcol = agg_col or key_col
+
+    def partial(t: pa.Table) -> pa.Table:
+        r0 = t.column("rank").to_numpy(zero_copy_only=False).astype(np.int64) - 1
+        if size_small == 0:
+            tile = r0 + 1  # N < tiles: one row per tile
+        else:
+            tile = np.where(
+                r0 < cutoff,
+                r0 // (size_small + 1),
+                n_big + (r0 - cutoff) // size_small,
+            ) + 1
+        v = t.column(vcol).to_numpy(zero_copy_only=False).astype(np.int64)
+        pdf = pd.DataFrame({"tile": tile.astype(np.int64), "v": v})
+        g = pdf.groupby("tile", as_index=False, sort=False).agg(
+            n_rows=("v", "size"), s=("v", "sum")
+        )
+        g["n_rows"] = g["n_rows"].astype(np.int64)
+        g["s"] = g["s"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("tile", as_index=False, sort=False).agg(
+            n_rows=("n_rows", "sum"), s=("s", "sum")
+        )
+        out = pd.DataFrame(
+            {
+                "tile": m["tile"].astype(np.int64),
+                "n_rows": m["n_rows"].astype(np.int64),
+                sum_col: m["s"].astype(np.int64),
+            }
+        )
+        return out
+
+    return keyed_hash_agg(
+        ranked.map_batches(partial, batch_format="pyarrow"),
+        lambda b: b.column("tile").to_numpy(zero_copy_only=False).astype(np.int64),
+        merge,
+        partitions=min(8, tiles),
+    )

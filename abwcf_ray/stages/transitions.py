@@ -109,3 +109,69 @@ def transition_matrix(
     src_tot = m.groupby("src")["n"].transform("sum").to_numpy()
     m["p"] = m["n"].to_numpy().astype(np.float64) / src_tot.astype(np.float64)
     return m
+
+
+def longest_streak(
+    ds,
+    *,
+    user_col: str,
+    order_cols: list[str],
+    type_col: str,
+    partitions: int = 64,
+):
+    """Longest run of CONSECUTIVE identical ``type_col`` values per user
+    (ordered by ``order_cols``) — the classic gaps-and-islands streak
+    statistic (engagement streaks, repeated-action loops, crawler
+    retry-storm detection).
+
+    Same one-exchange shape as :func:`transition_counts`: each user's
+    history lands whole in one hash(user) shard, then the scan is fully
+    vectorized — lexsort by (user, order), run boundaries where user OR
+    type changes, run lengths via one bincount, per-user max via a
+    second grouped reduction. Exact int64; the SQL oracle is the
+    standard ROW_NUMBER-difference islands query and hash-matches
+    bit-for-bit. Returns (user_col, max_streak:int64).
+    """
+    from abwcf_ray.functions.hashing import hash64
+
+    cols = [user_col, type_col] + order_cols
+
+    def slim(t: pa.Table) -> pa.Table:
+        return t.select(cols)
+
+    def key_of(b: pa.Table) -> np.ndarray:
+        c = b.column(user_col)
+        if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
+            return hash64(c)
+        return c.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    user_col: g[user_col],
+                    "max_streak": pd.Series([], dtype=np.int64),
+                }
+            )
+        ucodes, uuniq = pd.factorize(g[user_col].to_numpy(), use_na_sentinel=False)
+        tcodes, _ = pd.factorize(g[type_col].to_numpy(), use_na_sentinel=False)
+        keys = [g[c].to_numpy() for c in reversed(order_cols)] + [ucodes]
+        order = np.lexsort(tuple(keys))
+        uc, tc = ucodes[order], tcodes[order]
+        newrun = np.empty(n, bool)
+        newrun[0] = True
+        newrun[1:] = (uc[1:] != uc[:-1]) | (tc[1:] != tc[:-1])
+        rid = np.cumsum(newrun) - 1
+        rlen = np.bincount(rid).astype(np.int64)
+        ruser = uc[newrun]
+        best = np.zeros(len(uuniq), np.int64)
+        np.maximum.at(best, ruser, rlen)
+        return pd.DataFrame({user_col: uuniq, "max_streak": best})
+
+    return keyed_hash_agg(
+        ds.map_batches(slim, batch_format="pyarrow"),
+        key_of,
+        scan,
+        partitions=partitions,
+    )

@@ -81,3 +81,50 @@ def test_negative_keys(ray_session):
     got = _run(df, partitions=8)
     pd.testing.assert_frame_equal(got[["id", "k", "rank"]],
                                   _brute(df)[["id", "k", "rank"]])
+
+
+def test_global_ntile_agg_matches_pandas(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from abwcf_ray.stages.rank import global_ntile_agg
+
+    rng = np.random.default_rng(9)
+    n = 503  # deliberately not divisible by the tile count
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.integers(0, 40, n).astype(np.int64),  # heavy ties
+        }
+    )
+    out = (
+        global_ntile_agg(
+            rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+            .repartition(5),
+            key_col="v",
+            id_col="id",
+            tiles=10,
+            partitions=8,
+        )
+        .to_pandas()
+        .sort_values("tile")
+        .reset_index(drop=True)
+    )
+    # reference: exact NTILE semantics over (v, id) order
+    s = df.sort_values(["v", "id"], kind="mergesort").reset_index(drop=True)
+    N, k = len(s), 10
+    small, nbig = N // k, N % k
+    cutoff = nbig * (small + 1)
+    r0 = np.arange(N)
+    tile = np.where(r0 < cutoff, r0 // (small + 1), nbig + (r0 - cutoff) // small) + 1
+    s["tile"] = tile
+    ref = (
+        s.groupby("tile", as_index=False)
+        .agg(n_rows=("v", "size"), sum_v=("v", "sum"))
+        .astype(np.int64)
+    )
+    assert out["tile"].tolist() == ref["tile"].tolist()
+    assert out["n_rows"].tolist() == ref["n_rows"].tolist()
+    assert out["sum_v"].tolist() == ref["sum_v"].tolist()
+    # equi-depth: first N%k tiles hold one extra row
+    assert set(out["n_rows"]) == {small, small + 1}

@@ -80,3 +80,44 @@ def test_transition_matrix_single_event_users_drop_out(ray_session):
         "n": [1],
         "p": [1.0],
     }
+
+
+def test_longest_streak_bruteforce(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from abwcf_ray.stages.transitions import longest_streak
+
+    rng = np.random.default_rng(13)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts_us": rng.integers(0, 1000, n).astype(np.int64),
+            "user_id": rng.integers(0, 9, n).astype(np.int64),
+            "event_type": rng.choice(["a", "b"], n),
+        }
+    )
+    out = (
+        longest_streak(
+            rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+            .repartition(4),
+            user_col="user_id",
+            order_cols=["ts_us", "event_id"],
+            type_col="event_type",
+            partitions=4,
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ref = {}
+    for uid, sub in df.sort_values(["ts_us", "event_id"]).groupby("user_id"):
+        best = cur = 0
+        prev = None
+        for t in sub["event_type"]:
+            cur = cur + 1 if t == prev else 1
+            best = max(best, cur)
+            prev = t
+        ref[uid] = best
+    assert dict(zip(out["user_id"], out["max_streak"])) == ref
