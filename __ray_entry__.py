@@ -2820,6 +2820,95 @@ def _q_event_throttle(sf_dir: str):
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
+_ROUTE_RULES = [
+    "/u/1",
+    "/u/1/t/click",
+    "/u/12",
+    "/u/2/t/view",
+    "/u/3",
+    "/u/4/t/purchase",
+    "/u/10",
+]
+
+
+def _q_route_match(sf_dir: str):
+    """Longest-matching-prefix routing (stages/index.
+    longest_prefix_route): events become /u/<user>/t/<type> paths,
+    labeled with the LONGEST rule prefix from a broadcast rule table
+    (vectorized starts_with masks, shortest-first overwrite — no
+    exchange), then counted per rule. Oracle: LIKE-join + length-DESC
+    ROW_NUMBER."""
+    import ray.data as rd
+
+    from abwcf_ray.functions.hashing import hash64
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+    from abwcf_ray.stages.index import longest_prefix_route
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"), columns=["user_id", "event_type"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "url": pc.binary_join_element_wise(
+                    "/u/",
+                    pc.cast(t.column("user_id"), pa.string()),
+                    "/t/",
+                    t.column("event_type"),
+                    "",
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    routed = longest_prefix_route(ev, rules=_ROUTE_RULES, key_col="url")
+
+    def partial(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame({"rule": t.column("rule").to_pandas()})
+        g = pdf.groupby("rule", as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = keyed_hash_agg(
+        routed.map_batches(partial, batch_format="pyarrow"),
+        lambda b: hash64(b.column("rule")),
+        lambda g: g.groupby("rule", as_index=False, sort=False).agg(n=("n", "sum")),
+        partitions=4,
+    ).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("rule").reset_index(drop=True)
+
+
+def _q_cohort_retention(sf_dir: str):
+    """Cohort retention triangle (stages/cohort.cohort_retention): users
+    cohorted by first active DAY, distinct re-activity counted at each
+    day offset. One hash(user) exchange (map-side distinct combiner),
+    per-shard grouped-min cohorts, tiny (cohort, offset) merge. Exact
+    int64; oracle is the DISTINCT-activity + MIN-cohort join."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.cohort import cohort_retention
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"), columns=["user_id", "ts"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pc.divide(
+                    t.column("ts").cast(pa.int64()),
+                    pa.scalar(86_400_000_000, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = cohort_retention(ev, user_col="user_id", bucket_col="day").to_pandas()
+    return out.sort_values(["cohort", "offset"]).reset_index(drop=True)
+
+
 def _q_order_deciles(sf_dir: str):
     """Global equi-depth decile analysis (stages/rank.global_ntile_agg):
     every order gets its exact NTILE(10) OVER (ORDER BY cents,
@@ -3385,6 +3474,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conj_search": _q_conj_search,
         "props_extract": _q_props_extract,
         "order_deciles": _q_order_deciles,
+        "cohort_retention": _q_cohort_retention,
+        "route_match": _q_route_match,
         "event_streaks": _q_event_streaks,
         "lang_share": _q_lang_share,
         "above_avg_orders": _q_above_avg_orders,
@@ -4765,6 +4856,40 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY length(props))
             ORDER BY event_id
+        """,
+        "route_match": """
+            WITH u AS (
+                SELECT '/u/' || user_id || '/t/' || event_type AS url
+                FROM events
+            ),
+            r(rule) AS (VALUES ('/u/1'), ('/u/1/t/click'), ('/u/12'),
+                               ('/u/2/t/view'), ('/u/3'), ('/u/4/t/purchase'),
+                               ('/u/10')),
+            m AS (
+                SELECT u.url, r.rule,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY u.rowid
+                           ORDER BY length(r.rule) DESC, r.rule
+                       ) AS rn
+                FROM (SELECT url, ROW_NUMBER() OVER () AS rowid FROM u) u
+                JOIN r ON u.url LIKE r.rule || '%'
+            )
+            SELECT rule, COUNT(*) AS n FROM m WHERE rn = 1
+            GROUP BY rule ORDER BY rule
+        """,
+        "cohort_retention": """
+            WITH a AS (
+                SELECT DISTINCT user_id,
+                       CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+                FROM events
+            ),
+            c AS (SELECT user_id, MIN(day) AS cohort FROM a GROUP BY user_id)
+            SELECT c.cohort,
+                   a.day - c.cohort AS "offset",
+                   COUNT(DISTINCT a.user_id) AS n_users
+            FROM a JOIN c ON a.user_id = c.user_id
+            GROUP BY c.cohort, a.day - c.cohort
+            ORDER BY c.cohort, "offset"
         """,
         "order_deciles": """
             WITH r AS (

@@ -120,3 +120,43 @@ def conjunctive_search(
         return batch.filter(pc.fill_null(mask, False)).select(cols)
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def longest_prefix_route(
+    ds,
+    *,
+    rules: list[str],
+    key_col: str,
+    out_col: str = "rule",
+):
+    """Longest-matching-prefix routing: label each row with the LONGEST
+    rule string that prefixes ``key_col`` (URL route tables, robots
+    path rules, IP-prefix-style longest-match — the reference's robots
+    path matching, RobotRulesParser, picks rules the same
+    longest-prefix-wins way). Rows matching no rule are dropped.
+
+    Broadcast-small-side shape: the rule table rides into every task as
+    a plain list (ray.put'd closure constant), and the match is one
+    vectorized ``pc.starts_with`` mask per rule applied shortest-first
+    so the last overwrite wins — O(|rules|) arrow kernels per batch, no
+    exchange, no row loop. For rule tables past ~10^3, swap the mask
+    loop for a sorted-prefix binary search per batch (searchsorted on
+    the sorted rule array, walk up suffix lengths) — same contract.
+    """
+    import pyarrow.compute as pc
+
+    ordered = sorted(set(rules), key=len)  # shortest first: longest wins last
+
+    def label(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col)
+        lab = np.full(batch.num_rows, "", object)
+        hit = np.zeros(batch.num_rows, bool)
+        for r in ordered:
+            m = pc.starts_with(k, r).to_numpy(zero_copy_only=False)
+            m = np.asarray(m, bool)
+            lab[m] = r
+            hit |= m
+        out = batch.append_column(out_col, pa.array(lab.astype(str), pa.string()))
+        return out.filter(pa.array(hit))
+
+    return ds.map_batches(label, batch_format="pyarrow")

@@ -131,3 +131,63 @@ def test_topk_per_group_int_groups_and_ascending(ray_session):
     # ascending: smallest scores win; ties break on doc_id asc
     # g0: scores 3(id1),5(id0) | g1: 1(id3),1(id4) | g2: 0(id9),7(id6)
     assert got == [0, 1, 3, 4, 6, 9]
+
+
+def test_longest_prefix_route(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.index import longest_prefix_route
+
+    urls = [
+        "/u/1/t/click",   # matches /u/1 AND /u/1/t/click -> longest wins
+        "/u/12/t/view",   # matches /u/1 AND /u/12 -> /u/12
+        "/u/10/t/error",  # matches /u/1 AND /u/10 -> /u/10
+        "/u/3/t/view",    # matches /u/3
+        "/u/99/t/click",  # no rule -> dropped
+    ]
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())})).repartition(2)
+    out = (
+        longest_prefix_route(
+            ds,
+            rules=["/u/1", "/u/1/t/click", "/u/12", "/u/3", "/u/10"],
+            key_col="url",
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out["url"], out["rule"]))
+    assert got == {
+        "/u/1/t/click": "/u/1/t/click",
+        "/u/12/t/view": "/u/12",
+        "/u/10/t/error": "/u/10",
+        "/u/3/t/view": "/u/3",
+    }
+
+
+def test_conjunctive_search_token_boundaries(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.index import conjunctive_search
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "spark join window",        # all three -> kept
+                    "sparkle join window",      # 'spark' only as substring -> dropped
+                    "join window",              # missing spark -> dropped
+                    "window spark mid join x",  # all three any order -> kept
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = conjunctive_search(
+        rd.from_arrow(docs),
+        terms=["spark", "join", "window"],
+    ).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 3]
