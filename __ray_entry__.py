@@ -2820,6 +2820,136 @@ def _q_event_throttle(sf_dir: str):
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
+def _q_region_revenue(sf_dir: str):
+    """Multi-join chain (the TPC-H Q5 shape): lineitem ⋈ orders ⋈
+    customer distributed via stages/join.equi_join (keyed exchanges,
+    big-big), then nation ⋈ region collapsed to a 25-row broadcast
+    lookup applied map-side (never shuffled). Revenue is EXACT integer
+    cents·(100−disc_pct) summed int64, one IEEE division at the end —
+    the float discipline that lets the 5-table SQL mirror hash-match."""
+    import ray.data as rd
+
+    from abwcf_ray.functions.hashing import hash64
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+    from abwcf_ray.stages.join import equi_join
+
+    _quiet()
+    li = rd.read_parquet(
+        str(Path(sf_dir) / "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev_scaled": pa.array(
+                    np.floor(
+                        t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                        * 100.0
+                        + 0.5
+                    ).astype(np.int64)
+                    * (
+                        100
+                        - np.floor(
+                            t.column("l_discount").to_numpy(zero_copy_only=False)
+                            * 100.0
+                            + 0.5
+                        ).astype(np.int64)
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    od = rd.read_parquet(
+        str(Path(sf_dir) / "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    cu = rd.read_parquet(
+        str(Path(sf_dir) / "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    j1 = equi_join(
+        li,
+        od.map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": t.column("o_orderkey"),
+                    "o_custkey": t.column("o_custkey"),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        on="l_orderkey",
+        how="inner",
+    )
+    j2 = equi_join(
+        j1.map_batches(
+            lambda t: pa.table(
+                {
+                    "c_custkey": t.column("o_custkey"),
+                    "rev_scaled": t.column("rev_scaled"),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        cu,
+        on="c_custkey",
+        how="inner",
+    )
+
+    # nation ⋈ region is 25 rows: collapse to a broadcast nationkey ->
+    # region-name lookup, applied map-side (the dimension never shuffles)
+    import pyarrow.parquet as pq
+
+    na = pq.read_table(
+        str(Path(sf_dir) / "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    re_ = pq.read_table(
+        str(Path(sf_dir) / "region.parquet"), columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    nr = na.merge(re_, left_on="n_regionkey", right_on="r_regionkey")
+    kmap = dict(zip(nr["n_nationkey"].astype(int), nr["r_name"]))
+
+    def attach_region(t: pa.Table) -> pa.Table:
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        names = pd.Series(nk).map(kmap).to_numpy()
+        return pa.table(
+            {
+                "r_name": pa.array(names, pa.string()),
+                "rev_scaled": t.column("rev_scaled"),
+            }
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                "r_name": t.column("r_name").to_pandas(),
+                "s": t.column("rev_scaled")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = pdf.groupby("r_name", as_index=False, sort=False).agg(s=("s", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = keyed_hash_agg(
+        j2.map_batches(attach_region, batch_format="pyarrow").map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        lambda b: hash64(b.column("r_name")),
+        lambda g: g.groupby("r_name", as_index=False, sort=False).agg(s=("s", "sum")),
+        partitions=4,
+    ).to_pandas()
+    out["rev_scaled"] = out["s"].astype(np.int64)
+    out["revenue"] = out["rev_scaled"].to_numpy(np.int64).astype(
+        np.float64
+    ) / np.float64(10000.0)
+    return (
+        out[["r_name", "rev_scaled", "revenue"]]
+        .sort_values("r_name")
+        .reset_index(drop=True)
+    )
+
+
 _ROUTE_RULES = [
     "/u/1",
     "/u/1/t/click",
@@ -3476,6 +3606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_deciles": _q_order_deciles,
         "cohort_retention": _q_cohort_retention,
         "route_match": _q_route_match,
+        "region_revenue": _q_region_revenue,
         "event_streaks": _q_event_streaks,
         "lang_share": _q_lang_share,
         "above_avg_orders": _q_above_avg_orders,
@@ -4856,6 +4987,28 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY length(props))
             ORDER BY event_id
+        """,
+        "region_revenue": """
+            WITH li AS (
+                SELECT l_orderkey,
+                       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                           AS rev_scaled
+                FROM lineitem
+            ),
+            m AS (
+                SELECT r.r_name,
+                       CAST(SUM(li.rev_scaled) AS BIGINT) AS rev_scaled
+                FROM li
+                JOIN orders o   ON li.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n   ON c.c_nationkey = n.n_nationkey
+                JOIN region r   ON n.n_regionkey = r.r_regionkey
+                GROUP BY r.r_name
+            )
+            SELECT r_name, rev_scaled,
+                   CAST(rev_scaled AS DOUBLE) / 10000.0 AS revenue
+            FROM m ORDER BY r_name
         """,
         "route_match": """
             WITH u AS (
