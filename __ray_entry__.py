@@ -2820,6 +2820,72 @@ def _q_event_throttle(sf_dir: str):
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
+def _q_host_median_cont(sf_dir: str):
+    """Per-host CONTINUOUS median of doc length
+    (stages/sketch.group_median_cont): quantile_cont(0.5) semantics off
+    the same one-exchange sparse histogram as group_mad; the even-N
+    midpoint (a+b)*0.5 is exactly representable, so the float
+    hash-matches."""
+    from abwcf_ray.stages.sketch import group_median_cont
+
+    _quiet()
+
+    def with_host(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "host": pa.array(
+                    [f"h{i % _HOSTS}.example" for i in d], pa.string()
+                ),
+                "n_chars": t.column("n_chars"),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        with_host, batch_format="pyarrow"
+    )
+    out = group_median_cont(ds, group_col="host", col="n_chars").to_pandas()
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def _q_doc_pct_rank(sf_dir: str):
+    """Global PERCENT_RANK over (n_chars, doc_id) — the exact
+    distributed total order (stages/rank.global_rank: histogram pass +
+    range exchange) finished with one IEEE division (rank-1)/(N-1);
+    a unique tie-break makes RANK == ROW_NUMBER so the SQL window
+    hash-matches."""
+    from abwcf_ray.stages.rank import global_rank
+
+    _quiet()
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    n = docs.count()
+    out = global_rank(docs, key_col="n_chars", id_col="doc_id").to_pandas()
+    out["pct_rank"] = (out["rank"].to_numpy(np.int64) - 1).astype(
+        np.float64
+    ) / np.float64(n - 1)
+    return (
+        out[["doc_id", "n_chars", "rank", "pct_rank"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid in exact fixed-point
+    (stages/similarity.label_centroids): components quantized by an
+    EXACT power-of-two multiply + floor, int64 partial sums per
+    (label, dim), one keyed exchange, single-division quantized mean.
+    Long output (label, dim, n, sum_q, mean_q)."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.similarity import label_centroids
+
+    _quiet()
+    emb = rd.read_parquet(str(Path(sf_dir) / "embeddings.parquet"))
+    out = label_centroids(emb, vec_col="embedding", label_col="label").to_pandas()
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
 def _q_region_revenue(sf_dir: str):
     """Multi-join chain (the TPC-H Q5 shape): lineitem ⋈ orders ⋈
     customer distributed via stages/join.equi_join (keyed exchanges,
@@ -3607,6 +3673,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "route_match": _q_route_match,
         "region_revenue": _q_region_revenue,
+        "host_median_cont": _q_host_median_cont,
+        "doc_pct_rank": _q_doc_pct_rank,
+        "label_centroids": _q_label_centroids,
         "event_streaks": _q_event_streaks,
         "lang_share": _q_lang_share,
         "above_avg_orders": _q_above_avg_orders,
@@ -4987,6 +5056,41 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY length(props))
             ORDER BY event_id
+        """,
+        "host_median_cont": """
+            WITH d AS (
+                SELECT 'h' || (doc_id % 97) || '.example' AS host, n_chars
+                FROM documents
+            )
+            SELECT host,
+                   COUNT(*) AS n,
+                   quantile_cont(n_chars, 0.5) AS med_cont
+            FROM d GROUP BY host ORDER BY host
+        """,
+        "doc_pct_rank": """
+            SELECT doc_id, n_chars,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                       AS rank,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1
+                        AS DOUBLE)
+                       / CAST((SELECT COUNT(*) FROM documents) - 1 AS DOUBLE)
+                       AS pct_rank
+            FROM documents ORDER BY doc_id
+        """,
+        "label_centroids": """
+            WITH x AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1048576.0)
+                            AS BIGINT) AS q
+                FROM embeddings
+            )
+            SELECT label, dim,
+                   COUNT(*) AS n,
+                   CAST(SUM(q) AS BIGINT) AS sum_q,
+                   CAST(SUM(q) AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS mean_q
+            FROM x GROUP BY label, dim
+            ORDER BY label, dim
         """,
         "region_revenue": """
             WITH li AS (

@@ -250,3 +250,67 @@ def knn_ivf(
     top = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     top["rank"] = top.groupby("query_id").cumcount().astype(np.int64)
     return top[["query_id", "neighbor_id", "rank", "cosine"]]
+
+
+def label_centroids(
+    ds,
+    *,
+    vec_col: str,
+    label_col: str,
+    scale_bits: int = 20,
+    merge_partitions: int = 8,
+):
+    """Per-label vector centroid in EXACT fixed-point — the grouped
+    vector-mean primitive (class prototypes, cluster summaries, the
+    reduce half of a k-means step) made bit-reproducible: each component
+    is quantized to ``floor(x * 2^scale_bits)`` (the multiply by a power
+    of two is EXACT in IEEE, the floor makes it integer), per-batch
+    partial sums accumulate int64 per (label, dim), one keyed exchange
+    merges them, and the quantized mean is a single IEEE division — so
+    a SQL oracle computing the identical expression hash-matches.
+
+    Output is LONG format (label, dim, n, sum_q, mean_q) — labels × dim
+    rows, tiny for any real label set. Exchange volume is labels × dim
+    per batch, never rows × dim.
+    """
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    mul = np.float64(np.int64(1) << np.int64(scale_bits))
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = _batch_vectors(t, vec_col, dtype=np.float64)
+        q = np.floor(X * mul).astype(np.int64)
+        lab = t.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, uniq = pd.factorize(lab, use_na_sentinel=False)
+        d = q.shape[1] if q.ndim == 2 else 0
+        sums = np.zeros((len(uniq), d), np.int64)
+        np.add.at(sums, codes, q)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uniq)), pa.int64()),
+                "n": pa.array(np.repeat(cnt, d), pa.int64()),
+                "sum_q": pa.array(sums.ravel(), pa.int64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["label", "dim"], as_index=False, sort=False).agg(
+            n=("n", "sum"), sum_q=("sum_q", "sum")
+        )
+        m["n"] = m["n"].astype(np.int64)
+        m["sum_q"] = m["sum_q"].astype(np.int64)
+        m["mean_q"] = m["sum_q"].to_numpy(np.int64).astype(np.float64) / m[
+            "n"
+        ].to_numpy(np.int64).astype(np.float64)
+        return m
+
+    return keyed_hash_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        lambda b: b.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        * np.int64(131)
+        + b.column("dim").to_numpy(zero_copy_only=False).astype(np.int64),
+        merge,
+        partitions=merge_partitions,
+    )

@@ -593,3 +593,74 @@ def group_weighted_median(
         pick,
         partitions=merge_partitions,
     )
+
+
+def group_median_cont(
+    ds,
+    *,
+    group_col: str,
+    col: str,
+    merge_partitions: int = 64,
+):
+    """Per-group CONTINUOUS (interpolated) median — SQL's
+    quantile_cont(0.5): with N sorted values the result is the middle
+    value (N odd) or the midpoint of the two middle values (N even).
+
+    Same ONE sparse-histogram exchange as :func:`group_mad`. Float
+    discipline: integer inputs below 2^52 make the midpoint
+    ``(a + b) * 0.5`` EXACTLY representable (a dyadic rational), so any
+    correctly-rounded op order lands on the same double and the SQL
+    oracle hash-matches bit-for-bit — the one interpolation that is
+    exact without the single-division rule.
+
+    Returns (group_col, n:int64, med_cont:float64)."""
+    from abwcf_ray.functions.hashing import hash64
+
+    def hist(batch: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                group_col: batch.column(group_col).to_pandas(),
+                "v": batch.column(col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = pdf.groupby([group_col, "v"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def gkey(b: pa.Table) -> np.ndarray:
+        c = b.column(group_col)
+        if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
+            return hash64(c)
+        return c.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        merged = g.groupby([group_col, "v"], as_index=False, sort=False).agg(
+            n=("n", "sum")
+        )
+        for gval, sub in merged.groupby(group_col, sort=False):
+            sub = sub.sort_values("v", kind="mergesort")
+            vals = sub["v"].to_numpy(np.int64)
+            cnt = sub["n"].to_numpy(np.int64)
+            cum = np.cumsum(cnt)
+            n = int(cum[-1])
+            # 0-based positions floor/ceil of 0.5*(n-1)
+            lo_pos = (n - 1) // 2
+            hi_pos = n // 2
+            a = float(vals[int(np.searchsorted(cum, lo_pos + 1, side="left"))])
+            b = float(vals[int(np.searchsorted(cum, hi_pos + 1, side="left"))])
+            rows.append((gval, n, (a + b) * 0.5))
+        out = pd.DataFrame(rows, columns=[group_col, "n", "med_cont"])
+        out["n"] = out["n"].astype(np.int64)
+        out["med_cont"] = out["med_cont"].astype(np.float64)
+        return out
+
+    return keyed_hash_agg(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        gkey,
+        pick,
+        partitions=merge_partitions,
+    )

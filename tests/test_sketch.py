@@ -224,3 +224,103 @@ def test_group_int_quantiles_layout_invariance(ray_session):
         for p, m in ((1, 8), (11, 64))
     ]
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_group_weighted_median_bruteforce(ray_session):
+    import pyarrow as pa
+
+    from abwcf_ray.stages.sketch import group_weighted_median
+
+    rng = np.random.default_rng(17)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "v": rng.integers(0, 50, n).astype(np.int64),
+            "w": rng.integers(1, 9, n).astype(np.int64),
+        }
+    )
+    out = (
+        group_weighted_median(
+            rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+            .repartition(5),
+            group_col="g",
+            val_col="v",
+            weight_col="w",
+            merge_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    for _, row in out.iterrows():
+        sub = df[df["g"] == row["g"]].sort_values("v")
+        cum = sub["w"].cumsum().to_numpy()
+        tot = int(cum[-1])
+        expect = int(sub["v"].to_numpy()[np.searchsorted(cum, (tot + 1) // 2)])
+        assert row["wmed"] == expect and row["total_w"] == tot
+
+
+def test_group_median_cont_matches_quantile_cont(ray_session):
+    import pyarrow as pa
+
+    from abwcf_ray.stages.sketch import group_median_cont
+
+    rng = np.random.default_rng(19)
+    n = 301
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], n),  # mixed odd/even group sizes
+            "v": rng.integers(0, 30, n).astype(np.int64),
+        }
+    )
+    out = (
+        group_median_cont(
+            rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+            .repartition(4),
+            group_col="g",
+            col="v",
+            merge_partitions=4,
+        )
+        .to_pandas()
+        .set_index("g")
+    )
+    for g, sub in df.groupby("g"):
+        ref = float(np.quantile(sub["v"].to_numpy(np.float64), 0.5, method="linear"))
+        assert out.loc[g, "med_cont"] == ref
+        assert out.loc[g, "n"] == len(sub)
+
+
+def test_label_centroids_bruteforce(ray_session):
+    import pyarrow as pa
+
+    from abwcf_ray.stages.similarity import label_centroids
+
+    rng = np.random.default_rng(23)
+    n, d = 120, 8
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    lab = rng.integers(0, 4, n).astype(np.int64)
+    t = pa.table(
+        {
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(X.ravel(), pa.float32()), d
+            ),
+            "label": pa.array(lab, pa.int64()),
+        }
+    )
+    out = (
+        label_centroids(
+            rd.from_arrow(t).repartition(3),
+            vec_col="embedding",
+            label_col="label",
+        )
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    q = np.floor(X.astype(np.float64) * float(1 << 20)).astype(np.int64)
+    for lb in range(4):
+        rows = out[out["label"] == lb]
+        sel = q[lab == lb]
+        np.testing.assert_array_equal(rows["sum_q"].to_numpy(), sel.sum(axis=0))
+        assert (rows["n"] == len(sel)).all()
