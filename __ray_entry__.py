@@ -2820,6 +2820,102 @@ def _q_event_throttle(sf_dir: str):
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
+def _q_ohlc_hourly(sf_dir: str):
+    """Per-(event_type, hour) OPEN/HIGH/LOW/CLOSE candles
+    (stages/stats.group_ohlc): associative partial state — open/close
+    re-selected by (ts, id) order at every merge — collapses map-side
+    before ONE keyed exchange. value is only SELECTED (no arithmetic),
+    so floats pass through bit-exact; the oracle is FIRST_VALUE /
+    LAST_VALUE windows."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_ohlc
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_id", "event_type", "ts", "value"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour": pc.divide(
+                    t.column("ts").cast(pa.int64()),
+                    pa.scalar(3_600_000_000, pa.int64()),
+                ),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "event_id": t.column("event_id"),
+                "value": t.column("value"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = group_ohlc(
+        ev,
+        group_cols=["event_type", "hour"],
+        ts_col="ts_us",
+        id_col="event_id",
+        value_col="value",
+    ).to_pandas()
+    out = out.rename(columns={"open_v": "open", "close_v": "close"})
+    return (
+        out[["event_type", "hour", "open", "hi", "lo", "close", "n"]]
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_bounce_rate(sf_dir: str):
+    """Sessionized bounce rate per user: the fraction of gap-based
+    sessions containing exactly one event — the session machinery
+    (stages/windows.session_windows, skew-safe two-stage) reduced by a
+    tiny keyed aggregate; the rate is one IEEE division of exact
+    counts."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+    from abwcf_ray.stages.windows import session_windows
+
+    _quiet()
+    ds = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+    sess = session_windows(
+        ds, key="user_id", ts_col="ts", value_col="value", gap_us=_SESSION_GAP_US
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ne = t.column("n_events").to_numpy(zero_copy_only=False).astype(np.int64)
+        pdf = pd.DataFrame(
+            {
+                "user_id": t.column("user_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "n_sessions": np.ones(len(ne), np.int64),
+                "n_bounce": (ne == 1).astype(np.int64),
+            }
+        )
+        g = pdf.groupby("user_id", as_index=False, sort=False).agg(
+            n_sessions=("n_sessions", "sum"), n_bounce=("n_bounce", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = keyed_hash_agg(
+        sess.map_batches(partial, batch_format="pyarrow"),
+        lambda b: b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64),
+        lambda g: g.groupby("user_id", as_index=False, sort=False).agg(
+            n_sessions=("n_sessions", "sum"), n_bounce=("n_bounce", "sum")
+        ),
+        partitions=16,
+    ).to_pandas()
+    out["n_sessions"] = out["n_sessions"].astype(np.int64)
+    out["n_bounce"] = out["n_bounce"].astype(np.int64)
+    out["bounce_rate"] = out["n_bounce"].to_numpy(np.int64).astype(
+        np.float64
+    ) / out["n_sessions"].to_numpy(np.int64).astype(np.float64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_host_median_cont(sf_dir: str):
     """Per-host CONTINUOUS median of doc length
     (stages/sketch.group_median_cont): quantile_cont(0.5) semantics off
@@ -3674,6 +3770,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_match": _q_route_match,
         "region_revenue": _q_region_revenue,
         "host_median_cont": _q_host_median_cont,
+        "ohlc_hourly": _q_ohlc_hourly,
+        "bounce_rate": _q_bounce_rate,
         "doc_pct_rank": _q_doc_pct_rank,
         "label_centroids": _q_label_centroids,
         "event_streaks": _q_event_streaks,
@@ -5056,6 +5154,70 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY length(props))
             ORDER BY event_id
+        """,
+        "ohlc_hourly": """
+            WITH x AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                       event_id, value
+                FROM events
+            ),
+            w AS (
+                SELECT event_type, hour, value,
+                       FIRST_VALUE(value) OVER (
+                           PARTITION BY event_type, hour
+                           ORDER BY ts_us, event_id
+                       ) AS open,
+                       LAST_VALUE(value) OVER (
+                           PARTITION BY event_type, hour
+                           ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING
+                       ) AS close
+                FROM x
+            )
+            SELECT event_type, hour,
+                   MIN(open) AS open,
+                   MAX(value) AS hi,
+                   MIN(value) AS lo,
+                   MIN(close) AS close,
+                   COUNT(*) AS n
+            FROM w GROUP BY event_type, hour
+            ORDER BY event_type, hour
+        """,
+        "bounce_rate": f"""
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+            ),
+            b AS (
+                SELECT user_id, ts_us, value,
+                       CASE WHEN ts_us - LAG(ts_us) OVER
+                            (PARTITION BY user_id ORDER BY ts_us, value)
+                            > {_SESSION_GAP_US}
+                            OR LAG(ts_us) OVER
+                            (PARTITION BY user_id ORDER BY ts_us, value) IS NULL
+                       THEN 1 ELSE 0 END AS brk
+                FROM e
+            ),
+            s AS (
+                SELECT user_id,
+                       CAST(SUM(brk) OVER (PARTITION BY user_id
+                            ORDER BY ts_us, value ROWS UNBOUNDED PRECEDING)
+                            - 1 AS BIGINT) AS session_id
+                FROM b
+            ),
+            sess AS (
+                SELECT user_id, session_id, COUNT(*) AS n_events
+                FROM s GROUP BY user_id, session_id
+            )
+            SELECT user_id,
+                   COUNT(*) AS n_sessions,
+                   CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bounce,
+                   CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS bounce_rate
+            FROM sess GROUP BY user_id ORDER BY user_id
         """,
         "host_median_cont": """
             WITH d AS (

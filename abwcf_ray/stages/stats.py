@@ -433,3 +433,82 @@ def group_decayed_count(
         finish,
         partitions=merge_partitions,
     )
+
+
+def group_ohlc(
+    ds,
+    *,
+    group_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    merge_partitions: int = 64,
+):
+    """Per-group OPEN / HIGH / LOW / CLOSE — the time-bucketed candle
+    aggregate (market data, per-host latency traces, crawl-rate
+    telemetry). OPEN is the value at the MIN (ts, id) of the group,
+    CLOSE at the MAX; HIGH/LOW are plain extremes; ``n`` counts rows.
+
+    The interesting property is the MERGE: the partial state
+    (open_ts, open_id, open_v, close_ts, close_id, close_v, hi, lo, n)
+    is associative — combining two partials re-selects open/close by
+    the same (ts, id) order — so map-side partials shrink each batch to
+    one row per group before ONE keyed exchange, exactly like the
+    moment aggregates. No arithmetic touches ``value`` (it is only
+    SELECTED), so float values pass through bit-exact and the SQL
+    window oracle hash-matches with no float discipline needed.
+    """
+
+    state_cols = [
+        "open_ts", "open_id", "open_v",
+        "close_ts", "close_id", "close_v",
+        "hi", "lo", "n",
+    ]
+
+    def _reduce(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Collapse (group_cols, state) rows to one state row per group:
+        open = state of the min (open_ts, open_id) row, close = max
+        (close_ts, close_id) row, hi/lo/n elementwise."""
+        by_open = pdf.sort_values(
+            group_cols + ["open_ts", "open_id"], kind="mergesort"
+        ).groupby(group_cols, as_index=False, sort=False)
+        opens = by_open[["open_ts", "open_id", "open_v"]].first()
+        by_close = pdf.sort_values(
+            group_cols + ["close_ts", "close_id"], kind="mergesort"
+        ).groupby(group_cols, as_index=False, sort=False)
+        closes = by_close[["close_ts", "close_id", "close_v"]].last()
+        rest = pdf.groupby(group_cols, as_index=False, sort=False).agg(
+            hi=("hi", "max"), lo=("lo", "min"), n=("n", "sum")
+        )
+        out = opens.merge(closes, on=group_cols).merge(rest, on=group_cols)
+        out["n"] = out["n"].astype(np.int64)
+        return out[group_cols + state_cols]
+
+    def partial(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame({c: t.column(c).to_pandas() for c in group_cols})
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        rid = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        pdf["open_ts"] = ts
+        pdf["open_id"] = rid
+        pdf["open_v"] = v
+        pdf["close_ts"] = ts
+        pdf["close_id"] = rid
+        pdf["close_v"] = v
+        pdf["hi"] = v
+        pdf["lo"] = v
+        pdf["n"] = np.ones(len(pdf), np.int64)
+        return pa.Table.from_pandas(_reduce(pdf), preserve_index=False)
+
+    def key_of(b: pa.Table) -> np.ndarray:
+        k = hash64(b.column(group_cols[0]))
+        for c in group_cols[1:]:
+            k = k * np.uint64(0x9E3779B97F4A7C15) ^ hash64(b.column(c))
+        return k
+
+    return keyed_hash_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key_of,
+        _reduce,
+        partitions=merge_partitions,
+    )

@@ -255,3 +255,49 @@ def test_group_corr_zero_variance_is_nan(ray_session):
         rd.from_pandas(df), group_cols=["g"], x_col="x", y_col="y"
     ).to_pandas()
     assert np.isnan(out.loc[0, "corr"])
+
+
+def test_group_ohlc_bruteforce_and_layout_invariance(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_ohlc
+
+    rng = np.random.default_rng(29)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "ts": rng.integers(0, 100, n).astype(np.int64),  # heavy ts ties
+            "rid": np.arange(n, dtype=np.int64),
+            "v": rng.normal(size=n),
+        }
+    )
+    ref_rows = []
+    for g, sub in df.groupby("g"):
+        s = sub.sort_values(["ts", "rid"], kind="mergesort")
+        ref_rows.append(
+            (g, s["v"].iloc[0], s["v"].max(), s["v"].min(), s["v"].iloc[-1], len(s))
+        )
+    ref = pd.DataFrame(
+        ref_rows, columns=["g", "open_v", "hi", "lo", "close_v", "n"]
+    ).sort_values("g").reset_index(drop=True)
+
+    for blocks in (1, 7):
+        out = (
+            group_ohlc(
+                rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+                .repartition(blocks),
+                group_cols=["g"],
+                ts_col="ts",
+                id_col="rid",
+                value_col="v",
+                merge_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        for c in ["open_v", "hi", "lo", "close_v"]:
+            np.testing.assert_array_equal(out[c].to_numpy(), ref[c].to_numpy())
+        assert out["n"].tolist() == ref["n"].tolist()
