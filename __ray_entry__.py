@@ -2916,6 +2916,112 @@ def _q_bounce_rate(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_user_intervals(sf_dir: str):
+    """Per-user merged activity-interval coverage
+    (stages/intervals.interval_coverage): each event opens a
+    [ts, ts + dur] interval (dur deterministic from event_id),
+    overlapping/touching intervals coalesce into maximal blocks — the
+    gaps-and-islands family over RANGES. ONE hash(user) exchange +
+    per-shard vectorized islands (grouped cummax + one boundary scan,
+    no per-interval loop); exact int64 throughout. The oracle is the
+    MAX(end) OVER ... 1 PRECEDING islands rewrite."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.intervals import interval_coverage
+
+    _quiet()
+
+    def mk(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ts = (
+            t.column("ts")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        dur = (eid % 900 + 100) * 1_000_000
+        return pa.table(
+            {"user_id": t.column("user_id"), "s": ts, "e": ts + dur}
+        )
+
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    ).map_batches(mk, batch_format="pyarrow")
+    out = interval_coverage(
+        ev, key_col="user_id", start_col="s", end_col="e"
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_user_cum_distinct(sf_dir: str):
+    """Per-event CUMULATIVE DISTINCT event-type count
+    (stages/winfun.cumulative_distinct): SQL's missing
+    COUNT(DISTINCT) OVER via the first-occurrence-flag + running-sum
+    rewrite, vectorized per keyed shard (one duplicated() pass + one
+    grouped cumsum). Exact int64; the oracle is the identical
+    ROW_NUMBER()=1 / SUM(flag) OVER rewrite."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.winfun import cumulative_distinct
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "event_type": t.column("event_type"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = cumulative_distinct(
+        ev,
+        key_col="user_id",
+        order_cols=["ts_us", "event_id"],
+        value_col="event_type",
+        out_col="n_types_seen",
+        id_col="event_id",
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_host_iqr(sf_dir: str):
+    """Per-host Tukey-fence outlier summary on doc length
+    (stages/sketch.group_iqr_outliers): continuous quartiles + IQR +
+    fence counts off ONE sparse-histogram exchange. The dyadic
+    discipline extended to the quartile family: f = frac(q*(n-1)) is
+    k/4 at q in {0.25, 0.75}, so q1/q3/iqr/1.5*iqr and both fences are
+    exactly representable and the float columns hash-match."""
+    from abwcf_ray.stages.sketch import group_iqr_outliers
+
+    _quiet()
+
+    def with_host(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "host": pa.array(
+                    [f"h{i % _HOSTS}.example" for i in d], pa.string()
+                ),
+                "n_chars": t.column("n_chars"),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        with_host, batch_format="pyarrow"
+    )
+    out = group_iqr_outliers(ds, group_col="host", col="n_chars").to_pandas()
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def _q_host_median_cont(sf_dir: str):
     """Per-host CONTINUOUS median of doc length
     (stages/sketch.group_median_cont): quantile_cont(0.5) semantics off
@@ -3772,6 +3878,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_median_cont": _q_host_median_cont,
         "ohlc_hourly": _q_ohlc_hourly,
         "bounce_rate": _q_bounce_rate,
+        "user_intervals": _q_user_intervals,
+        "user_cum_distinct": _q_user_cum_distinct,
+        "host_iqr": _q_host_iqr,
         "doc_pct_rank": _q_doc_pct_rank,
         "label_centroids": _q_label_centroids,
         "event_streaks": _q_event_streaks,
@@ -5218,6 +5327,86 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
                         AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS bounce_rate
             FROM sess GROUP BY user_id ORDER BY user_id
+        """,
+        "user_intervals": """
+            WITH iv AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS s,
+                       CAST(epoch_us(ts) AS BIGINT)
+                         + (event_id % 900 + 100) * 1000000 AS e
+                FROM events
+            ),
+            m AS (
+                SELECT user_id, s, e,
+                       MAX(e) OVER (
+                           PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING
+                       ) AS prev_max
+                FROM iv
+            ),
+            f AS (
+                SELECT user_id, s, e,
+                       CASE WHEN prev_max IS NULL OR s > prev_max
+                            THEN 1 ELSE 0 END AS brk
+                FROM m
+            ),
+            g AS (
+                SELECT user_id, s, e,
+                       SUM(brk) OVER (
+                           PARTITION BY user_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS blk
+                FROM f
+            ),
+            b AS (
+                SELECT user_id, blk, MIN(s) AS bs, MAX(e) AS be
+                FROM g GROUP BY user_id, blk
+            )
+            SELECT user_id,
+                   COUNT(*) AS n_blocks,
+                   CAST(SUM(be - bs) AS BIGINT) AS covered
+            FROM b GROUP BY user_id ORDER BY user_id
+        """,
+        "user_cum_distinct": """
+            WITH e AS (
+                SELECT event_id, user_id, event_type,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                FROM events
+            ),
+            f AS (
+                SELECT event_id, user_id, ts_us,
+                       CASE WHEN ROW_NUMBER() OVER (
+                                PARTITION BY user_id, event_type
+                                ORDER BY ts_us, event_id) = 1
+                            THEN 1 ELSE 0 END AS ff
+                FROM e
+            )
+            SELECT event_id,
+                   CAST(SUM(ff) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS n_types_seen
+            FROM f ORDER BY event_id
+        """,
+        "host_iqr": """
+            WITH d AS (
+                SELECT 'h' || (doc_id % 97) || '.example' AS host, n_chars
+                FROM documents
+            ),
+            q AS (
+                SELECT host, COUNT(*) AS n,
+                       quantile_cont(n_chars, 0.25) AS q1,
+                       quantile_cont(n_chars, 0.75) AS q3
+                FROM d GROUP BY host
+            )
+            SELECT q.host, q.n, q.q1, q.q3, q.q3 - q.q1 AS iqr,
+                   CAST(SUM(CASE WHEN d.n_chars < q.q1 - 1.5*(q.q3 - q.q1)
+                                   OR d.n_chars > q.q3 + 1.5*(q.q3 - q.q1)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM d JOIN q USING (host)
+            GROUP BY q.host, q.n, q.q1, q.q3
+            ORDER BY q.host
         """,
         "host_median_cont": """
             WITH d AS (

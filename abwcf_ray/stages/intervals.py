@@ -1,25 +1,31 @@
-"""Per-key interval union — merge overlapping [start, end) intervals and
-report total covered span + merged-block count per key (the
-"islands and gaps" primitive: user activity coverage, crawl-window
-occupancy, host politeness-slot accounting).
+"""Interval merge (gaps-and-islands over ranges) — per-key overlapping
+[start, end] intervals coalesced into maximal disjoint blocks, with the
+per-key block count and total covered length.
 
-Distributed shape: the keyed-partition exchange (see winfun.py) — ONE
-hash(key) exchange lands every key's intervals whole in one shard, then
-the merge is fully vectorized per shard:
+This is the range flavor of the islands family (longest_streak covers
+value runs, cohort_retention covers offset buckets): session-coverage
+analysis ("how much wall-clock was this user active, counting overlaps
+once"), crawl politeness-window coalescing, on-call shift dedup.
 
-1. one lexsort by (key, start, end),
-2. running max of `end` within each key (one C-level grouped cummax),
-3. a new merged block starts where `start` exceeds the running max of
-   every EARLIER interval's end (strict >: touching intervals merge),
-4. block span = (max end in block) − (block start); per-key totals via
-   one bincount each.
+SQL shape:
 
-All arithmetic is int64 (microsecond epochs) — the SQL oracle
-(windowed MAX ... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING, the
-standard gaps-and-islands query) hash-matches exactly.
+    new block  <=>  start > MAX(end) OVER (PARTITION BY key
+                                           ORDER BY start, end
+                                           ROWS ... AND 1 PRECEDING)
 
-Scale contract: one key's intervals must fit in its shard (the
-PARTITION BY contract); size ``partitions`` to cluster width.
+Distributed shape (the funnel/winfun idiom): ONE hash(key)-keyed
+exchange lands every interval of a key in the same shard (blocks never
+cross shards because keys don't), then a per-shard vectorized scan:
+mergesort by (key, start, end), per-key running max of ``end`` (one
+pandas grouped cummax — no per-interval Python loop), break flags where
+``start`` exceeds the previous running max, block ids from a cumsum of
+the flags, and the per-block extents from one grouped min/max. Each
+shard emits ONE row per key (n_blocks, covered), so the final merge is
+bounded by the key domain, never the interval count.
+
+Touching intervals (start == previous max end) MERGE — the closed-
+interval convention, mirrored by the oracle's strict ``>`` break test.
+All arithmetic is exact int64; no floats anywhere.
 """
 
 from __future__ import annotations
@@ -28,10 +34,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from abwcf_ray.stages.winfun import _pkey_of
+from abwcf_ray.stages.dedup import keyed_hash_agg
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
-def interval_union(
+def interval_coverage(
     ds,
     *,
     key_col: str,
@@ -39,57 +47,57 @@ def interval_union(
     end_col: str,
     partitions: int = 64,
 ):
-    """Dataset of (key, start:int64, end:int64) -> Dataset of
-    (key_col, n_blocks:int64, covered:int64): merged-interval count and
-    total covered length per key. Intervals with end <= start contribute
-    their (possibly zero/negative) span exactly as the SQL mirror does —
-    callers should pre-filter if they want them gone."""
+    """Per-key merged-interval summary: Dataset of
+    (key_col, n_blocks:int64, covered:int64) where n_blocks is the
+    number of maximal disjoint blocks after coalescing overlapping /
+    touching intervals and covered = sum(block_end - block_start).
 
-    def tag(t: pa.Table) -> pa.Table:
-        return t.select([key_col, start_col, end_col]).append_column(
-            "_pkey",
-            pa.array(_pkey_of(t.column(key_col), partitions), pa.int64()),
+    Keys are int64 (the user/entity-id shape); start/end are int64 with
+    start <= end per row (a zero-length interval contributes a block but
+    no coverage unless merged into a longer one).
+    """
+
+    def key_of(b: pa.Table) -> np.ndarray:
+        return (
+            b.column(key_col).to_numpy(zero_copy_only=False).view(np.uint64)
+            * _GOLD
         )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns="_pkey")
-        n = len(g)
-        if n == 0:
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
             return pd.DataFrame(
                 {
-                    key_col: g[key_col],
+                    key_col: pd.Series([], dtype=np.int64),
                     "n_blocks": pd.Series([], dtype=np.int64),
                     "covered": pd.Series([], dtype=np.int64),
                 }
             )
-        codes, uniq = pd.factorize(g[key_col].to_numpy(), use_na_sentinel=False)
+        g = g.sort_values([key_col, start_col, end_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
         s = g[start_col].to_numpy(np.int64)
         e = g[end_col].to_numpy(np.int64)
-        order = np.lexsort((e, s, codes))
-        cs, ss, es = codes[order], s[order], e[order]
-        new = np.empty(n, bool)
-        new[0] = True
-        np.not_equal(cs[1:], cs[:-1], out=new[1:])
-        runmax = pd.Series(es).groupby(cs).cummax().to_numpy(np.int64)
-        prior = np.empty(n, np.int64)
-        prior[1:] = runmax[:-1]
-        newblock = new | (ss > prior)
-        bid = np.cumsum(newblock) - 1
-        nb = int(bid[-1]) + 1
-        bstart = ss[newblock]
-        bend = np.maximum.reduceat(es, np.flatnonzero(newblock))
-        bkey = cs[newblock]
-        span = bend - bstart
-        n_blocks = np.bincount(bkey, minlength=len(uniq)).astype(np.int64)
-        covered = np.zeros(len(uniq), np.int64)
-        np.add.at(covered, bkey, span)  # exact int64 (bincount weights are float)
-        assert nb == int(n_blocks.sum())
-        return pd.DataFrame(
-            {key_col: uniq, "n_blocks": n_blocks, "covered": covered}
+        # running max of e within each key segment, shifted by one row:
+        # prev_max[i] = max(e[j] for j < i in the same key), sentinel at
+        # the first row of each key.
+        prev_max = (
+            pd.Series(e).groupby(keys, sort=False).cummax().to_numpy(np.int64)
         )
+        first = np.empty(len(g), bool)
+        first[0] = True
+        first[1:] = keys[1:] != keys[:-1]
+        shifted = np.empty(len(g), np.int64)
+        shifted[1:] = prev_max[:-1]
+        brk = first | (s > shifted)
+        block = np.cumsum(brk.astype(np.int64)) - 1
+        blk = pd.DataFrame({"k": keys, "b": block, "s": s, "e": e}).groupby(
+            ["k", "b"], as_index=False, sort=False
+        ).agg(bs=("s", "min"), be=("e", "max"))
+        out = blk.assign(length=blk["be"] - blk["bs"]).groupby(
+            "k", as_index=False, sort=False
+        ).agg(n_blocks=("b", "size"), covered=("length", "sum"))
+        out = out.rename(columns={"k": key_col})
+        out["n_blocks"] = out["n_blocks"].astype(np.int64)
+        out["covered"] = out["covered"].astype(np.int64)
+        return out
 
-    return (
-        ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("_pkey")
-        .map_groups(merge, batch_format="pandas")
-    )
+    return keyed_hash_agg(ds, key_of, scan, partitions=partitions)

@@ -664,3 +664,97 @@ def group_median_cont(
         pick,
         partitions=merge_partitions,
     )
+
+
+def group_iqr_outliers(
+    ds,
+    *,
+    group_col: str,
+    col: str,
+    merge_partitions: int = 64,
+):
+    """Per-group Tukey-fence outlier summary off CONTINUOUS quartiles:
+    q1 = quantile_cont(0.25), q3 = quantile_cont(0.75), iqr = q3 - q1,
+    and n_outliers = COUNT(v < q1 - 1.5*iqr OR v > q3 + 1.5*iqr) — the
+    standard box-plot anomaly rule (per-host length anomalies, per-type
+    latency spikes).
+
+    Same ONE sparse-histogram exchange as :func:`group_median_cont`; the
+    outlier count is read off the merged histogram itself (no second
+    pass over the rows). Float discipline: at q in {0.25, 0.75} the
+    interpolation fraction f = frac(q*(n-1)) is DYADIC (k/4), so with
+    integer inputs below 2^50 every quantity here — a*(1-f)+b*f, iqr,
+    1.5*iqr (a multiple of 3/8), and both fences — is exactly
+    representable and any correctly-rounded op order (ours or DuckDB's)
+    lands on the same double; the comparisons against the fences are
+    then exact on both sides. The group_median_cont dyadic argument,
+    extended to the quartile family.
+
+    Returns (group_col, n:int64, q1, q3, iqr:float64, n_outliers:int64).
+    """
+    from abwcf_ray.functions.hashing import hash64
+
+    def hist(batch: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                group_col: batch.column(group_col).to_pandas(),
+                "v": batch.column(col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = pdf.groupby([group_col, "v"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def gkey(b: pa.Table) -> np.ndarray:
+        c = b.column(group_col)
+        if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
+            return hash64(c)
+        return c.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def _qcont(vals, cum, n, q):
+        pos = q * (n - 1)  # exact: q dyadic, n-1 < 2^52
+        lo = int(np.floor(pos))
+        f = pos - lo
+        a = float(vals[int(np.searchsorted(cum, lo + 1, side="left"))])
+        if f == 0.0:
+            return a
+        b = float(vals[int(np.searchsorted(cum, lo + 2, side="left"))])
+        return a * (1.0 - f) + b * f
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        merged = g.groupby([group_col, "v"], as_index=False, sort=False).agg(
+            n=("n", "sum")
+        )
+        for gval, sub in merged.groupby(group_col, sort=False):
+            sub = sub.sort_values("v", kind="mergesort")
+            vals = sub["v"].to_numpy(np.int64)
+            cnt = sub["n"].to_numpy(np.int64)
+            cum = np.cumsum(cnt)
+            n = int(cum[-1])
+            q1 = _qcont(vals, cum, n, 0.25)
+            q3 = _qcont(vals, cum, n, 0.75)
+            iqr = q3 - q1
+            lo_fence = q1 - 1.5 * iqr
+            hi_fence = q3 + 1.5 * iqr
+            vf = vals.astype(np.float64)  # exact for |v| < 2^52
+            n_out = int(cnt[(vf < lo_fence) | (vf > hi_fence)].sum())
+            rows.append((gval, n, q1, q3, iqr, n_out))
+        out = pd.DataFrame(
+            rows, columns=[group_col, "n", "q1", "q3", "iqr", "n_outliers"]
+        )
+        out["n"] = out["n"].astype(np.int64)
+        out["n_outliers"] = out["n_outliers"].astype(np.int64)
+        for c in ("q1", "q3", "iqr"):
+            out[c] = out[c].astype(np.float64)
+        return out
+
+    return keyed_hash_agg(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        gkey,
+        pick,
+        partitions=merge_partitions,
+    )

@@ -199,3 +199,71 @@ def keyed_window_functions(
         .groupby("_pkey")
         .map_groups(scan, batch_format="pandas")
     )
+
+
+def cumulative_distinct(
+    ds,
+    *,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "n_distinct_seen",
+    id_col: str | None = None,
+    partitions: int = DEFAULT_WINFUN_PARTITIONS,
+):
+    """Per-row CUMULATIVE DISTINCT COUNT — for each row, how many
+    distinct ``value_col`` values its key has produced up to and
+    including that row in the (order_cols) order. SQL has no
+    COUNT(DISTINCT) OVER; the standard rewrite (first-occurrence flag
+    via ROW_NUMBER() = 1 per (key, value), then SUM(flag) OVER the
+    running frame) is what the oracle mirrors — and what this computes
+    vectorized per shard.
+
+    Distributed shape: the keyed_window_functions idiom — ONE
+    hash(key)-keyed exchange (every row of a key in one shard), then a
+    per-shard mergesort by (key, order_cols) + one pandas duplicated()
+    pass over (key, value) (first-occurrence flags in exactly that
+    order) + one grouped cumsum. Exact int64 end-to-end.
+
+    Returns the rows of ``id_col`` (or all input columns when None)
+    plus ``out_col``.
+    """
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_pkey", pa.array(_pkey_of(b.column(key_col), partitions))
+        )
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="_pkey")
+        if len(g) == 0:
+            cols = [id_col] if id_col else list(g.columns)
+            out = g[[c for c in cols if c in g.columns]].copy()
+            out[out_col] = pd.Series([], dtype=np.int64)
+            return out
+        g = g.sort_values(
+            [key_col, *order_cols], kind="mergesort"
+        ).reset_index(drop=True)
+        first = (~g.duplicated(subset=[key_col, value_col])).to_numpy(
+            np.int64
+        )
+        cum = np.cumsum(first)
+        keys = g[key_col].to_numpy()
+        new = np.empty(len(g), bool)
+        new[0] = True
+        new[1:] = keys[1:] != keys[:-1]
+        start_idx = np.flatnonzero(new)
+        gid = np.cumsum(new) - 1
+        # cumulative distinct within the key = global cumsum minus the
+        # cumsum just before the key's first row
+        base = np.where(start_idx > 0, cum[start_idx - 1], 0)
+        seen = cum - base[gid]
+        out = g[[id_col]].copy() if id_col else g.copy()
+        out[out_col] = seen.astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_pkey")
+        .map_groups(scan, batch_format="pandas")
+    )

@@ -1,90 +1,82 @@
-"""Interval union (stages/intervals.py): brute-force merge parity,
-touching/nested/duplicate intervals, layout invariance."""
-
-from __future__ import annotations
+"""interval_coverage — brute-force islands parity + layout invariance."""
 
 import numpy as np
 import pandas as pd
 
-from abwcf_ray.stages.intervals import interval_union
 
-
-def _brute(df):
+def _brute(df: pd.DataFrame) -> pd.DataFrame:
     rows = []
-    for k, sub in df.groupby("k"):
-        iv = sorted(zip(sub["s"], sub["e"]))
+    for uid, sub in df.groupby("u"):
+        ivs = sorted(zip(sub["s"], sub["e"]))
         blocks = []
-        for s, e in iv:
+        for s, e in ivs:
             if blocks and s <= blocks[-1][1]:
                 blocks[-1][1] = max(blocks[-1][1], e)
             else:
                 blocks.append([s, e])
-        rows.append((k, len(blocks), sum(e - s for s, e in blocks)))
-    out = pd.DataFrame(rows, columns=["k", "n_blocks", "covered"])
-    out["n_blocks"] = out["n_blocks"].astype(np.int64)
-    out["covered"] = out["covered"].astype(np.int64)
-    return out.sort_values("k").reset_index(drop=True)
-
-
-def _run(df, blocks=5, partitions=8):
-    import ray.data as rd
-
+        rows.append((uid, len(blocks), sum(b[1] - b[0] for b in blocks)))
     return (
-        interval_union(
-            rd.from_pandas(df).repartition(blocks),
-            key_col="k",
-            start_col="s",
-            end_col="e",
-            partitions=partitions,
-        )
-        .to_pandas()
-        .sort_values("k")
+        pd.DataFrame(rows, columns=["u", "n_blocks", "covered"])
+        .sort_values("u")
         .reset_index(drop=True)
     )
 
 
-def test_interval_union_matches_brute(ray_session):
-    rng = np.random.default_rng(19)
-    n = 800
+def test_interval_coverage_bruteforce_and_layout_invariance(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.intervals import interval_coverage
+
+    rng = np.random.default_rng(31)
+    n = 600
     s = rng.integers(0, 10_000, n).astype(np.int64)
     df = pd.DataFrame(
         {
-            "k": rng.integers(0, 15, n).astype(np.int64),
+            "u": rng.integers(0, 40, n).astype(np.int64),
             "s": s,
-            "e": s + rng.integers(0, 600, n).astype(np.int64),
+            "e": s + rng.integers(0, 400, n).astype(np.int64),
         }
     )
-    pd.testing.assert_frame_equal(_run(df), _brute(df))
+    ref = _brute(df)
+    for blocks in (1, 9):
+        out = (
+            interval_coverage(
+                rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+                .repartition(blocks),
+                key_col="u",
+                start_col="s",
+                end_col="e",
+                partitions=8,
+            )
+            .to_pandas()
+            .sort_values("u")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, ref)
 
 
-def test_interval_union_touching_nested_duplicate(ray_session):
-    # touching intervals merge (s == prior end), nested collapse,
-    # exact duplicates count once
+def test_interval_coverage_touching_merges_and_zero_length(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.intervals import interval_coverage
+
+    # [0,10] touches [10,20] -> one block of 20; [30,30] is its own
+    # zero-length block; a contained interval [2,5] changes nothing.
     df = pd.DataFrame(
         {
-            "k": np.array([1, 1, 1, 1, 1, 2, 2], np.int64),
-            "s": np.array([0, 10, 3, 3, 40, 5, 5], np.int64),
-            "e": np.array([10, 20, 7, 7, 50, 9, 9], np.int64),
+            "u": np.array([1, 1, 1, 1], np.int64),
+            "s": np.array([0, 10, 2, 30], np.int64),
+            "e": np.array([10, 20, 5, 30], np.int64),
         }
     )
-    out = _run(df, blocks=3)
-    want = _brute(df)
-    pd.testing.assert_frame_equal(out, want)
-    assert want.loc[want["k"] == 1, "n_blocks"].iloc[0] == 2  # [0,20)+[40,50)
-    assert want.loc[want["k"] == 1, "covered"].iloc[0] == 30
-
-
-def test_interval_union_layout_invariant(ray_session):
-    rng = np.random.default_rng(29)
-    n = 300
-    s = rng.integers(0, 2_000, n).astype(np.int64)
-    df = pd.DataFrame(
-        {
-            "k": rng.integers(0, 6, n).astype(np.int64),
-            "s": s,
-            "e": s + rng.integers(0, 80, n).astype(np.int64),
-        }
-    )
-    pd.testing.assert_frame_equal(
-        _run(df, blocks=1, partitions=2), _run(df, blocks=9, partitions=16)
-    )
+    out = interval_coverage(
+        rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+        key_col="u",
+        start_col="s",
+        end_col="e",
+        partitions=2,
+    ).to_pandas()
+    assert out["n_blocks"].tolist() == [2]
+    assert out["covered"].tolist() == [20]

@@ -324,3 +324,53 @@ def test_label_centroids_bruteforce(ray_session):
         sel = q[lab == lb]
         np.testing.assert_array_equal(rows["sum_q"].to_numpy(), sel.sum(axis=0))
         assert (rows["n"] == len(sel)).all()
+
+
+def test_group_iqr_outliers_bruteforce(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.sketch import group_iqr_outliers
+
+    rng = np.random.default_rng(41)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], n),
+            "v": rng.integers(0, 1000, n).astype(np.int64),
+        }
+    )
+    # inject obvious outliers
+    df.loc[df.index[:5], "v"] = 1_000_000
+    ref_rows = []
+    for g, sub in df.groupby("g"):
+        v = np.sort(sub["v"].to_numpy(np.float64))
+        q1 = float(np.quantile(v, 0.25, method="linear"))
+        q3 = float(np.quantile(v, 0.75, method="linear"))
+        iqr = q3 - q1
+        n_out = int(((v < q1 - 1.5 * iqr) | (v > q3 + 1.5 * iqr)).sum())
+        ref_rows.append((g, len(v), q1, q3, iqr, n_out))
+    ref = pd.DataFrame(
+        ref_rows, columns=["g", "n", "q1", "q3", "iqr", "n_outliers"]
+    ).sort_values("g").reset_index(drop=True)
+
+    for blocks in (1, 6):
+        out = (
+            group_iqr_outliers(
+                rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+                .repartition(blocks),
+                group_col="g",
+                col="v",
+                merge_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        assert out["n"].tolist() == ref["n"].tolist()
+        assert out["n_outliers"].tolist() == ref["n_outliers"].tolist()
+        # dyadic-exact floats: bitwise equality against numpy's linear rule
+        for c in ("q1", "q3", "iqr"):
+            np.testing.assert_array_equal(
+                out[c].to_numpy(), ref[c].to_numpy()
+            )

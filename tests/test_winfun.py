@@ -302,3 +302,47 @@ def test_pct_rank_single_row_key_is_zero(ray_session):
     # the tied pair in key 2 shares rank 1 and cume_dist 1.0
     assert out.loc[1, "rank"] == 1 and out.loc[2, "rank"] == 1
     assert out.loc[1, "cume_dist"] == 1.0 and out.loc[2, "cume_dist"] == 1.0
+
+
+def test_cumulative_distinct_bruteforce_and_layout_invariance(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.winfun import cumulative_distinct
+
+    rng = np.random.default_rng(37)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 20, n).astype(np.int64),
+            "ts": rng.integers(0, 50, n).astype(np.int64),  # heavy ties
+            "rid": np.arange(n, dtype=np.int64),
+            "v": rng.choice(["a", "b", "c", "d"], n),
+        }
+    )
+    # brute force: per user in (ts, rid) order, count distinct v so far
+    ref = {}
+    for _, sub in df.groupby("u"):
+        seen = set()
+        for _, row in sub.sort_values(["ts", "rid"]).iterrows():
+            seen.add(row["v"])
+            ref[row["rid"]] = len(seen)
+
+    for blocks in (1, 7):
+        out = (
+            cumulative_distinct(
+                rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+                .repartition(blocks),
+                key_col="u",
+                order_cols=["ts", "rid"],
+                value_col="v",
+                out_col="nd",
+                id_col="rid",
+                partitions=4,
+            )
+            .to_pandas()
+            .sort_values("rid")
+            .reset_index(drop=True)
+        )
+        assert out["nd"].tolist() == [ref[r] for r in out["rid"]]
+        assert len(out) == n
