@@ -2916,6 +2916,91 @@ def _q_bounce_rate(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_user_rate_window(sf_dir: str):
+    """Per-event 1-hour RANGE-frame count + weighted sum
+    (stages/winfun.range_frame_agg): SQL's RANGE BETWEEN X PRECEDING
+    frame — the burst-detection / rate-limit window — vectorized per
+    keyed shard with the composite segment-offset searchsorted trick
+    (no per-key loop). Exact int64; deterministic under ts ties because
+    RANGE frames include peers."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.winfun import range_frame_agg
+
+    _quiet()
+
+    def mk(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "w": eid % 100,
+            }
+        )
+
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    ).map_batches(mk, batch_format="pyarrow")
+    out = range_frame_agg(
+        ev,
+        key_col="user_id",
+        ts_col="ts_us",
+        weight_col="w",
+        range_preceding=3_600_000_000,
+        id_col="event_id",
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_active_days(sf_dir: str):
+    """Per-user activity-calendar islands
+    (stages/transitions.distinct_value_islands): distinct active days
+    grouped into runs of CONSECUTIVE days — n_values / n_islands /
+    longest. The day - ROW_NUMBER() islands trick, vectorized on the
+    deduplicated value axis per keyed shard. Exact int64."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.transitions import distinct_value_islands
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"), columns=["user_id", "ts"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pc.divide(
+                    t.column("ts").cast(pa.int64()),
+                    pa.scalar(86_400_000_000, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = distinct_value_islands(
+        ev, key_col="user_id", value_col="day"
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_link_reciprocity(sf_dir: str):
+    """Mutual-link rate of the crawl link graph
+    (stages/graph.reciprocity): fraction of directed edges whose
+    reverse exists — the link-farm signal. Unordered-pair keyed
+    exchange, per-partition one-row summaries, one IEEE division of
+    exact counts."""
+    from abwcf_ray.stages.graph import reciprocity
+
+    _quiet()
+    edges, _ = _graph_edges(sf_dir)
+    return reciprocity(edges)
+
+
 def _q_user_intervals(sf_dir: str):
     """Per-user merged activity-interval coverage
     (stages/intervals.interval_coverage): each event opens a
@@ -3881,6 +3966,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_intervals": _q_user_intervals,
         "user_cum_distinct": _q_user_cum_distinct,
         "host_iqr": _q_host_iqr,
+        "user_rate_window": _q_user_rate_window,
+        "active_days": _q_active_days,
+        "link_reciprocity": _q_link_reciprocity,
         "doc_pct_rank": _q_doc_pct_rank,
         "label_centroids": _q_label_centroids,
         "event_streaks": _q_event_streaks,
@@ -5327,6 +5415,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
                         AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS bounce_rate
             FROM sess GROUP BY user_id ORDER BY user_id
+        """,
+        "user_rate_window": """
+            WITH e AS (
+                SELECT event_id, user_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                       event_id % 100 AS w
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(COUNT(*) OVER wf AS BIGINT) AS n_frame,
+                   CAST(SUM(w) OVER wf AS BIGINT) AS w_frame
+            FROM e
+            WINDOW wf AS (
+                PARTITION BY user_id ORDER BY ts_us
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+            )
+            ORDER BY event_id
+        """,
+        "active_days": """
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+                FROM events
+            ),
+            i AS (
+                SELECT user_id, day,
+                       day - ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY day
+                       ) AS grp
+                FROM d
+            ),
+            g AS (
+                SELECT user_id, grp, COUNT(*) AS len
+                FROM i GROUP BY user_id, grp
+            )
+            SELECT user_id,
+                   CAST(SUM(len) AS BIGINT) AS n_values,
+                   COUNT(*) AS n_islands,
+                   CAST(MAX(len) AS BIGINT) AS longest
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "link_reciprocity": f"""
+            WITH edges AS ({_GRAPH_EDGES_SQL}),
+            e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+            m AS (
+                SELECT COUNT(*) AS n_recip
+                FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+            )
+            SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+                   m.n_recip,
+                   CAST(m.n_recip AS DOUBLE)
+                       / CAST((SELECT COUNT(*) FROM e) AS DOUBLE)
+                       AS reciprocity
+            FROM m
         """,
         "user_intervals": """
             WITH iv AS (

@@ -1510,3 +1510,76 @@ def _sssp_distributed(edges_m, nodes_ds, seeds_ds, rounds: int, partitions: int)
             .materialize()
         )
     return dists
+
+
+def reciprocity(edges_ds, *, partitions: int = 64):
+    """Link-graph reciprocity — the fraction of directed edges whose
+    reverse edge also exists (mutual-link rate: a crawl-graph spam /
+    link-farm signal; Newman's standard r = |reciprocated| / |edges|,
+    self-loops excluded, duplicate edges counted once).
+
+    Distributed shape: each distinct directed edge becomes one
+    (lo, hi, fwd, bwd) row on its UNORDERED pair key (lo = min(src,dst),
+    fwd = 1 iff src < dst), deduped map-side; ONE hash(lo, hi)-keyed
+    exchange lands both directions of a pair in the same partition,
+    where per-pair max(fwd)/max(bwd) absorbs duplicates and
+    n_recip += 2 per pair with both. Each partition emits ONE summary
+    row, so the driver merge is partitions-sized. The ratio is one IEEE
+    division of exact int64 counts (the repetition_signals discipline).
+
+    Returns a one-row pandas DataFrame (n_edges, n_recip, reciprocity).
+    """
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        src, dst = _edge_arrays(b)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        fwd = (src < dst).astype(np.int64)
+        pdf = pd.DataFrame(
+            {"lo": lo, "hi": hi, "fwd": fwd, "bwd": 1 - fwd}
+        ).groupby(["lo", "hi"], as_index=False, sort=False).agg(
+            fwd=("fwd", "max"), bwd=("bwd", "max")
+        )
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def key_of(b: pa.Table) -> np.ndarray:
+        lo = b.column("lo").to_numpy(zero_copy_only=False).view(np.uint64)
+        hi = b.column("hi").to_numpy(zero_copy_only=False).view(np.uint64)
+        return lo * _GOLD ^ hi
+
+    def summarize(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["lo", "hi"], as_index=False, sort=False).agg(
+            fwd=("fwd", "max"), bwd=("bwd", "max")
+        )
+        n_edges = int(m["fwd"].sum() + m["bwd"].sum())
+        n_recip = 2 * int((m["fwd"].to_numpy() & m["bwd"].to_numpy()).sum())
+        return pd.DataFrame(
+            {
+                "n_edges": np.array([n_edges], np.int64),
+                "n_recip": np.array([n_recip], np.int64),
+            }
+        )
+
+    parts = keyed_hash_agg(
+        edges_ds.map_batches(pairs, batch_format="pyarrow"),
+        key_of,
+        summarize,
+        partitions=partitions,
+    ).to_pandas()
+    n_edges = int(parts["n_edges"].sum())
+    n_recip = int(parts["n_recip"].sum())
+    out = pd.DataFrame(
+        {
+            "n_edges": np.array([n_edges], np.int64),
+            "n_recip": np.array([n_recip], np.int64),
+        }
+    )
+    out["reciprocity"] = out["n_recip"].to_numpy(np.int64).astype(
+        np.float64
+    ) / out["n_edges"].to_numpy(np.int64).astype(np.float64)
+    return out

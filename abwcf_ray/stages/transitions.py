@@ -175,3 +175,67 @@ def longest_streak(
         scan,
         partitions=partitions,
     )
+
+
+def distinct_value_islands(
+    ds,
+    *,
+    key_col: str,
+    value_col: str,
+    partitions: int = 64,
+):
+    """Gaps-and-islands over DISTINCT integer values per key — activity
+    calendars: the distinct days a user was active, grouped into runs of
+    CONSECUTIVE values (day, day+1, ...). Returns one row per key:
+    (key, n_values:int64 distinct values, n_islands:int64 runs,
+    longest:int64 longest run).
+
+    Differs from :func:`longest_streak` (identical-value runs over the
+    ROW sequence): here the islands live on the deduplicated VALUE axis
+    — the ``day - ROW_NUMBER()`` grouping trick in SQL.
+
+    Distributed shape: ONE hash(key) exchange, per-shard mergesort +
+    (key, value) dedupe + one consecutive-difference boundary scan;
+    island lengths from one bincount. One output row per key, exact
+    int64.
+    """
+
+    def key_of(b: pa.Table) -> np.ndarray:
+        return (
+            b.column(key_col).to_numpy(zero_copy_only=False).view(np.uint64)
+            * _GOLD
+        )
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=np.int64),
+                    "n_values": pd.Series([], dtype=np.int64),
+                    "n_islands": pd.Series([], dtype=np.int64),
+                    "longest": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g.sort_values([key_col, value_col], kind="mergesort")
+        g = g.drop_duplicates([key_col, value_col])
+        keys = g[key_col].to_numpy(np.int64)
+        v = g[value_col].to_numpy(np.int64)
+        n = len(g)
+        brk = np.empty(n, bool)
+        brk[0] = True
+        brk[1:] = (keys[1:] != keys[:-1]) | (v[1:] != v[:-1] + 1)
+        isl = np.cumsum(brk) - 1
+        lengths = np.bincount(isl).astype(np.int64)
+        isl_key = keys[np.flatnonzero(brk)]  # key of each island's start
+        per = pd.DataFrame({key_col: isl_key, "len": lengths}).groupby(
+            key_col, as_index=False, sort=False
+        ).agg(
+            n_values=("len", "sum"),
+            n_islands=("len", "size"),
+            longest=("len", "max"),
+        )
+        for c in ("n_values", "n_islands", "longest"):
+            per[c] = per[c].astype(np.int64)
+        return per
+
+    return keyed_hash_agg(ds, key_of, scan, partitions=partitions)

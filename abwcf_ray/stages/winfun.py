@@ -267,3 +267,79 @@ def cumulative_distinct(
         .groupby("_pkey")
         .map_groups(scan, batch_format="pandas")
     )
+
+
+def range_frame_agg(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    weight_col: str,
+    range_preceding: int,
+    id_col: str,
+    partitions: int = DEFAULT_WINFUN_PARTITIONS,
+):
+    """Per-row RANGE time-frame aggregate — SQL's
+
+        COUNT(*) / SUM(w) OVER (PARTITION BY key ORDER BY ts
+                                RANGE BETWEEN X PRECEDING AND CURRENT ROW)
+
+    (events-in-the-last-hour rate limiting, burst detection, crawl-rate
+    windows). RANGE frames are defined on the ORDER BY *value*: the
+    frame of row i is every row j of the key with ts_j in
+    [ts_i - X, ts_i], INCLUDING later peers with equal ts — so the
+    result is a pure function of the ts multiset (deterministic under
+    ties with no tie-break column).
+
+    Distributed shape: the keyed-exchange idiom, then a per-shard
+    TWO-searchsorted pass with a composite segment-offset key — each
+    key segment's timestamps are lifted onto disjoint ranges
+    (seg_id * BIG + (ts - min), BIG > span + X) so ONE globally sorted
+    array answers every per-key window query; no per-key Python loop.
+    Counts and weighted sums are exact int64 (prefix sums).
+
+    Returns (id_col, n_frame:int64, w_frame:int64).
+    """
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_pkey", pa.array(_pkey_of(b.column(key_col), partitions))
+        )
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="_pkey")
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype=np.int64),
+                    "n_frame": pd.Series([], dtype=np.int64),
+                    "w_frame": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy(np.int64)
+        w = g[weight_col].to_numpy(np.int64)
+        new = np.empty(len(g), bool)
+        new[0] = True
+        new[1:] = keys[1:] != keys[:-1]
+        seg = np.cumsum(new) - 1
+        tmin = int(ts.min())
+        big = int(ts.max()) - tmin + range_preceding + 1
+        comp = seg * np.int64(big) + (ts - tmin)
+        lo = np.searchsorted(comp, comp - np.int64(range_preceding), "left")
+        hi = np.searchsorted(comp, comp, "right")
+        cs = np.concatenate([[0], np.cumsum(w)])
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(np.int64),
+                "n_frame": (hi - lo).astype(np.int64),
+                "w_frame": (cs[hi] - cs[lo]).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_pkey")
+        .map_groups(scan, batch_format="pandas")
+    )

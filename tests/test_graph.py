@@ -581,3 +581,32 @@ def test_sssp_chain_graph_takes_cheaper_long_path(ray_session):
         .to_numpy()
     )
     np.testing.assert_array_equal(out, [0, 2, 5])
+
+
+def test_reciprocity_bruteforce(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.graph import reciprocity
+
+    rng = np.random.default_rng(53)
+    n = 400
+    src = rng.integers(0, 30, n).astype(np.int64)
+    dst = rng.integers(0, 30, n).astype(np.int64)
+    # duplicates + self-loops on purpose
+    edges = set(
+        (int(s), int(d)) for s, d in zip(src, dst) if s != d
+    )
+    n_recip_ref = sum(1 for s, d in edges if (d, s) in edges)
+
+    df = pd.DataFrame({"src": src, "dst": dst})
+    for blocks in (1, 7):
+        out = reciprocity(
+            rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+            .repartition(blocks),
+            partitions=4,
+        )
+        assert out["n_edges"].tolist() == [len(edges)]
+        assert out["n_recip"].tolist() == [n_recip_ref]
+        assert out["reciprocity"].iloc[0] == n_recip_ref / len(edges)

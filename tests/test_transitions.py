@@ -121,3 +121,49 @@ def test_longest_streak_bruteforce(ray_session):
             prev = t
         ref[uid] = best
     assert dict(zip(out["user_id"], out["max_streak"])) == ref
+
+
+def test_distinct_value_islands_bruteforce(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.transitions import distinct_value_islands
+
+    rng = np.random.default_rng(47)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 25, n).astype(np.int64),
+            "v": rng.integers(0, 40, n).astype(np.int64),  # many dup values
+        }
+    )
+    ref_rows = []
+    for uid, sub in df.groupby("u"):
+        vals = sorted(set(sub["v"]))
+        runs, cur = [], 1
+        for a, b in zip(vals, vals[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        ref_rows.append((uid, len(vals), len(runs), max(runs)))
+    ref = pd.DataFrame(
+        ref_rows, columns=["u", "n_values", "n_islands", "longest"]
+    ).sort_values("u").reset_index(drop=True)
+
+    for blocks in (1, 6):
+        out = (
+            distinct_value_islands(
+                rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+                .repartition(blocks),
+                key_col="u",
+                value_col="v",
+                partitions=4,
+            )
+            .to_pandas()
+            .sort_values("u")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, ref)

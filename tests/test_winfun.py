@@ -346,3 +346,51 @@ def test_cumulative_distinct_bruteforce_and_layout_invariance(ray_session):
         )
         assert out["nd"].tolist() == [ref[r] for r in out["rid"]]
         assert len(out) == n
+
+
+def test_range_frame_agg_bruteforce_with_ties(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.winfun import range_frame_agg
+
+    rng = np.random.default_rng(43)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 15, n).astype(np.int64),
+            "ts": rng.integers(0, 200, n).astype(np.int64),  # heavy ties
+            "rid": np.arange(n, dtype=np.int64),
+            "w": rng.integers(0, 50, n).astype(np.int64),
+        }
+    )
+    X = 30
+    # brute force: frame of row i = all rows j of the key with
+    # ts_j in [ts_i - X, ts_i] (RANGE semantics: peers included)
+    ref_n, ref_w = {}, {}
+    for _, sub in df.groupby("u"):
+        ts = sub["ts"].to_numpy()
+        w = sub["w"].to_numpy()
+        for rid, t in zip(sub["rid"], ts):
+            m = (ts >= t - X) & (ts <= t)
+            ref_n[rid] = int(m.sum())
+            ref_w[rid] = int(w[m].sum())
+
+    for blocks in (1, 8):
+        out = (
+            range_frame_agg(
+                rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+                .repartition(blocks),
+                key_col="u",
+                ts_col="ts",
+                weight_col="w",
+                range_preceding=X,
+                id_col="rid",
+                partitions=4,
+            )
+            .to_pandas()
+            .sort_values("rid")
+            .reset_index(drop=True)
+        )
+        assert out["n_frame"].tolist() == [ref_n[r] for r in out["rid"]]
+        assert out["w_frame"].tolist() == [ref_w[r] for r in out["rid"]]
