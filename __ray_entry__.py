@@ -2916,6 +2916,37 @@ def _q_bounce_rate(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_simjoin_pairs(sf_dir: str):
+    """Exact 3-shingle Jaccard similarity self-join at threshold 3/10
+    (stages/simjoin.similarity_join): the prefix-filter AllPairs join —
+    recall 1.0 BY CONSTRUCTION (vs the probabilistic LSH candidates in
+    ngram_dedup); rarest-first global order broadcast once, bucket pair
+    explode, exact overlap stats off one flat lexsort in the shared
+    verify router. The SQL oracle enumerates pairs COMPLETELY (token
+    explode self-join), so a hash-match proves both the stats AND that
+    prefix filtering missed nothing. Counts exact int64; jaccard is one
+    IEEE division. Contract: docs have >= shingle_k tokens on this
+    fixture (min 10), so the short-doc single-shingle fallback never
+    diverges from the SQL shingle set."""
+    from abwcf_ray.stages.simjoin import similarity_join
+
+    _quiet()
+    out = similarity_join(
+        _docs(sf_dir, ["doc_id", "text"]),
+        threshold_num=3,
+        threshold_den=10,
+        shingle_k=3,
+    ).to_pandas()
+    if "shared" not in out.columns:
+        out = pd.DataFrame(
+            {
+                c: pd.Series([], dtype=np.int64)
+                for c in ["src", "dst", "shared", "size_a", "size_b"]
+            }
+        ).assign(jaccard=pd.Series([], dtype=np.float64))
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
 def _q_user_rate_window(sf_dir: str):
     """Per-event 1-hour RANGE-frame count + weighted sum
     (stages/winfun.range_frame_agg): SQL's RANGE BETWEEN X PRECEDING
@@ -3969,6 +4000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rate_window": _q_user_rate_window,
         "active_days": _q_active_days,
         "link_reciprocity": _q_link_reciprocity,
+        "simjoin_pairs": _q_simjoin_pairs,
         "doc_pct_rank": _q_doc_pct_rank,
         "label_centroids": _q_label_centroids,
         "event_streaks": _q_event_streaks,
@@ -5415,6 +5447,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
                         AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS bounce_rate
             FROM sess GROUP BY user_id ORDER BY user_id
+        """,
+        "simjoin_pairs": r"""
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS l
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                               FOR i IN generate_series(1, len(l)-2)]) AS sh
+                FROM t
+            ),
+            tok AS (SELECT DISTINCT doc_id, sh FROM s),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+            p AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS shared
+                FROM tok a JOIN tok b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT src, dst, shared, sa.n AS size_a, sb.n AS size_b,
+                   CAST(shared AS DOUBLE)
+                       / CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+            FROM p JOIN sz sa ON sa.doc_id = src
+                   JOIN sz sb ON sb.doc_id = dst
+            WHERE 10 * shared >= 3 * (sa.n + sb.n - shared)
+            ORDER BY src, dst
         """,
         "user_rate_window": """
             WITH e AS (

@@ -381,6 +381,7 @@ def verify_edges_distributed(
     payload_col: str = "payload",
     merge_partitions: int = DEDUP_MERGE_PARTITIONS,
     candidate_broadcast_threshold: int = CANDIDATE_BROADCAST_THRESHOLD,
+    emit_fn=None,
 ):
     """Candidate edges + per-id payloads -> VERIFIED edge Dataset, without
     any payload ever visiting the driver or being duplicated per band.
@@ -398,7 +399,14 @@ def verify_edges_distributed(
     both payloads meet.
 
     ``verify_fn`` receives two equal-length lists of payload values (numpy
-    arrays / lists) and returns a boolean mask of surviving edges."""
+    arrays / lists) and returns a boolean mask of surviving edges.
+
+    ``emit_fn``, when given, REPLACES the mask semantics: it receives the
+    merged per-pair frame (columns src, dst, {payload_col}_a,
+    {payload_col}_b — possibly empty) and returns the output DataFrame
+    for that partition (any columns). Used by stages that need per-pair
+    STATISTICS (similarity join: shared/size counts), not just survival;
+    ``verify_fn`` is ignored in that mode (pass None)."""
     import numpy as _np
     import ray
 
@@ -490,6 +498,8 @@ def verify_edges_distributed(
         a = g[g["side"] == 1][["src", "dst", payload_col]]
         b = g[g["side"] == 0][["src", "dst", payload_col]]
         m = a.merge(b, on=["src", "dst"], suffixes=("_a", "_b"))
+        if emit_fn is not None:
+            return emit_fn(m)
         if m.empty:
             return _empty_edges()
         mask = verify_fn(
