@@ -2916,6 +2916,155 @@ def _q_bounce_rate(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_interval_join(sf_dir: str):
+    """Keyed interval OVERLAP join (stages/intervals.interval_join):
+    even-event intervals x odd-event intervals per user, strict-overlap
+    pairs with the overlap length — ONE union + ONE keyed exchange +
+    per-shard searchsorted-prefix explode (composite segment offsets,
+    no per-key loop). Exact int64."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.intervals import interval_join
+
+    _quiet()
+
+    def mk(parity: int, id_name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            ts = (
+                t.column("ts")
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            keep = (eid % 2) == parity
+            dur = (eid % 500 + 50) * 1_000_000
+            return pa.table(
+                {
+                    "user_id": t.column("user_id").to_numpy(
+                        zero_copy_only=False
+                    )[keep],
+                    "s": ts[keep],
+                    "e": (ts + dur)[keep],
+                    id_name: eid[keep],
+                }
+            )
+
+        return fn
+
+    def read():
+        return rd.read_parquet(
+            str(Path(sf_dir) / "events.parquet"),
+            columns=["event_id", "user_id", "ts"],
+        )
+
+    left = read().map_batches(mk(0, "left_eid"), batch_format="pyarrow")
+    right = read().map_batches(mk(1, "right_eid"), batch_format="pyarrow")
+    out = interval_join(
+        left,
+        right,
+        key_col="user_id",
+        start_col="s",
+        end_col="e",
+        left_id="left_eid",
+        right_id="right_eid",
+    ).to_pandas()
+    return out.sort_values(["user_id", "left_eid", "right_eid"]).reset_index(
+        drop=True
+    )
+
+
+def _q_user_concurrency(sf_dir: str):
+    """Per-user PEAK CONCURRENCY (stages/intervals.peak_concurrency):
+    sweep-line max of simultaneously-open event intervals — 2 delta rows
+    per interval through ONE keyed exchange, per-shard cumsum +
+    segmented max. Half-open semantics (the -1 sorts before the +1 at
+    equal ts), mirrored by the oracle's ORDER BY ts, delta."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.intervals import peak_concurrency
+
+    _quiet()
+
+    def mk(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ts = (
+            t.column("ts")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        dur = (eid % 900 + 100) * 1_000_000
+        return pa.table(
+            {"user_id": t.column("user_id"), "s": ts, "e": ts + dur}
+        )
+
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    ).map_batches(mk, batch_format="pyarrow")
+    out = peak_concurrency(
+        ev, key_col="user_id", start_col="s", end_col="e"
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_top_types_per_user(sf_dir: str):
+    """Top-2 event types per user by count (ties broken by type ASC):
+    map-side (user, type) partial counts + ONE hash(user) keyed exchange
+    whose merge sums counts and takes the per-user head — the
+    top-k-BY-AGGREGATE composition (counts never exist globally, only
+    per-shard). Exact int64."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                "user_id": t.column("user_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "event_type": t.column("event_type").to_pandas(),
+            }
+        )
+        g = pdf.groupby(["user_id", "event_type"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        m["n"] = m["n"].astype(np.int64)
+        m = m.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        m["rk"] = m.groupby("user_id").cumcount().astype(np.int64) + 1
+        return m[m["rk"] <= 2].reset_index(drop=True)
+
+    out = keyed_hash_agg(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        lambda b: b.column("user_id")
+        .to_numpy(zero_copy_only=False)
+        .view(np.uint64),
+        top2,
+        partitions=16,
+    ).to_pandas()
+    return out.sort_values(["user_id", "rk"]).reset_index(drop=True)
+
+
 def _q_simjoin_pairs(sf_dir: str):
     """Exact 3-shingle Jaccard similarity self-join at threshold 3/10
     (stages/simjoin.similarity_join): the prefix-filter AllPairs join —
@@ -4001,6 +4150,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_days": _q_active_days,
         "link_reciprocity": _q_link_reciprocity,
         "simjoin_pairs": _q_simjoin_pairs,
+        "interval_overlaps": _q_interval_join,
+        "user_concurrency": _q_user_concurrency,
+        "top_types_per_user": _q_top_types_per_user,
         "doc_pct_rank": _q_doc_pct_rank,
         "label_centroids": _q_label_centroids,
         "event_streaks": _q_event_streaks,
@@ -5447,6 +5599,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
                         AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS bounce_rate
             FROM sess GROUP BY user_id ORDER BY user_id
+        """,
+        "interval_overlaps": """
+            WITH iv AS (
+                SELECT user_id, event_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS s,
+                       CAST(epoch_us(ts) AS BIGINT)
+                         + (event_id % 500 + 50) * 1000000 AS e
+                FROM events
+            ),
+            l AS (SELECT * FROM iv WHERE event_id % 2 = 0),
+            r AS (SELECT * FROM iv WHERE event_id % 2 = 1)
+            SELECT l.user_id,
+                   l.event_id AS left_eid,
+                   r.event_id AS right_eid,
+                   LEAST(l.e, r.e) - GREATEST(l.s, r.s) AS overlap
+            FROM l JOIN r ON l.user_id = r.user_id
+            WHERE LEAST(l.e, r.e) - GREATEST(l.s, r.s) > 0
+            ORDER BY l.user_id, left_eid, right_eid
+        """,
+        "user_concurrency": """
+            WITH iv AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS s,
+                       CAST(epoch_us(ts) AS BIGINT)
+                         + (event_id % 900 + 100) * 1000000 AS e
+                FROM events
+            ),
+            d AS (
+                SELECT user_id, s AS ts, 1 AS delta FROM iv
+                UNION ALL
+                SELECT user_id, e AS ts, -1 AS delta FROM iv
+            ),
+            run AS (
+                SELECT user_id,
+                       SUM(delta) OVER (
+                           PARTITION BY user_id ORDER BY ts, delta
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS live
+                FROM d
+            ),
+            pk AS (
+                SELECT user_id, CAST(MAX(live) AS BIGINT) AS peak
+                FROM run GROUP BY user_id
+            ),
+            cnt AS (
+                SELECT user_id, COUNT(*) AS n_intervals FROM iv
+                GROUP BY user_id
+            )
+            SELECT pk.user_id, pk.peak, cnt.n_intervals
+            FROM pk JOIN cnt USING (user_id)
+            ORDER BY pk.user_id
+        """,
+        "top_types_per_user": """
+            WITH c AS (
+                SELECT user_id, event_type, COUNT(*) AS n
+                FROM events GROUP BY user_id, event_type
+            ),
+            rk AS (
+                SELECT user_id, event_type, n,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY n DESC, event_type
+                       ) AS BIGINT) AS rk
+                FROM c
+            )
+            SELECT user_id, event_type, n, rk
+            FROM rk WHERE rk <= 2
+            ORDER BY user_id, rk
         """,
         "simjoin_pairs": r"""
             WITH t AS (

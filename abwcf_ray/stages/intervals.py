@@ -101,3 +101,210 @@ def interval_coverage(
         return out
 
     return keyed_hash_agg(ds, key_of, scan, partitions=partitions)
+
+
+def interval_join(
+    left_ds,
+    right_ds,
+    *,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    left_id: str,
+    right_id: str,
+    partitions: int = 64,
+):
+    """Keyed interval OVERLAP join: all (left, right) pairs of the same
+    key whose closed intervals strictly overlap (min(end) - max(start)
+    > 0 — touching endpoints do NOT match), with the overlap length.
+    The ad-tech / telemetry workhorse (impressions x sessions, crawl
+    windows x outage windows).
+
+    Distributed shape: both sides tagged and hash(key)-partitioned in
+    ONE union + ONE keyed exchange (the equi_join bucketed idiom), then
+    a per-shard vectorized enumerate: lefts sorted by start, for each
+    right a searchsorted prefix (start < right_end) is exploded and
+    filtered by end > right_start. The explode is bounded by the true
+    join multiplicity plus the lefts that START before but END before
+    the right starts — fine for bounded per-key interval counts (the
+    session/calendar shape); a dense single-key pathology would want a
+    plane-sweep instead (documented trade, same contract as the
+    winfun PARTITION BY bound).
+
+    Returns (key_col, left_id, right_id, overlap:int64).
+    """
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    def tag(side: int, id_col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    key_col: b.column(key_col).cast(pa.int64()),
+                    "s": b.column(start_col).cast(pa.int64()),
+                    "e": b.column(end_col).cast(pa.int64()),
+                    "rid": b.column(id_col).cast(pa.int64()),
+                    "side": pa.array(
+                        np.full(b.num_rows, side, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return fn
+
+    both = left_ds.map_batches(tag(0, left_id), batch_format="pyarrow").union(
+        right_ds.map_batches(tag(1, right_id), batch_format="pyarrow")
+    )
+
+    def key_of(b: pa.Table) -> np.ndarray:
+        return (
+            b.column(key_col).to_numpy(zero_copy_only=False).view(np.uint64)
+            * _GOLD
+        )
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series([], dtype=np.int64),
+                left_id: pd.Series([], dtype=np.int64),
+                right_id: pd.Series([], dtype=np.int64),
+                "overlap": pd.Series([], dtype=np.int64),
+            }
+        )
+        L = g[g["side"] == 0]
+        R = g[g["side"] == 1]
+        if L.empty or R.empty:
+            return empty
+        # lefts sorted by (key, start); per-key segments via composite
+        # offset so ONE searchsorted answers every right's prefix
+        L = L.sort_values([key_col, "s"], kind="mergesort")
+        lk = L[key_col].to_numpy(np.int64)
+        ls = L["s"].to_numpy(np.int64)
+        le = L["e"].to_numpy(np.int64)
+        lid = L["rid"].to_numpy(np.int64)
+        rk = R[key_col].to_numpy(np.int64)
+        rs = R["s"].to_numpy(np.int64)
+        re_ = R["e"].to_numpy(np.int64)
+        rid_ = R["rid"].to_numpy(np.int64)
+        # dense key codes shared by both sides (lefts already key-sorted)
+        uk, lcode = np.unique(lk, return_inverse=True)
+        rpos = np.searchsorted(uk, rk)
+        rhas = (rpos < len(uk)) & (uk[np.minimum(rpos, len(uk) - 1)] == rk)
+        lo_all = int(min(ls.min(), rs.min()))
+        hi_all = int(max(le.max(), re_.max()))
+        big = np.int64(hi_all - lo_all + 2)
+        lcomp = lcode.astype(np.int64) * big + (ls - lo_all)
+        # rights with keys absent from the left side match nothing
+        rpos, rs, re_, rid_, rk = (
+            rpos[rhas], rs[rhas], re_[rhas], rid_[rhas], rk[rhas],
+        )
+        if len(rs) == 0:
+            return empty
+        # prefix bound: lefts of the same key with start < right_end
+        # (strict: a left starting AT right_end cannot overlap > 0)
+        rcomp_hi = rpos.astype(np.int64) * big + np.minimum(
+            re_ - lo_all, big - 1
+        )
+        hi = np.searchsorted(lcomp, rcomp_hi, "left")
+        lo = np.searchsorted(lcomp, rpos.astype(np.int64) * big, "left")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        seg = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+        within = np.arange(total, dtype=np.int64) - np.repeat(seg, cnt)
+        li = np.repeat(lo, cnt) + within
+        ri = np.repeat(np.arange(len(rs), dtype=np.int64), cnt)
+        ov = np.minimum(le[li], re_[ri]) - np.maximum(ls[li], rs[ri])
+        keep = ov > 0
+        return pd.DataFrame(
+            {
+                key_col: rk[ri][keep],
+                left_id: lid[li][keep],
+                right_id: rid_[ri][keep],
+                "overlap": ov[keep].astype(np.int64),
+            }
+        )
+
+    return keyed_hash_agg(both, key_of, join, partitions=partitions)
+
+
+def peak_concurrency(
+    ds,
+    *,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    partitions: int = 16,
+):
+    """Per-key PEAK CONCURRENCY — the sweep-line maximum of
+    simultaneously-open intervals (max concurrent sessions per host,
+    peak in-flight fetches): every interval contributes (+1 at start,
+    -1 at end), the running sum over (ts, delta) order is the live
+    count, its max is the peak. Half-open [s, e) semantics: the -1
+    sorts BEFORE the +1 at an equal timestamp (delta ascending), so an
+    interval ending exactly when another starts does not overlap it —
+    the same rule the SQL oracle writes as ORDER BY ts, delta.
+
+    ONE hash(key) exchange of 2 rows per interval, per-shard vectorized
+    cumsum + segmented max. Returns (key_col, peak:int64,
+    n_intervals:int64).
+    """
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    def deltas(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b.column(start_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        e = b.column(end_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                key_col: np.concatenate([k, k]),
+                "ts": np.concatenate([s, e]),
+                "delta": np.concatenate(
+                    [np.ones(len(k), np.int64), -np.ones(len(k), np.int64)]
+                ),
+            }
+        )
+
+    def key_of(b: pa.Table) -> np.ndarray:
+        return (
+            b.column(key_col).to_numpy(zero_copy_only=False).view(np.uint64)
+            * _GOLD
+        )
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=np.int64),
+                    "peak": pd.Series([], dtype=np.int64),
+                    "n_intervals": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g.sort_values([key_col, "ts", "delta"], kind="mergesort")
+        keys = g[key_col].to_numpy(np.int64)
+        d = g["delta"].to_numpy(np.int64)
+        run = np.cumsum(d)
+        new = np.empty(len(g), bool)
+        new[0] = True
+        new[1:] = keys[1:] != keys[:-1]
+        start_idx = np.flatnonzero(new)
+        gid = np.cumsum(new) - 1
+        base = np.where(start_idx > 0, run[start_idx - 1], 0)
+        live = run - base[gid]
+        peak = np.zeros(len(start_idx), np.int64)
+        np.maximum.at(peak, gid, live)
+        n_iv = np.bincount(gid, weights=(d > 0)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                key_col: keys[start_idx],
+                "peak": peak,
+                "n_intervals": n_iv,
+            }
+        )
+
+    return keyed_hash_agg(
+        ds.map_batches(deltas, batch_format="pyarrow"),
+        key_of,
+        sweep,
+        partitions=partitions,
+    )
