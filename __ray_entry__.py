@@ -2916,6 +2916,281 @@ def _q_bounce_rate(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_last_touch(sf_dir: str):
+    """Last-touch attribution (stages/winfun.last_match_before): for
+    every purchase, the id of the user's latest PRIOR view/click — one
+    keyed exchange, per-shard running-max of source positions with the
+    segment-base validity test (no per-row loop). The oracle is the
+    MAX(CASE...) OVER (... 1 PRECEDING) position window joined back to
+    ids."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.winfun import last_match_before
+
+    _quiet()
+
+    def mk(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "is_src": pc.cast(
+                    pc.or_(
+                        pc.equal(et, pa.scalar("view")),
+                        pc.equal(et, pa.scalar("click")),
+                    ),
+                    pa.int64(),
+                ),
+                "is_tgt": pc.cast(
+                    pc.equal(et, pa.scalar("purchase")), pa.int64()
+                ),
+            }
+        )
+
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    ).map_batches(mk, batch_format="pyarrow")
+    out = last_match_before(
+        ev,
+        key_col="user_id",
+        order_cols=["ts_us", "event_id"],
+        source_col="is_src",
+        target_col="is_tgt",
+        id_col="event_id",
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_canonical_docs(sf_dir: str):
+    """Canonical-document selection per exact-duplicate cluster: the
+    dedup POLICY op — cluster = min doc_id over identical text, the
+    keeper is the (n_chars DESC, doc_id ASC) argmax; one hash(text)
+    keyed exchange (the exact_dedup shape) whose merge picks both in
+    one vectorized sort."""
+    from abwcf_ray.functions.hashing import hash64
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    _quiet()
+    docs = _docs(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["text", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        a = g.groupby("text", sort=False).agg(
+            canonical_id=("doc_id", "first"),
+            cluster=("doc_id", "min"),
+            n_members=("doc_id", "size"),
+        )
+        a = a.reset_index(drop=True)[["cluster", "canonical_id", "n_members"]]
+        for c in a.columns:
+            a[c] = a[c].astype(np.int64)
+        return a
+
+    out = keyed_hash_agg(
+        docs,
+        lambda b: hash64(b.column("text")),
+        pick,
+        partitions=32,
+    ).to_pandas()
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
+def _q_journey_counts(sf_dir: str):
+    """Entry-journey distribution: each user's FIRST-5 event-type path
+    (ordered by event_id), counted per distinct journey — per-shard
+    vectorized head-5 + segmented string join (users land whole via one
+    hash(user) exchange), then one tiny hash(journey) count merge;
+    nothing user-sized on the driver."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+    from abwcf_ray.functions.hashing import hash64
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["user_id", "event_id", "event_type"],
+    )
+
+    def journeys(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "journey": pd.Series([], dtype=object),
+                    "n_users": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g.sort_values(["user_id", "event_id"], kind="mergesort")
+        rk = g.groupby("user_id").cumcount()
+        g = g[rk < 5]
+        p = g.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        out = p.value_counts().rename_axis("journey").reset_index(name="n_users")
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    parts = keyed_hash_agg(
+        ev,
+        lambda b: b.column("user_id")
+        .to_numpy(zero_copy_only=False)
+        .view(np.uint64),
+        journeys,
+        partitions=16,
+    )
+    out = keyed_hash_agg(
+        parts,
+        lambda b: hash64(b.column("journey")),
+        lambda g: g.groupby("journey", as_index=False)["n_users"]
+        .sum()
+        .astype({"n_users": np.int64}),
+        partitions=8,
+    ).to_pandas()
+    return out.sort_values("journey").reset_index(drop=True)
+
+
+def _q_label_scatter(sf_dir: str):
+    """Per-label within-cluster scatter (stages/similarity.label_scatter):
+    trace of the biased covariance in EXACT fixed-point — quantized
+    first/second moments per (label, dim), one keyed exchange, trace
+    numerator exact int64, scatter one IEEE division. The
+    label_centroids dyadic discipline extended to second moments."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.similarity import label_scatter
+
+    _quiet()
+    emb = rd.read_parquet(str(Path(sf_dir) / "embeddings.parquet"))
+    out = label_scatter(emb, vec_col="embedding", label_col="label").to_pandas()
+    return out.sort_values("label").reset_index(drop=True)
+
+
+def _q_user_gini(sf_dir: str):
+    """Per-user event-type Gini impurity: 1 - sum(p^2) computed as the
+    exact integer (n^2 - sum(c^2)) / n^2 — ONE IEEE division of two
+    exact int64s (the entropy-style diversity score made hash-safe).
+    Map-side (user, type) counts + one keyed exchange."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                "user_id": t.column("user_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "event_type": t.column("event_type").to_pandas(),
+            }
+        )
+        g = pdf.groupby(["user_id", "event_type"], as_index=False).size()
+        g = g.rename(columns={"size": "c"})
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["user_id", "event_type"], as_index=False)["c"].sum()
+        c = m["c"].to_numpy(np.int64)
+        m["csq"] = c * c
+        out = m.groupby("user_id", as_index=False).agg(
+            n=("c", "sum"), ssq=("csq", "sum")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        out["ssq"] = out["ssq"].astype(np.int64)
+        n = out["n"].to_numpy(np.int64)
+        out["gini"] = (n * n - out["ssq"].to_numpy(np.int64)).astype(
+            np.float64
+        ) / (n * n).astype(np.float64)
+        return out
+
+    out = keyed_hash_agg(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        lambda b: b.column("user_id")
+        .to_numpy(zero_copy_only=False)
+        .view(np.uint64),
+        finish,
+        partitions=16,
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_activity_spikes(sf_dir: str):
+    """Day-over-day activity spikes: users' daily event counts that at
+    least DOUBLED vs their previous ACTIVE day — daily counts via one
+    keyed aggregate, LAG via the stages/winfun keyed window exchange,
+    integer compare (no floats). The change-detection composition."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+    from abwcf_ray.stages.winfun import keyed_window_functions
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"), columns=["user_id", "ts"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pc.divide(
+                    t.column("ts").cast(pa.int64()),
+                    pa.scalar(86_400_000_000, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                "user_id": t.column("user_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "day": t.column("day")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = pdf.groupby(["user_id", "day"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = keyed_hash_agg(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        lambda b: b.column("user_id")
+        .to_numpy(zero_copy_only=False)
+        .view(np.uint64),
+        lambda g: g.groupby(["user_id", "day"], as_index=False)["n"]
+        .sum()
+        .astype({"n": np.int64}),
+        partitions=16,
+    )
+    w = keyed_window_functions(
+        daily,
+        key_col="user_id",
+        order_cols=["day"],
+        lag_col="n",
+        lag_sentinel=-1,
+    ).to_pandas()
+    w = w.rename(columns={"lag_prev": "n_prev"})
+    out = w[(w["n_prev"] > 0) & (w["n"] >= 2 * w["n_prev"])]
+    out = out[["user_id", "day", "n", "n_prev"]].astype(
+        {c: np.int64 for c in ["user_id", "day", "n", "n_prev"]}
+    )
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
 def _q_interval_join(sf_dir: str):
     """Keyed interval OVERLAP join (stages/intervals.interval_join):
     even-event intervals x odd-event intervals per user, strict-overlap
@@ -4153,6 +4428,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_overlaps": _q_interval_join,
         "user_concurrency": _q_user_concurrency,
         "top_types_per_user": _q_top_types_per_user,
+        "label_scatter": _q_label_scatter,
+        "user_gini": _q_user_gini,
+        "activity_spikes": _q_activity_spikes,
+        "last_touch": _q_last_touch,
+        "canonical_docs": _q_canonical_docs,
+        "journey_counts": _q_journey_counts,
         "doc_pct_rank": _q_doc_pct_rank,
         "label_centroids": _q_label_centroids,
         "event_streaks": _q_event_streaks,
@@ -5599,6 +5880,127 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
                         AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS bounce_rate
             FROM sess GROUP BY user_id ORDER BY user_id
+        """,
+        "last_touch": """
+            WITH e AS (
+                SELECT event_id, user_id, event_type,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                FROM events
+            ),
+            o AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id
+                ) AS pos
+                FROM e
+            ),
+            w AS (
+                SELECT event_id, event_type, user_id, pos,
+                       MAX(CASE WHEN event_type IN ('view', 'click')
+                                THEN pos END) OVER (
+                           PARTITION BY user_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING
+                       ) AS src_pos
+                FROM o
+            )
+            SELECT w.event_id,
+                   CAST(COALESCE(s.event_id, -1) AS BIGINT) AS attr_id
+            FROM w LEFT JOIN o s
+                 ON s.user_id = w.user_id AND s.pos = w.src_pos
+            WHERE w.event_type = 'purchase'
+            ORDER BY w.event_id
+        """,
+        "canonical_docs": """
+            WITH g AS (
+                SELECT text, MIN(doc_id) AS cluster, COUNT(*) AS n_members
+                FROM documents GROUP BY text
+            ),
+            r AS (
+                SELECT text, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY text ORDER BY n_chars DESC, doc_id
+                       ) AS rk
+                FROM documents
+            )
+            SELECT CAST(g.cluster AS BIGINT) AS cluster,
+                   CAST(r.doc_id AS BIGINT) AS canonical_id,
+                   CAST(g.n_members AS BIGINT) AS n_members
+            FROM g JOIN r ON r.text = g.text AND r.rk = 1
+            ORDER BY cluster
+        """,
+        "journey_counts": """
+            WITH r AS (
+                SELECT user_id, event_type, event_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                       ) AS rk
+                FROM events
+            ),
+            p AS (
+                SELECT user_id,
+                       string_agg(event_type, '>' ORDER BY event_id)
+                           AS journey
+                FROM r WHERE rk <= 5 GROUP BY user_id
+            )
+            SELECT journey, COUNT(*) AS n_users
+            FROM p GROUP BY journey ORDER BY journey
+        """,
+        "label_scatter": """
+            WITH x AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                           AS dim,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                  * 65536.0) AS BIGINT) AS q
+                FROM embeddings
+            ),
+            pd AS (
+                SELECT label, dim, COUNT(*) AS n,
+                       CAST(SUM(q) AS BIGINT) AS s1,
+                       CAST(SUM(q*q) AS BIGINT) AS s2
+                FROM x GROUP BY label, dim
+            ),
+            t AS (
+                SELECT label, CAST(MAX(n) AS BIGINT) AS n,
+                       CAST(SUM(n*s2 - s1*s1) AS BIGINT) AS trace_num
+                FROM pd GROUP BY label
+            )
+            SELECT label, n, trace_num,
+                   CAST(trace_num AS DOUBLE) / CAST(n*n AS DOUBLE) AS scatter
+            FROM t ORDER BY label
+        """,
+        "user_gini": """
+            WITH c AS (
+                SELECT user_id, event_type, COUNT(*) AS c
+                FROM events GROUP BY user_id, event_type
+            ),
+            a AS (
+                SELECT user_id,
+                       CAST(SUM(c) AS BIGINT) AS n,
+                       CAST(SUM(c*c) AS BIGINT) AS ssq
+                FROM c GROUP BY user_id
+            )
+            SELECT user_id, n, ssq,
+                   CAST(n*n - ssq AS DOUBLE) / CAST(n*n AS DOUBLE) AS gini
+            FROM a ORDER BY user_id
+        """,
+        "activity_spikes": """
+            WITH d AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY user_id, day
+            ),
+            w AS (
+                SELECT user_id, day, CAST(n AS BIGINT) AS n,
+                       CAST(COALESCE(LAG(n) OVER (
+                           PARTITION BY user_id ORDER BY day
+                       ), -1) AS BIGINT) AS n_prev
+                FROM d
+            )
+            SELECT user_id, day, n, n_prev
+            FROM w WHERE n_prev > 0 AND n >= 2 * n_prev
+            ORDER BY user_id, day
         """,
         "interval_overlaps": """
             WITH iv AS (

@@ -314,3 +314,83 @@ def label_centroids(
         merge,
         partitions=merge_partitions,
     )
+
+
+def label_scatter(
+    ds,
+    *,
+    vec_col: str,
+    label_col: str,
+    scale_bits: int = 16,
+    merge_partitions: int = 8,
+):
+    """Per-label WITHIN-CLUSTER SCATTER in exact fixed-point — the
+    cluster-quality / k-means-objective reduce: for quantized components
+    q = floor(x * 2^scale_bits) the trace of the (biased) covariance is
+
+        trace_num / n^2,   trace_num = sum_d (n * S2_d - S1_d^2)
+
+    with S1/S2 the per-dim first/second quantized moments — all exact
+    int64 (bound: n * sum(q^2) per dim and the 64-dim trace sum must
+    stay under 2^63; at scale_bits=16 and |x| <= 1 that holds to
+    ~10^6 rows per label). One keyed exchange of labels x dim partial
+    rows (never rows x dim); ``scatter`` is ONE IEEE division of two
+    exact int64s, so the SQL mirror hash-matches (the label_centroids
+    dyadic-quantize discipline extended to second moments).
+
+    Returns (label, n:int64, trace_num:int64, scatter:float64).
+    """
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    mul = np.float64(np.int64(1) << np.int64(scale_bits))
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = _batch_vectors(t, vec_col, dtype=np.float64)
+        q = np.floor(X * mul).astype(np.int64)
+        lab = t.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, uniq = pd.factorize(lab, use_na_sentinel=False)
+        d = q.shape[1] if q.ndim == 2 else 0
+        s1 = np.zeros((len(uniq), d), np.int64)
+        s2 = np.zeros((len(uniq), d), np.int64)
+        np.add.at(s1, codes, q)
+        np.add.at(s2, codes, q * q)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(
+                    np.tile(np.arange(d, dtype=np.int64), len(uniq)), pa.int64()
+                ),
+                "n": pa.array(np.repeat(cnt, d), pa.int64()),
+                "s1": pa.array(s1.ravel(), pa.int64()),
+                "s2": pa.array(s2.ravel(), pa.int64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["label", "dim"], as_index=False, sort=False).agg(
+            n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum")
+        )
+        n = m["n"].to_numpy(np.int64)
+        s1 = m["s1"].to_numpy(np.int64)
+        s2 = m["s2"].to_numpy(np.int64)
+        m["dimnum"] = n * s2 - s1 * s1
+        out = m.groupby("label", as_index=False, sort=False).agg(
+            n=("n", "max"), trace_num=("dimnum", "sum")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        out["trace_num"] = out["trace_num"].astype(np.int64)
+        nn = out["n"].to_numpy(np.int64)
+        out["scatter"] = out["trace_num"].to_numpy(np.int64).astype(
+            np.float64
+        ) / (nn * nn).astype(np.float64)
+        return out
+
+    return keyed_hash_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        lambda b: b.column("label")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64),
+        merge,
+        partitions=merge_partitions,
+    )

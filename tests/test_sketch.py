@@ -374,3 +374,47 @@ def test_group_iqr_outliers_bruteforce(ray_session):
             np.testing.assert_array_equal(
                 out[c].to_numpy(), ref[c].to_numpy()
             )
+
+
+def test_label_scatter_matches_quantized_numpy(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.similarity import label_scatter
+
+    rng = np.random.default_rng(79)
+    n, d = 200, 8
+    X = rng.normal(scale=0.3, size=(n, d))
+    lab = rng.integers(0, 4, n).astype(np.int64)
+    tbl = pa.table(
+        {
+            "label": pa.array(lab),
+            "embedding": pa.array(list(X), pa.list_(pa.float64())),
+        }
+    )
+    q = np.floor(X * 65536.0).astype(np.int64)
+    ref = {}
+    for g in np.unique(lab):
+        sub = q[lab == g]
+        m = len(sub)
+        s1 = sub.sum(axis=0)
+        s2 = (sub * sub).sum(axis=0)
+        tr = int((m * s2 - s1 * s1).sum())
+        ref[int(g)] = (m, tr, tr / float(m * m))
+
+    for blocks in (1, 5):
+        out = (
+            label_scatter(
+                rd.from_arrow(tbl).repartition(blocks),
+                vec_col="embedding",
+                label_col="label",
+                merge_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("label")
+            .reset_index(drop=True)
+        )
+        for row in out.itertuples():
+            m, tr, sc = ref[int(row.label)]
+            assert (row.n, row.trace_num) == (m, tr)
+            assert row.scatter == sc

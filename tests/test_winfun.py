@@ -394,3 +394,49 @@ def test_range_frame_agg_bruteforce_with_ties(ray_session):
         )
         assert out["n_frame"].tolist() == [ref_n[r] for r in out["rid"]]
         assert out["w_frame"].tolist() == [ref_w[r] for r in out["rid"]]
+
+
+def test_last_match_before_bruteforce(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.winfun import last_match_before
+
+    rng = np.random.default_rng(83)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 20, n).astype(np.int64),
+            "ts": rng.integers(0, 100, n).astype(np.int64),
+            "rid": np.arange(n, dtype=np.int64),
+            "is_src": (rng.random(n) < 0.4).astype(np.int64),
+            "is_tgt": (rng.random(n) < 0.3).astype(np.int64),
+        }
+    )
+    ref = {}
+    for _, sub in df.groupby("u"):
+        sub = sub.sort_values(["ts", "rid"])
+        last_src = -1
+        for row in sub.itertuples():
+            if row.is_tgt:
+                ref[row.rid] = last_src
+            if row.is_src:
+                last_src = row.rid
+    for blocks in (1, 7):
+        out = (
+            last_match_before(
+                rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+                .repartition(blocks),
+                key_col="u",
+                order_cols=["ts", "rid"],
+                source_col="is_src",
+                target_col="is_tgt",
+                id_col="rid",
+                partitions=4,
+            )
+            .to_pandas()
+            .sort_values("rid")
+            .reset_index(drop=True)
+        )
+        assert len(out) == len(ref)
+        assert out["attr_id"].tolist() == [ref[r] for r in out["rid"]]
