@@ -1633,6 +1633,62 @@ def _q_asof_join(sf_dir: str):
     return _asof_impl(sf_dir, None)
 
 
+def _q_asof_join_forward(sf_dir: str):
+    """FORWARD as-of join — every purchase joined to the user's EARLIEST
+    later-or-equal click ("time to next touchpoint"): the backward
+    stage run on NEGATED microsecond timestamps (order reversal maps
+    l.ts <= r.ts onto the backward l.ts >= r.ts including equality), so
+    the whole asof machinery — partitioning, carry-ins, merge kernel —
+    is reused unchanged. Oracle: DuckDB ASOF LEFT JOIN with <=."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.asof import asof_join
+
+    _quiet()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value", "event_type"],
+    )
+
+    def neg(cols):
+        def fn(b: pa.Table) -> pa.Table:
+            data = {c: b.column(c) for c in cols}
+            data["nts"] = pc.multiply(
+                b.column("ts").cast(pa.int64()), pa.scalar(-1, pa.int64())
+            )
+            return pa.table(data)
+
+        return fn
+
+    left = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "purchase")),
+        batch_format="pyarrow",
+    ).map_batches(neg(["event_id", "user_id"]), batch_format="pyarrow")
+    right = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "click")),
+        batch_format="pyarrow",
+    ).map_batches(neg(["event_id", "user_id", "value"]), batch_format="pyarrow")
+    out = asof_join(
+        left,
+        right,
+        key_col="user_id",
+        ts_col="nts",
+        left_cols=["event_id", "user_id", "nts"],
+        payload_cols=["event_id", "value"],
+    ).to_pandas()
+    df = pd.DataFrame(
+        {
+            "user_id": out["_key"].astype("int64"),
+            "ts_us": -out["_ts"].astype("int64"),
+            "event_id": out["event_id"].astype("int64"),
+            "click_id": out["event_id_r"].fillna(-1).astype("int64"),
+            "click_value": out["value_r"].fillna(-1.0).astype("float64"),
+            "matched": out["matched"].astype("int64"),
+        }
+    )
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_asof_join_bucketed(sf_dir: str):
     """The same join forced onto the SKEW-SAFE two-stage path (hash(key,
     day-bucket) partitioning + latest-right carry-in summaries) — the hot
@@ -2914,6 +2970,39 @@ def _q_bounce_rate(sf_dir: str):
         np.float64
     ) / out["n_sessions"].to_numpy(np.int64).astype(np.float64)
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_event_trigrams(sf_dir: str):
+    """Consecutive 3-step journey counts
+    (stages/transitions.ngram_path_counts): the bigram Markov machinery
+    generalized to base-K window codes — one hash(user) exchange,
+    per-shard bincount, K^3-bounded partials. Oracle: double LEAD."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.transitions import ngram_path_counts
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return ngram_path_counts(
+        ev,
+        user_col="user_id",
+        order_cols=["ts_us", "event_id"],
+        type_col="event_type",
+        n=3,
+    )
 
 
 def _q_last_touch(sf_dir: str):
@@ -4367,6 +4456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": _q_gopher_rules,
         "asof_join": _q_asof_join,
         "asof_join_bucketed": _q_asof_join_bucketed,
+        "asof_join_forward": _q_asof_join_forward,
         "heavy_hitters": _q_heavy_hitters,
         "distinct_words": _q_distinct_words,
         "compression_signal": _q_compression_signal,
@@ -4434,6 +4524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_touch": _q_last_touch,
         "canonical_docs": _q_canonical_docs,
         "journey_counts": _q_journey_counts,
+        "event_trigrams": _q_event_trigrams,
         "doc_pct_rank": _q_doc_pct_rank,
         "label_centroids": _q_label_centroids,
         "event_streaks": _q_event_streaks,
@@ -5442,6 +5533,24 @@ def oracle_sql() -> dict[str, str]:
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
+        "asof_join_forward": """
+            WITH l AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ),
+            r AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT l.user_id,
+                   epoch_us(l.ts) AS ts_us,
+                   l.event_id,
+                   COALESCE(r.event_id, -1) AS click_id,
+                   COALESCE(r.value, -1.0) AS click_value,
+                   CAST(r.event_id IS NOT NULL AS BIGINT) AS matched
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts <= r.ts
+        """,
         "asof_join_bucketed": """
             WITH l AS (
                 SELECT event_id, user_id, ts FROM events
@@ -5880,6 +5989,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
                         AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS bounce_rate
             FROM sess GROUP BY user_id ORDER BY user_id
+        """,
+        "event_trigrams": """
+            WITH o AS (
+                SELECT user_id, event_type AS t1,
+                       LEAD(event_type, 1) OVER w AS t2,
+                       LEAD(event_type, 2) OVER w AS t3
+                FROM events
+                WINDOW w AS (
+                    PARTITION BY user_id
+                    ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id
+                )
+            )
+            SELECT t1, t2, t3, COUNT(*) AS cnt
+            FROM o WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+            GROUP BY t1, t2, t3
+            ORDER BY t1, t2, t3
         """,
         "last_touch": """
             WITH e AS (

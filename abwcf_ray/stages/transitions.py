@@ -239,3 +239,74 @@ def distinct_value_islands(
         return per
 
     return keyed_hash_agg(ds, key_of, scan, partitions=partitions)
+
+
+def ngram_path_counts(
+    ds,
+    *,
+    user_col: str,
+    order_cols: list[str],
+    type_col: str,
+    n: int = 3,
+    partitions: int = 64,
+):
+    """Consecutive n-step path counts — the transition_matrix bigram
+    generalized to length-``n`` windows (trigram user journeys, the
+    PrefixSpan depth-n slice for CONSECUTIVE patterns). Same distributed
+    shape: ONE hash(user) exchange, per-shard mergesort + factorize +
+    one bincount over base-K window codes (all n-1 user-equality masks
+    ANDed); each shard emits at most K^n partial rows (guarded), so the
+    merge is vocabulary-bounded, never event-bounded.
+
+    Returns (t1..tn, cnt:int64) rows, globally merged and sorted.
+    """
+
+    def key_of(b: pa.Table) -> np.ndarray:
+        return (
+            b.column(user_col).to_numpy(zero_copy_only=False).view(np.uint64)
+            * _GOLD
+        )
+
+    cols = [f"t{i + 1}" for i in range(n)]
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {**{c: pd.Series([], dtype=object) for c in cols},
+             "cnt": pd.Series([], dtype=np.int64)}
+        )
+        if len(g) < n:
+            return empty
+        g = g.sort_values([user_col, *order_cols], kind="mergesort")
+        users = g[user_col].to_numpy()
+        types, codes = np.unique(g[type_col].to_numpy(), return_inverse=True)
+        k = len(types)
+        if k ** n > 16_000_000:
+            raise ValueError(f"type vocabulary too large for n={n}: K={k}")
+        m = len(g) - n + 1
+        same = np.ones(m, bool)
+        for j in range(1, n):
+            same &= users[j : j + m] == users[:m]
+        if not same.any():
+            return empty
+        win = np.zeros(m, np.int64)
+        for j in range(n):
+            win = win * k + codes[j : j + m]
+        counts = np.bincount(win[same], minlength=k ** n).astype(np.int64)
+        nz = np.flatnonzero(counts)
+        out = {}
+        rem = nz.copy()
+        for j in range(n - 1, -1, -1):
+            out[cols[j]] = types[rem % k]
+            rem = rem // k
+        out["cnt"] = counts[nz]
+        return pd.DataFrame(out)[cols + ["cnt"]]
+
+    parts = keyed_hash_agg(ds, key_of, scan, partitions=partitions).to_pandas()
+    m = (
+        parts.groupby(cols, as_index=False)["cnt"]
+        .sum()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    m["cnt"] = m["cnt"].astype(np.int64)
+    return m

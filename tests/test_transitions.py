@@ -167,3 +167,42 @@ def test_distinct_value_islands_bruteforce(ray_session):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(out, ref)
+
+
+def test_ngram_path_counts_bruteforce(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.transitions import ngram_path_counts
+
+    rng = np.random.default_rng(89)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 12, n).astype(np.int64),
+            "ts": rng.integers(0, 80, n).astype(np.int64),
+            "rid": np.arange(n, dtype=np.int64),
+            "t": rng.choice(["a", "b", "c"], n),
+        }
+    )
+    ref = {}
+    for _, sub in df.groupby("u"):
+        ts = sub.sort_values(["ts", "rid"])["t"].tolist()
+        for i in range(len(ts) - 2):
+            k = (ts[i], ts[i + 1], ts[i + 2])
+            ref[k] = ref.get(k, 0) + 1
+
+    for blocks in (1, 6):
+        out = ngram_path_counts(
+            rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+            .repartition(blocks),
+            user_col="u",
+            order_cols=["ts", "rid"],
+            type_col="t",
+            n=3,
+            partitions=4,
+        )
+        got = {
+            (r.t1, r.t2, r.t3): r.cnt for r in out.itertuples()
+        }
+        assert got == ref
