@@ -2972,6 +2972,20 @@ def _q_bounce_rate(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_node_clustering(sf_dir: str):
+    """Per-node local clustering coefficient
+    (stages/graph.node_clustering): the triangle machinery with
+    apex-carrying wedges so each closed wedge credits all three nodes;
+    degrees merged in one final node-keyed exchange; coefficient is ONE
+    IEEE division of exact int64s (0.0 below degree 2)."""
+    from abwcf_ray.stages.graph import node_clustering
+
+    _quiet()
+    edges, _ = _graph_edges(sf_dir)
+    out = node_clustering(edges).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def _q_event_trigrams(sf_dir: str):
     """Consecutive 3-step journey counts
     (stages/transitions.ngram_path_counts): the bigram Markov machinery
@@ -4525,6 +4539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_docs": _q_canonical_docs,
         "journey_counts": _q_journey_counts,
         "event_trigrams": _q_event_trigrams,
+        "node_clustering": _q_node_clustering,
         "doc_pct_rank": _q_doc_pct_rank,
         "label_centroids": _q_label_centroids,
         "event_streaks": _q_event_streaks,
@@ -5989,6 +6004,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
                         AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS bounce_rate
             FROM sess GROUP BY user_id ORDER BY user_id
+        """,
+        "node_clustering": f"""
+            WITH edges AS ({_GRAPH_EDGES_SQL}),
+            und AS (
+                SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+                FROM edges
+            ),
+            tri AS (
+                SELECT a.lo AS x, a.hi AS y, b.hi AS z
+                FROM und a
+                JOIN und b ON b.lo = a.hi
+                JOIN und c ON c.lo = a.lo AND c.hi = b.hi
+            ),
+            tn AS (
+                SELECT node, COUNT(*) AS n_tri FROM (
+                    SELECT x AS node FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri
+                ) GROUP BY node
+            ),
+            dg AS (
+                SELECT node, COUNT(*) AS deg FROM (
+                    SELECT lo AS node FROM und
+                    UNION ALL SELECT hi FROM und
+                ) GROUP BY node
+            )
+            SELECT dg.node,
+                   CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_tri,
+                   CAST(dg.deg AS BIGINT) AS deg,
+                   CASE WHEN dg.deg >= 2
+                        THEN CAST(2 * COALESCE(tn.n_tri, 0) AS DOUBLE)
+                             / CAST(dg.deg * (dg.deg - 1) AS DOUBLE)
+                        ELSE 0.0 END AS clustering
+            FROM dg LEFT JOIN tn USING (node)
+            ORDER BY dg.node
         """,
         "event_trigrams": """
             WITH o AS (

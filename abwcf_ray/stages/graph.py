@@ -577,55 +577,20 @@ def make_host_rank_priority(host_rank_df, *, default_rank: int = 0):
     return priority_fn
 
 
-def triangle_count(
-    edges,
-    *,
-    partitions: int = 64,
-) -> int:
-    """Exact triangle count of the UNDIRECTED simple graph induced by an
-    (src, dst) edge Dataset (self-loops dropped, duplicate/reciprocal
-    edges collapsed).
-
-    The classic degree-oriented wedge-check (node-iterator++ / the
-    MapReduce shape of Suri & Vassilvitskii 2011), expressed as three
-    keyed exchanges — never an all-pairs anything:
-
-    1. *canonicalize*: per-batch (lo, hi) dedupe (combiner), then a
-       hash(lo, hi)-keyed exchange settles GLOBAL distinct edges (each
-       pair lives in exactly one partition — the pair-hash idiom from
-       stages/distinct.py).
-    2. *orient by degree*: undirected degrees via one keyed merge
-       (exchange O(nodes)); each edge is oriented low-(deg, id) ->
-       high-(deg, id), attached with two equi_joins (broadcast regime
-       under the join's row bound, bucketed big-big above — stages/
-       join.py picks per input). Degree orientation caps every node's
-       OUT-degree at O(sqrt(m)), so the wedge explode below is bounded
-       even on power-law graphs where an id-orientation would explode
-       at the hubs.
-    3. *wedges + closing probe*: a hash(u)-keyed exchange lands each
-       node's out-neighborhood whole; per partition, one vectorized
-       combination explode emits each out-pair (a, b) in orientation
-       order, pre-combined to (a, b, n_wedges) counts (the combiner —
-       repeated wedges collapse before the wire). A triangle's closing
-       edge {a, b} is itself oriented a -> b, so ONE final hash(a, b)
-       co-partition of wedge counts with oriented edges scores
-       sum(n_wedges where the edge exists). Each triangle is counted
-       exactly once, at its unique minimum-(deg, id) apex.
-
-    Exchange budget: edges cross 4 exchanges (distinct, 2 joins in the
-    bucketed regime, wedge/probe); wedge volume is sum-over-u C(d+(u),2)
-    <= O(m^1.5) worst case, combined per partition before the exchange.
-    Returns the exact count as a python int (the only driver-side value).
-    """
+def _orient_by_degree(edges, partitions: int):
+    """Shared prefix of the triangle family: canonical distinct
+    undirected edges, undirected degrees, and the (deg, id)-oriented
+    edge Dataset (u -> v with (deg_u, u) < (deg_v, v)). Returns
+    (und, deg, oriented) — see :func:`triangle_count` steps 1-2 for the
+    exchange budget and the O(sqrt(m)) out-degree cap the orientation
+    buys."""
     import ray.data  # noqa: F401  (Dataset ops used via the inputs)
 
-    from abwcf_ray.functions.hashing import hash64
     from abwcf_ray.stages.dedup import keyed_hash_agg
     from abwcf_ray.stages.join import equi_join
 
     GOLD = np.uint64(0x9E3779B97F4A7C15)
 
-    # -- 1. canonical distinct undirected edges ------------------------
     def canon(t: pa.Table) -> pa.Table:
         s, d = _edge_arrays(t)
         lo, hi = np.minimum(s, d), np.maximum(s, d)
@@ -645,7 +610,6 @@ def triangle_count(
         partitions=partitions,
     )
 
-    # -- 2. degrees + (deg, id) orientation ----------------------------
     def deg_partial(t: pa.Table) -> pa.Table:
         lo = t.column("lo").to_numpy(zero_copy_only=False)
         hi = t.column("hi").to_numpy(zero_copy_only=False)
@@ -697,7 +661,56 @@ def triangle_count(
             }
         )
 
-    oriented = j.map_batches(orient, batch_format="pyarrow")
+    return und, deg, j.map_batches(orient, batch_format="pyarrow")
+
+
+def triangle_count(
+    edges,
+    *,
+    partitions: int = 64,
+) -> int:
+    """Exact triangle count of the UNDIRECTED simple graph induced by an
+    (src, dst) edge Dataset (self-loops dropped, duplicate/reciprocal
+    edges collapsed).
+
+    The classic degree-oriented wedge-check (node-iterator++ / the
+    MapReduce shape of Suri & Vassilvitskii 2011), expressed as three
+    keyed exchanges — never an all-pairs anything:
+
+    1. *canonicalize*: per-batch (lo, hi) dedupe (combiner), then a
+       hash(lo, hi)-keyed exchange settles GLOBAL distinct edges (each
+       pair lives in exactly one partition — the pair-hash idiom from
+       stages/distinct.py).
+    2. *orient by degree*: undirected degrees via one keyed merge
+       (exchange O(nodes)); each edge is oriented low-(deg, id) ->
+       high-(deg, id), attached with two equi_joins (broadcast regime
+       under the join's row bound, bucketed big-big above — stages/
+       join.py picks per input). Degree orientation caps every node's
+       OUT-degree at O(sqrt(m)), so the wedge explode below is bounded
+       even on power-law graphs where an id-orientation would explode
+       at the hubs.
+    3. *wedges + closing probe*: a hash(u)-keyed exchange lands each
+       node's out-neighborhood whole; per partition, one vectorized
+       combination explode emits each out-pair (a, b) in orientation
+       order, pre-combined to (a, b, n_wedges) counts (the combiner —
+       repeated wedges collapse before the wire). A triangle's closing
+       edge {a, b} is itself oriented a -> b, so ONE final hash(a, b)
+       co-partition of wedge counts with oriented edges scores
+       sum(n_wedges where the edge exists). Each triangle is counted
+       exactly once, at its unique minimum-(deg, id) apex.
+
+    Exchange budget: edges cross 4 exchanges (distinct, 2 joins in the
+    bucketed regime, wedge/probe); wedge volume is sum-over-u C(d+(u),2)
+    <= O(m^1.5) worst case, combined per partition before the exchange.
+    Returns the exact count as a python int (the only driver-side value).
+
+    Steps 1-2 live in the shared :func:`_orient_by_degree`.
+    """
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    _, _, oriented = _orient_by_degree(edges, partitions)
 
     # -- 3. wedge explode (per-apex combination pairs) + closing probe --
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
@@ -1583,3 +1596,156 @@ def reciprocity(edges_ds, *, partitions: int = 64):
         np.float64
     ) / out["n_edges"].to_numpy(np.int64).astype(np.float64)
     return out
+
+
+def node_clustering(edges, *, partitions: int = 64):
+    """Per-node triangle counts and LOCAL CLUSTERING COEFFICIENT —
+    c_v = 2*T_v / (d_v*(d_v-1)) over the undirected simple graph (the
+    link-farm / community-density signal; Watts-Strogatz local
+    coefficient). Exact: T_v and d_v are int64, the coefficient is ONE
+    IEEE division of exact integers (0.0 for degree < 2).
+
+    Same degree-oriented machinery as :func:`triangle_count` (shared
+    :func:`_orient_by_degree` prefix) but wedges CARRY THEIR APEX — a
+    closed wedge (u; a, b) credits all three of u, a, b — so the wedge
+    combiner is necessarily weaker (apex identity blocks (a, b)
+    pre-combining; volume = raw wedge count, still O(m^1.5)-bounded by
+    the orientation). The probe emits per-node partial counts, merged
+    with degrees in ONE final node-keyed exchange.
+
+    Returns a Dataset (node, n_tri:int64, deg:int64,
+    clustering:float64) over every node incident to an edge.
+    """
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+    _, deg, oriented = _orient_by_degree(edges, partitions)
+
+    def wedges_apex(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype=np.int64),
+                "b": pd.Series([], dtype=np.int64),
+                "apex": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["u", "deg_v", "v"], kind="mergesort")
+        u = g["u"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        n = len(g)
+        newu = np.empty(n, bool)
+        newu[0] = True
+        np.not_equal(u[1:], u[:-1], out=newu[1:])
+        idx = np.arange(n, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(newu, idx, 0))
+        gid = np.cumsum(newu) - 1
+        size = np.bincount(gid)[gid]
+        reps = size - (idx - start) - 1
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        first = np.repeat(idx, reps)
+        c = np.concatenate([[0], np.cumsum(reps)])
+        k = np.arange(total, dtype=np.int64) - np.repeat(c[:-1], reps)
+        second = first + 1 + k
+        return pd.DataFrame(
+            {"a": v[first], "b": v[second], "apex": u[first]}
+        )
+
+    def u_key(b: pa.Table) -> np.ndarray:
+        return b.column("u").to_numpy(zero_copy_only=False).view(np.uint64) * GOLD
+
+    wedge_rows = keyed_hash_agg(oriented, u_key, wedges_apex, partitions=partitions)
+
+    def edge_flag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": t.column("u"),
+                "b": t.column("v"),
+                "apex": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "is_edge": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    def wedge_flag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_edge", pa.array(np.zeros(t.num_rows, np.int64))
+        )
+
+    both = wedge_rows.map_batches(wedge_flag, batch_format="pyarrow").union(
+        oriented.map_batches(edge_flag, batch_format="pyarrow")
+    )
+
+    def ab_key(b: pa.Table) -> np.ndarray:
+        a = b.column("a").to_numpy(zero_copy_only=False).view(np.uint64)
+        bb = b.column("b").to_numpy(zero_copy_only=False).view(np.uint64)
+        return a * GOLD ^ bb
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "node": pd.Series([], dtype=np.int64),
+                "n_tri": pd.Series([], dtype=np.int64),
+            }
+        )
+        e = g[g["is_edge"] == 1][["a", "b"]].drop_duplicates()
+        w = g[g["is_edge"] == 0]
+        if e.empty or w.empty:
+            return empty
+        m = w.merge(e, on=["a", "b"])
+        if m.empty:
+            return empty
+        nodes = np.concatenate(
+            [m["apex"].to_numpy(np.int64), m["a"].to_numpy(np.int64),
+             m["b"].to_numpy(np.int64)]
+        )
+        n, c = _sparse_sum(nodes, np.ones(len(nodes), np.int64))
+        return pd.DataFrame({"node": n.astype(np.int64), "n_tri": c})
+
+    tri_parts = keyed_hash_agg(both, ab_key, score, partitions=partitions)
+
+    def tri_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "n_tri": t.column("n_tri"),
+                "deg": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+
+    def deg_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "n_tri": pa.array(np.zeros(t.num_rows, np.int64)),
+                "deg": t.column("deg"),
+            }
+        )
+
+    merged = tri_parts.map_batches(tri_side, batch_format="pyarrow").union(
+        deg.map_batches(deg_side, batch_format="pyarrow")
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("node", as_index=False, sort=False).agg(
+            n_tri=("n_tri", "sum"), deg=("deg", "sum")
+        )
+        m["n_tri"] = m["n_tri"].astype(np.int64)
+        m["deg"] = m["deg"].astype(np.int64)
+        d = m["deg"].to_numpy(np.int64)
+        t = m["n_tri"].to_numpy(np.int64)
+        denom = d * (d - 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cl = (2 * t).astype(np.float64) / denom.astype(np.float64)
+        m["clustering"] = np.where(denom > 0, cl, 0.0)
+        return m
+
+    return keyed_hash_agg(
+        merged,
+        lambda b: b.column("node").to_numpy(zero_copy_only=False).view(np.uint64)
+        * GOLD,
+        finish,
+        partitions=partitions,
+    )

@@ -610,3 +610,53 @@ def test_reciprocity_bruteforce(ray_session):
         assert out["n_edges"].tolist() == [len(edges)]
         assert out["n_recip"].tolist() == [n_recip_ref]
         assert out["reciprocity"].iloc[0] == n_recip_ref / len(edges)
+
+
+def test_node_clustering_bruteforce(ray_session):
+    import itertools
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.graph import node_clustering
+
+    rng = np.random.default_rng(97)
+    n_edges, n_nodes = 300, 25
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    und = set(
+        (min(int(s), int(d)), max(int(s), int(d)))
+        for s, d in zip(src, dst)
+        if s != d
+    )
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ref = {}
+    for v, nb in adj.items():
+        t = sum(
+            1 for a, b in itertools.combinations(sorted(nb), 2)
+            if (min(a, b), max(a, b)) in und
+        )
+        d = len(nb)
+        ref[v] = (t, d, (2 * t) / (d * (d - 1)) if d >= 2 else 0.0)
+
+    df = pd.DataFrame({"src": src, "dst": dst})
+    for blocks in (1, 6):
+        out = (
+            node_clustering(
+                rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+                .repartition(blocks),
+                partitions=8,
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert len(out) == len(ref)
+        for row in out.itertuples():
+            t, d, c = ref[int(row.node)]
+            assert (row.n_tri, row.deg) == (t, d)
+            assert row.clustering == c
