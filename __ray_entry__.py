@@ -2972,6 +2972,131 @@ def _q_bounce_rate(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_centroid_dots(sf_dir: str):
+    """Pairwise dot products between per-label embedding SUM vectors in
+    exact fixed-point (cluster-geometry summary: which classes point the
+    same way): the label_centroids machinery at scale_bits=14 (bound:
+    sum_q products x dims < 2^63), pairwise combine on the labels x dim
+    result — politeness-bounded driver finish, exact int64 end-to-end."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.similarity import label_centroids
+
+    _quiet()
+    emb = rd.read_parquet(str(Path(sf_dir) / "embeddings.parquet"))
+    cen = label_centroids(
+        emb, vec_col="embedding", label_col="label", scale_bits=14
+    ).to_pandas()
+    piv = cen.pivot(index="label", columns="dim", values="sum_q").sort_index()
+    S = piv.to_numpy(np.int64)
+    labels = piv.index.to_numpy(np.int64)
+    G = S @ S.T  # exact int64 under the documented bound
+    ia, ib = np.triu_indices(len(labels), k=1)
+    out = pd.DataFrame(
+        {
+            "label_a": labels[ia],
+            "label_b": labels[ib],
+            "dot_q": G[ia, ib].astype(np.int64),
+        }
+    )
+    return out.sort_values(["label_a", "label_b"]).reset_index(drop=True)
+
+
+def _q_events_audit(sf_dir: str):
+    """Data-quality audit per event_type: row count, id/ts extents,
+    value extents (floats only SELECTED — min/max pass bit-exact), and
+    the exact distinct-user count — the schema/range validation pass a
+    production pipeline runs before training. Map-side partials + one
+    tiny keyed merge; distinct users via per-batch (type, user) dedupe
+    (globally distinct after the keyed merge because pairs co-locate)."""
+    import ray.data as rd
+
+    from abwcf_ray.functions.hashing import hash64
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_pandas(),
+                "event_id": t.column("event_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "ts_us": t.column("ts")
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False),
+                "value": t.column("value").to_numpy(zero_copy_only=False),
+                "user_id": t.column("user_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = pdf.groupby("event_type", as_index=False).agg(
+            n=("event_id", "size"),
+            min_id=("event_id", "min"),
+            max_id=("event_id", "max"),
+            min_ts=("ts_us", "min"),
+            max_ts=("ts_us", "max"),
+            min_value=("value", "min"),
+            max_value=("value", "max"),
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"),
+            min_id=("min_id", "min"),
+            max_id=("max_id", "max"),
+            min_ts=("min_ts", "min"),
+            max_ts=("max_ts", "max"),
+            min_value=("min_value", "min"),
+            max_value=("max_value", "max"),
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    audit = keyed_hash_agg(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        lambda b: hash64(b.column("event_type")),
+        merge,
+        partitions=4,
+    ).to_pandas()
+
+    def upartial(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_pandas(),
+                "user_id": t.column("user_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def ucount(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.drop_duplicates(["event_type", "user_id"])
+        out = m.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "size")
+        )
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    users = keyed_hash_agg(
+        ev.map_batches(upartial, batch_format="pyarrow"),
+        lambda b: hash64(b.column("event_type")),
+        ucount,
+        partitions=4,
+    ).to_pandas()
+    out = audit.merge(users, on="event_type")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def _q_node_clustering(sf_dir: str):
     """Per-node local clustering coefficient
     (stages/graph.node_clustering): the triangle machinery with
@@ -4540,6 +4665,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "journey_counts": _q_journey_counts,
         "event_trigrams": _q_event_trigrams,
         "node_clustering": _q_node_clustering,
+        "centroid_dots": _q_centroid_dots,
+        "events_audit": _q_events_audit,
         "doc_pct_rank": _q_doc_pct_rank,
         "label_centroids": _q_label_centroids,
         "event_streaks": _q_event_streaks,
@@ -6004,6 +6131,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
                         AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS bounce_rate
             FROM sess GROUP BY user_id ORDER BY user_id
+        """,
+        "centroid_dots": """
+            WITH x AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                           AS dim,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                  * 16384.0) AS BIGINT) AS q
+                FROM embeddings
+            ),
+            s AS (
+                SELECT label, dim, CAST(SUM(q) AS BIGINT) AS sq
+                FROM x GROUP BY label, dim
+            )
+            SELECT a.label AS label_a, b.label AS label_b,
+                   CAST(SUM(a.sq * b.sq) AS BIGINT) AS dot_q
+            FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+            GROUP BY a.label, b.label
+            ORDER BY label_a, label_b
+        """,
+        "events_audit": """
+            WITH base AS (
+                SELECT event_type, event_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                       value, user_id
+                FROM events
+            ),
+            a AS (
+                SELECT event_type,
+                       COUNT(*) AS n,
+                       CAST(MIN(event_id) AS BIGINT) AS min_id,
+                       CAST(MAX(event_id) AS BIGINT) AS max_id,
+                       MIN(ts_us) AS min_ts,
+                       MAX(ts_us) AS max_ts,
+                       MIN(value) AS min_value,
+                       MAX(value) AS max_value,
+                       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+                FROM base GROUP BY event_type
+            )
+            SELECT event_type, n, min_id, max_id, min_ts, max_ts,
+                   min_value, max_value, n_users
+            FROM a ORDER BY event_type
         """,
         "node_clustering": f"""
             WITH edges AS ({_GRAPH_EDGES_SQL}),
