@@ -2972,6 +2972,27 @@ def _q_bounce_rate(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_type_value_quantiles(sf_dir: str):
+    """Per-event-type discrete quantiles of the FLOAT value column
+    (stages/sketch.group_float_quantiles): quantile_disc SELECTS an
+    element, so the float output is bit-exact with no quantization —
+    the float sibling of host_quantiles. Sparse float histogram, one
+    keyed exchange."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.sketch import group_float_quantiles
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_type", "value"],
+    )
+    out = group_float_quantiles(
+        ev, group_col="event_type", col="value", qs=[0.1, 0.5, 0.9]
+    ).to_pandas()
+    return out.sort_values(["event_type", "q_pct"]).reset_index(drop=True)
+
+
 def _q_centroid_dots(sf_dir: str):
     """Pairwise dot products between per-label embedding SUM vectors in
     exact fixed-point (cluster-geometry summary: which classes point the
@@ -4667,6 +4688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node_clustering": _q_node_clustering,
         "centroid_dots": _q_centroid_dots,
         "events_audit": _q_events_audit,
+        "type_value_quantiles": _q_type_value_quantiles,
         "doc_pct_rank": _q_doc_pct_rank,
         "label_centroids": _q_label_centroids,
         "event_streaks": _q_event_streaks,
@@ -6131,6 +6153,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
                         AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS bounce_rate
             FROM sess GROUP BY user_id ORDER BY user_id
+        """,
+        "type_value_quantiles": """
+            WITH a AS (
+                SELECT event_type,
+                       quantile_disc(value, 0.1) AS q10,
+                       quantile_disc(value, 0.5) AS q50,
+                       quantile_disc(value, 0.9) AS q90
+                FROM events GROUP BY event_type
+            )
+            SELECT event_type, CAST(10 AS BIGINT) AS q_pct, q10 AS value
+            FROM a
+            UNION ALL
+            SELECT event_type, CAST(50 AS BIGINT), q50 FROM a
+            UNION ALL
+            SELECT event_type, CAST(90 AS BIGINT), q90 FROM a
+            ORDER BY event_type, q_pct
         """,
         "centroid_dots": """
             WITH x AS (

@@ -758,3 +758,73 @@ def group_iqr_outliers(
         pick,
         partitions=merge_partitions,
     )
+
+
+def group_float_quantiles(
+    ds,
+    *,
+    group_col: str,
+    col: str,
+    qs: list,
+    merge_partitions: int = 64,
+):
+    """Exact per-group DISCRETE quantiles of a FLOAT column —
+    quantile_disc SELECTS an existing element (no arithmetic ever
+    touches the value), so float outputs are bit-exact and hash-safe
+    with no quantization: the float sibling of
+    :func:`group_int_quantiles`. The sparse histogram keys on the raw
+    float64 values themselves — identical doubles group exactly, and
+    IEEE ordering of non-NaN doubles is a total order, so the per-group
+    cumulative-count rank walk is identical to the int path (NaNs are
+    the caller's contract to exclude; the fixture has none).
+
+    Returns (group_col, q_pct:int64, value:float64); ceil(q*N) rank
+    rule (DuckDB quantile_disc).
+    """
+    from abwcf_ray.functions.hashing import hash64
+
+    def hist(batch: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                group_col: batch.column(group_col).to_pandas(),
+                "v": batch.column(col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64),
+            }
+        )
+        g = pdf.groupby([group_col, "v"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def gkey(b: pa.Table) -> np.ndarray:
+        c = b.column(group_col)
+        if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
+            return hash64(c)
+        return c.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        merged = g.groupby([group_col, "v"], as_index=False, sort=False).agg(
+            n=("n", "sum")
+        )
+        for gval, sub in merged.groupby(group_col, sort=False):
+            sub = sub.sort_values("v", kind="mergesort")
+            cum = np.cumsum(sub["n"].to_numpy(np.int64))
+            vals = sub["v"].to_numpy(np.float64)
+            total = int(cum[-1])
+            for q in qs:
+                rank = max(1, int(np.ceil(q * total)))
+                pos = int(np.searchsorted(cum, rank, side="left"))
+                rows.append((gval, int(round(q * 100)), float(vals[pos])))
+        out = pd.DataFrame(rows, columns=[group_col, "q_pct", "value"])
+        out["q_pct"] = out["q_pct"].astype(np.int64)
+        out["value"] = out["value"].astype(np.float64)
+        return out
+
+    return keyed_hash_agg(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        gkey,
+        quant,
+        partitions=merge_partitions,
+    )

@@ -418,3 +418,46 @@ def test_label_scatter_matches_quantized_numpy(ray_session):
             m, tr, sc = ref[int(row.label)]
             assert (row.n, row.trace_num) == (m, tr)
             assert row.scatter == sc
+
+
+def test_group_float_quantiles_selects_exact_elements(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.sketch import group_float_quantiles
+
+    rng = np.random.default_rng(101)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y"], n),
+            "v": rng.normal(size=n),
+        }
+    )
+    # inject exact duplicates so the histogram combiner is exercised
+    df.loc[df.index[:50], "v"] = df["v"].iloc[100]
+
+    def ref_q(vals, q):
+        s = np.sort(vals)
+        rank = max(1, int(np.ceil(q * len(s))))
+        return float(s[rank - 1])
+
+    for blocks in (1, 5):
+        out = (
+            group_float_quantiles(
+                rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+                .repartition(blocks),
+                group_col="g",
+                col="v",
+                qs=[0.25, 0.5, 0.75],
+                merge_partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["g", "q_pct"])
+            .reset_index(drop=True)
+        )
+        for row in out.itertuples():
+            vals = df.loc[df["g"] == row.g, "v"].to_numpy()
+            assert row.value == ref_q(vals, row.q_pct / 100.0)
+            # quantile_disc SELECTS: the output must be an actual element
+            assert (vals == row.value).any()
