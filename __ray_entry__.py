@@ -2972,6 +2972,41 @@ def _q_bounce_rate(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_user_twa(sf_dir: str):
+    """Per-user TIME-WEIGHTED average of the value signal
+    (stages/stats.group_time_weighted): each value held until the
+    user's next event, weighted by holding seconds — fixed-point
+    quantize + exact int64 num/den sums + one IEEE division. The
+    sensor/billing aggregate made hash-safe."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_time_weighted
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "value": t.column("value"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = group_time_weighted(
+        ev,
+        key_col="user_id",
+        ts_col="ts_us",
+        value_col="value",
+        id_col="event_id",
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_type_value_quantiles(sf_dir: str):
     """Per-event-type discrete quantiles of the FLOAT value column
     (stages/sketch.group_float_quantiles): quantile_disc SELECTS an
@@ -4689,6 +4724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_dots": _q_centroid_dots,
         "events_audit": _q_events_audit,
         "type_value_quantiles": _q_type_value_quantiles,
+        "user_twa": _q_user_twa,
         "doc_pct_rank": _q_doc_pct_rank,
         "label_centroids": _q_label_centroids,
         "event_streaks": _q_event_streaks,
@@ -6153,6 +6189,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
                         AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS bounce_rate
             FROM sess GROUP BY user_id ORDER BY user_id
+        """,
+        "user_twa": """
+            WITH e AS (
+                SELECT user_id, event_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                       CAST(FLOOR(value * 1024.0) AS BIGINT) AS q
+                FROM events
+            ),
+            w AS (
+                SELECT user_id, q,
+                       (LEAD(ts_us) OVER (
+                            PARTITION BY user_id ORDER BY ts_us, event_id
+                        ) - ts_us) // 1000000 AS dt_s
+                FROM e
+            ),
+            a AS (
+                SELECT user_id,
+                       CAST(SUM(q * dt_s) AS BIGINT) AS num,
+                       CAST(SUM(dt_s) AS BIGINT) AS den
+                FROM w WHERE dt_s IS NOT NULL GROUP BY user_id
+            )
+            SELECT user_id, num, den,
+                   CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS twa_q
+            FROM a WHERE den > 0 ORDER BY user_id
         """,
         "type_value_quantiles": """
             WITH a AS (

@@ -512,3 +512,87 @@ def group_ohlc(
         _reduce,
         partitions=merge_partitions,
     )
+
+
+def group_time_weighted(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    scale_bits: int = 10,
+    merge_partitions: int = 64,
+):
+    """Per-key TIME-WEIGHTED AVERAGE — the sensor/billing/price
+    aggregate: each value is held from its event until the key's next
+    event, the mean is weighted by the holding duration. Made hash-safe
+    by the fixed-point discipline: q = floor(v * 2^scale_bits) (exact
+    power-of-two multiply + floor), dt_s = (next_ts_us - ts_us) //
+    1_000_000 (exact floor division), num = sum(q * dt_s) and den =
+    sum(dt_s) exact int64, twa_q = ONE IEEE division (q-scaled; divide
+    by 2^scale_bits downstream if the natural unit is wanted — that
+    division is exact too). Keys whose events all share one second
+    (den = 0) are dropped — the SQL mirror does the same.
+
+    ONE hash(key) exchange, per-shard lexsort + vectorized diff — the
+    last event of each key holds nothing (no successor). Overflow
+    bound: max_q * max_span_s * events_per_key < 2^63.
+
+    Returns (key_col, num:int64, den:int64, twa_q:float64).
+    """
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    mul = np.float64(np.int64(1) << np.int64(scale_bits))
+
+    def key_of(b: pa.Table) -> np.ndarray:
+        return (
+            b.column(key_col).to_numpy(zero_copy_only=False).view(np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)
+        )
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series([], dtype=np.int64),
+                "num": pd.Series([], dtype=np.int64),
+                "den": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        keys = g[key_col].to_numpy(np.int64)
+        ts = g[ts_col].to_numpy(np.int64)
+        q = np.floor(
+            g[value_col].to_numpy(np.float64) * mul
+        ).astype(np.int64)
+        same = keys[1:] == keys[:-1]
+        dt_s = (ts[1:] - ts[:-1]) // 1_000_000
+        w = np.where(same, dt_s, 0)
+        pdf = pd.DataFrame(
+            {key_col: keys[:-1], "num": q[:-1] * w, "den": w}
+        )
+        out = pdf.groupby(key_col, as_index=False, sort=False).agg(
+            num=("num", "sum"), den=("den", "sum")
+        )
+        out = out[out["den"] > 0].reset_index(drop=True)
+        out["num"] = out["num"].astype(np.int64)
+        out["den"] = out["den"].astype(np.int64)
+        return out
+
+    out = keyed_hash_agg(ds, key_of, scan, partitions=merge_partitions)
+
+    def finish(t: pa.Table) -> pa.Table:
+        num = t.column("num").to_numpy(zero_copy_only=False).astype(np.int64)
+        den = t.column("den").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                "num": t.column("num"),
+                "den": t.column("den"),
+                "twa_q": num.astype(np.float64) / den.astype(np.float64),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -301,3 +301,52 @@ def test_group_ohlc_bruteforce_and_layout_invariance(ray_session):
         for c in ["open_v", "hi", "lo", "close_v"]:
             np.testing.assert_array_equal(out[c].to_numpy(), ref[c].to_numpy())
         assert out["n"].tolist() == ref["n"].tolist()
+
+
+def test_group_time_weighted_bruteforce(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_time_weighted
+
+    rng = np.random.default_rng(103)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 20, n).astype(np.int64),
+            "ts": rng.integers(0, 10**9, n).astype(np.int64),  # ~1000 s span
+            "rid": np.arange(n, dtype=np.int64),
+            "v": rng.uniform(0, 100, n),
+        }
+    )
+    ref = {}
+    for uid, sub in df.groupby("u"):
+        s = sub.sort_values(["ts", "rid"])
+        q = np.floor(s["v"].to_numpy() * 1024.0).astype(np.int64)
+        ts = s["ts"].to_numpy(np.int64)
+        dt = (ts[1:] - ts[:-1]) // 1_000_000
+        num = int((q[:-1] * dt).sum())
+        den = int(dt.sum())
+        if den > 0:
+            ref[uid] = (num, den, num / den)
+
+    for blocks in (1, 6):
+        out = (
+            group_time_weighted(
+                rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+                .repartition(blocks),
+                key_col="u",
+                ts_col="ts",
+                value_col="v",
+                id_col="rid",
+                merge_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("u")
+            .reset_index(drop=True)
+        )
+        assert len(out) == len(ref)
+        for row in out.itertuples():
+            num, den, twa = ref[int(row.u)]
+            assert (row.num, row.den) == (num, den)
+            assert row.twa_q == twa
