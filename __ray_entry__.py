@@ -4562,6 +4562,68 @@ def _q_jsonl_roundtrip(sf_dir: str):
     return agg[["lang", "n_docs", "sum_chars", "sum_textlen"]]
 
 
+def _q_csv_roundtrip(sf_dir: str):
+    """Malformed-tolerant CSV source (sources/csv_src.py) under the same
+    full SQL value oracle as jsonl_roundtrip: write ``documents`` as CSV
+    shards (distributed write_csv), append a garbage shard (wrong-arity
+    rows, a type-damaged row, plus real rows that must SURVIVE its
+    defects... kept separate so counts stay exact), read back with
+    row-tolerant parsing + schema coercion, aggregate by lang. The text
+    column survives CSV quoting both ways, so sum_textlen checks
+    fidelity."""
+    import os
+
+    from abwcf_ray.sources.csv_src import read_csv_tolerant
+
+    _quiet()
+    out_dir = f"/tmp/abwcf_csv_{Path(sf_dir).name}_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"]).write_csv(out_dir)
+    # a defective shard: header + wrong-arity rows + a type-damaged row —
+    # every row here must drop or coerce WITHOUT adding to the aggregate
+    # (doc_id null / lang null rows are filtered like _bad jsonl lines)
+    with open(f"{out_dir}/zz_garbage.csv", "w") as f:
+        f.write("doc_id,text,lang,n_chars\n")
+        f.write("1,too,many,columns,here,9\n")
+        f.write("not_an_int,oops,xx,12\n")
+        f.write("7,unfinished quote \" mid,yy\n")
+
+    schema = {
+        "doc_id": pa.int64(),
+        "text": pa.string(),
+        "lang": pa.string(),
+        "n_chars": pa.int64(),
+    }
+
+    def clean_lens(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(b.column("doc_id")), pc.is_valid(b.column("lang"))
+        )
+        b = b.filter(keep)
+        return b.append_column(
+            "text_len", pc.utf8_length(b.column("text")).cast(pa.int64())
+        )
+
+    ds = read_csv_tolerant(out_dir, schema=schema).map_batches(
+        clean_lens, batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        ds.groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Sum("text_len", alias_name="sum_textlen"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return agg[["lang", "n_docs", "sum_chars", "sum_textlen"]]
+
+
 def _q_triangles(sf_dir: str):
     """Exact triangle count of the undirected link graph
     (stages/graph.triangle_count): degree-oriented wedge-check — canonical
@@ -4734,6 +4796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccur_lift": _q_cooccur_lift,
         "triangles": _q_triangles,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
         "crawl_wave": _q_crawl,
         "crawl_wave_cuckoo": _q_crawl_cuckoo,
     }
@@ -4895,6 +4958,12 @@ def oracle_sql() -> dict[str, str]:
         "host_histogram": f"""
             WITH frontier AS ({_FRONTIER_SQL})
             SELECT host, COUNT(*) AS n_pages FROM frontier GROUP BY host
+        """,
+        "csv_roundtrip": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_textlen
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "jsonl_roundtrip": """
             SELECT lang, COUNT(*) AS n_docs,
