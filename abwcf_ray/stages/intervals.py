@@ -308,3 +308,27 @@ def peak_concurrency(
         sweep,
         partitions=partitions,
     )
+
+
+def interval_union(
+    ds,
+    *,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    partitions: int = 64,
+):
+    """Original name of :func:`interval_coverage` (kept for the
+    user_coverage query and external callers): Dataset of
+    (key, start:int64, end:int64) -> (key_col, n_blocks:int64,
+    covered:int64) — merged-interval count and total covered length per
+    key, touching intervals merge (strict ``>`` break test), all int64.
+    The two entry points run the SAME vectorized gaps-and-islands merge;
+    see interval_coverage for the distributed shape."""
+    return interval_coverage(
+        ds,
+        key_col=key_col,
+        start_col=start_col,
+        end_col=end_col,
+        partitions=partitions,
+    )
