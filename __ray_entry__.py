@@ -2365,6 +2365,20 @@ def _graph_edges_weighted(sf_dir: str):
     return edges.map_batches(add_w, batch_format="pyarrow"), n
 
 
+def _q_pagerank_weighted(sf_dir: str):
+    """WEIGHTED PageRank (stages/graph.pagerank_weighted): rank splits
+    proportionally to edge weight via (rank*w) // W_out — all floor
+    divisions, so the 5-iteration fixed point is exactly SQL-mirrorable
+    (chained CTEs with a weighted-out-sum), the pagerank discipline
+    extended to weighted graphs."""
+    from abwcf_ray.stages.graph import pagerank_weighted
+
+    _quiet()
+    edges_w, n = _graph_edges_weighted(sf_dir)
+    out = pagerank_weighted(edges_w, n_nodes=n, iters=5).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def _q_sssp(sf_dir: str):
     """Multi-source WEIGHTED shortest path (stages/graph.sssp) from the
     BFS seed set, 4 synchronous Bellman-Ford rounds, BROADCAST regime
@@ -4735,6 +4749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": _q_hits,
         "kcore": _q_kcore,
         "pagerank_distributed": _q_pagerank_distributed,
+        "pagerank_weighted": _q_pagerank_weighted,
         "bfs_hops": _q_bfs_hops,
         "bfs_hops_distributed": _q_bfs_hops_distributed,
         "sssp": _q_sssp,
@@ -4835,6 +4850,42 @@ def _pagerank_sql(iters: int = 5) -> str:
                     FROM edges e
                     JOIN {prev} p ON p.node = e.src
                     JOIN odeg o ON o.node = e.src
+                    GROUP BY e.dst
+                ) s ON s.node = nodes.node
+            )"""
+        )
+        prev = f"r{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, rank AS rank_scaled FROM {prev}"
+    )
+
+
+def _pagerank_weighted_sql(iters: int = 5) -> str:
+    """Chained-CTE mirror of stages/graph.pagerank_weighted: the
+    _pagerank_sql pattern with a weighted out-sum CTE and per-edge
+    (rank * w) // wo contributions — HUGEINT-safe, all integer."""
+    scale = 10**9
+    base = ((100 - 85) * scale) // 100
+    ctes = [
+        f"edges0 AS ({_GRAPH_EDGES_SQL})",
+        "edges AS (SELECT src, dst, 1 + (src * 3 + dst * 5) % 7 AS w FROM edges0)",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        "wout AS (SELECT src AS node, SUM(w) AS wo FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+                SELECT nodes.node,
+                       CAST({base} + (85 * COALESCE(s.insum, 0)) // 100 AS BIGINT) AS rank
+                FROM nodes LEFT JOIN (
+                    SELECT e.dst AS node, SUM((p.rank * e.w) // o.wo) AS insum
+                    FROM edges e
+                    JOIN {prev} p ON p.node = e.src
+                    JOIN wout o ON o.node = e.src
                     GROUP BY e.dst
                 ) s ON s.node = nodes.node
             )"""
@@ -6113,6 +6164,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": _hits_sql(4),
         "kcore": _kcore_sql(3, 6),
         "pagerank_distributed": _pagerank_sql(5),
+        "pagerank_weighted": _pagerank_weighted_sql(5),
         "bfs_hops": _bfs_hops_sql(4),
         "bfs_hops_distributed": _bfs_hops_sql(4),
         "sssp": _sssp_sql(4),

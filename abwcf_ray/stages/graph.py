@@ -1749,3 +1749,114 @@ def node_clustering(edges, *, partitions: int = 64):
         finish,
         partitions=partitions,
     )
+
+
+def pagerank_weighted(
+    edges_w,
+    *,
+    n_nodes: int,
+    iters: int = 5,
+    d_num: int = 85,
+    d_den: int = 100,
+    partitions: int = GRAPH_MERGE_PARTITIONS,
+):
+    """WEIGHTED PageRank in the same fixed-point integer discipline as
+    :func:`pagerank` — each edge carries a positive int64 weight ``w``
+    (crawl cost / link prominence) and a node's rank splits
+    proportionally:
+
+        contribution(e) = (rank[src] * w_e) // W_out[src]
+        rank'           = base + d_num * insum // d_den
+
+    All floor divisions, so the iteration is bit-identical across
+    layouts AND exactly SQL-mirrorable with chained CTEs (the pagerank
+    oracle pattern with a weighted-out-sum CTE). Broadcast regime only
+    (the dense-vector + streaming-edges shape; a 2^24-node cap like
+    pagerank's — see its regime discussion): dense int64 rank vector
+    ``ray.put`` per iteration, per-edge contributions computed
+    map-side, in-sums settle in a keyed-partition merge. Overflow
+    bound: max_rank * max_w < 2^63 (mass conservation keeps
+    max_rank <= n_nodes * SCALE).
+
+    Input: Dataset of (src, dst, w:int64 positive). Returns a Dataset
+    of (node, rank:int64).
+    """
+    import ray
+    import ray.data as rd
+
+    P = partitions
+
+    def merge_sums(g: pd.DataFrame) -> pd.DataFrame:
+        k, v = _sparse_sum(g["node"].to_numpy(), g["s"].to_numpy())
+        return pd.DataFrame({"node": k, "s": v})
+
+    edges_m = edges_w.materialize()
+
+    def wout_partial(batch: pa.Table) -> pa.Table:
+        src, _ = _edge_arrays(batch)
+        w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        k, v = _sparse_sum(src, w)
+        return pa.table(
+            {
+                "pkey": pa.array(_int_pkey(k, P), pa.int64()),
+                "node": pa.array(k, pa.int64()),
+                "s": pa.array(v, pa.int64()),
+            }
+        )
+
+    wout = np.zeros(n_nodes, np.int64)
+    od = (
+        edges_m.map_batches(wout_partial, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(merge_sums, batch_format="pandas")
+    )
+    for b in od.iter_batches(batch_format="pyarrow"):
+        wout[b.column("node").to_numpy(zero_copy_only=False)] = b.column(
+            "s"
+        ).to_numpy(zero_copy_only=False)
+
+    base = ((d_den - d_num) * SCALE) // d_den
+    ranks = np.full(n_nodes, SCALE, np.int64)
+    safe_wout = np.maximum(wout, 1)
+
+    for _ in range(iters):
+        ref = ray.put(ranks)
+        wref = ray.put(safe_wout)
+
+        def insum_partial(batch: pa.Table, *, _r=ref, _w=wref) -> pa.Table:
+            r = ray.get(_r)
+            wo = ray.get(_w)
+            src, dst = _edge_arrays(batch)
+            w = batch.column("w").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            contrib = (r[src] * w) // wo[src]
+            k, v = _sparse_sum(dst, contrib)
+            return pa.table(
+                {
+                    "pkey": pa.array(_int_pkey(k, P), pa.int64()),
+                    "node": pa.array(k, pa.int64()),
+                    "s": pa.array(v, pa.int64()),
+                }
+            )
+
+        new = np.full(n_nodes, base, np.int64)
+        agg = (
+            edges_m.map_batches(insum_partial, batch_format="pyarrow")
+            .groupby("pkey")
+            .map_groups(merge_sums, batch_format="pandas")
+        )
+        for b in agg.iter_batches(batch_format="pyarrow"):
+            nd = b.column("node").to_numpy(zero_copy_only=False)
+            s = b.column("s").to_numpy(zero_copy_only=False)
+            new[nd] = base + (d_num * s) // d_den
+        ranks = new
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(np.arange(n_nodes, dtype=np.int64)),
+                "rank_scaled": pa.array(ranks, pa.int64()),
+            }
+        )
+    )

@@ -660,3 +660,46 @@ def test_node_clustering_bruteforce(ray_session):
             t, d, c = ref[int(row.node)]
             assert (row.n_tri, row.deg) == (t, d)
             assert row.clustering == c
+
+
+def test_pagerank_weighted_numpy_reference(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.graph import SCALE, pagerank_weighted
+
+    rng = np.random.default_rng(107)
+    n_nodes, n_edges = 40, 200
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = (1 + (src * 3 + dst * 5) % 7).astype(np.int64)
+
+    # integer reference, identical floor-division order
+    wout = np.zeros(n_nodes, np.int64)
+    np.add.at(wout, src, w)
+    safe = np.maximum(wout, 1)
+    base = (15 * SCALE) // 100
+    r = np.full(n_nodes, SCALE, np.int64)
+    for _ in range(3):
+        contrib = (r[src] * w) // safe[src]
+        insum = np.zeros(n_nodes, np.int64)
+        np.add.at(insum, dst, contrib)
+        r = base + (85 * insum) // 100
+
+    df = pd.DataFrame({"src": src, "dst": dst, "w": w})
+    for blocks in (1, 5):
+        out = (
+            pagerank_weighted(
+                rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+                .repartition(blocks),
+                n_nodes=n_nodes,
+                iters=3,
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        np.testing.assert_array_equal(out["rank_scaled"].to_numpy(), r)
