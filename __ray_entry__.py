@@ -2379,6 +2379,22 @@ def _q_pagerank_weighted(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def _q_pagerank_personalized(sf_dir: str):
+    """Personalized PageRank / random walk with restart
+    (stages/graph.personalized_pagerank): teleport mass returns only to
+    the shared BFS seed set (node %% 17 == 0), ranks measure seed
+    proximity — the related-pages primitive; same floor-division
+    fixed-point discipline, chained-CTE oracle."""
+    from abwcf_ray.stages.graph import personalized_pagerank
+
+    _quiet()
+    edges, n = _graph_edges(sf_dir)
+    out = personalized_pagerank(
+        edges, n_nodes=n, seeds=_seed_nodes(sf_dir), iters=5
+    ).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def _q_sssp(sf_dir: str):
     """Multi-source WEIGHTED shortest path (stages/graph.sssp) from the
     BFS seed set, 4 synchronous Bellman-Ford rounds, BROADCAST regime
@@ -4750,6 +4766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": _q_kcore,
         "pagerank_distributed": _q_pagerank_distributed,
         "pagerank_weighted": _q_pagerank_weighted,
+        "pagerank_personalized": _q_pagerank_personalized,
         "bfs_hops": _q_bfs_hops,
         "bfs_hops_distributed": _q_bfs_hops_distributed,
         "sssp": _q_sssp,
@@ -4886,6 +4903,56 @@ def _pagerank_weighted_sql(iters: int = 5) -> str:
                     FROM edges e
                     JOIN {prev} p ON p.node = e.src
                     JOIN wout o ON o.node = e.src
+                    GROUP BY e.dst
+                ) s ON s.node = nodes.node
+            )"""
+        )
+        prev = f"r{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, rank AS rank_scaled FROM {prev}"
+    )
+
+
+def _ppr_sql(iters: int = 5) -> str:
+    """Chained-CTE mirror of stages/graph.personalized_pagerank: seed-
+    concentrated base mass, zero-start non-seeds, floor divisions."""
+    scale = 10**9
+    ctes = [
+        f"edges AS ({_GRAPH_EDGES_SQL})",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        "params AS (SELECT (SELECT COUNT(*) FROM documents) AS n,"
+        " (SELECT COUNT(*) FROM documents WHERE doc_id % 17 = 0) AS ns)",
+        f"""basev AS (
+            SELECT node,
+                   CAST(CASE WHEN node % 17 = 0
+                        THEN (CAST(15 AS BIGINT) * {scale} * (SELECT n FROM params))
+                             // (SELECT ns FROM params) // 100
+                        ELSE 0 END AS BIGINT) AS b
+            FROM nodes
+        )""",
+        "odeg AS (SELECT src AS node, COUNT(*) AS od FROM edges GROUP BY src)",
+        f"""r0 AS (
+            SELECT node,
+                   CAST(CASE WHEN node % 17 = 0 THEN {scale} ELSE 0 END
+                        AS BIGINT) AS rank
+            FROM nodes
+        )""",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+                SELECT nodes.node,
+                       CAST(b.b + (85 * COALESCE(s.insum, 0)) // 100 AS BIGINT) AS rank
+                FROM nodes
+                JOIN basev b ON b.node = nodes.node
+                LEFT JOIN (
+                    SELECT e.dst AS node, SUM(p.rank // o.od) AS insum
+                    FROM edges e
+                    JOIN {prev} p ON p.node = e.src
+                    JOIN odeg o ON o.node = e.src
                     GROUP BY e.dst
                 ) s ON s.node = nodes.node
             )"""
@@ -6165,6 +6232,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_sql(3, 6),
         "pagerank_distributed": _pagerank_sql(5),
         "pagerank_weighted": _pagerank_weighted_sql(5),
+        "pagerank_personalized": _ppr_sql(5),
         "bfs_hops": _bfs_hops_sql(4),
         "bfs_hops_distributed": _bfs_hops_sql(4),
         "sssp": _sssp_sql(4),

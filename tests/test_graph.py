@@ -703,3 +703,50 @@ def test_pagerank_weighted_numpy_reference(ray_session):
             .reset_index(drop=True)
         )
         np.testing.assert_array_equal(out["rank_scaled"].to_numpy(), r)
+
+
+def test_personalized_pagerank_numpy_reference(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.graph import SCALE, personalized_pagerank
+
+    rng = np.random.default_rng(109)
+    n_nodes, n_edges = 40, 180
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    seeds = np.array([0, 7, 21], np.int64)
+
+    outdeg = np.bincount(src, minlength=n_nodes).astype(np.int64)
+    safe = np.maximum(outdeg, 1)
+    seed_base = (15 * SCALE * n_nodes // len(seeds)) // 100
+    base_v = np.zeros(n_nodes, np.int64)
+    base_v[seeds] = seed_base
+    r = np.zeros(n_nodes, np.int64)
+    r[seeds] = SCALE
+    for _ in range(3):
+        contrib = r[src] // safe[src]
+        insum = np.zeros(n_nodes, np.int64)
+        np.add.at(insum, dst, contrib)
+        r = base_v + (85 * insum) // 100
+
+    df = pd.DataFrame({"src": src, "dst": dst})
+    for blocks in (1, 5):
+        out = (
+            personalized_pagerank(
+                rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+                .repartition(blocks),
+                n_nodes=n_nodes,
+                seeds=seeds,
+                iters=3,
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        np.testing.assert_array_equal(out["rank_scaled"].to_numpy(), r)
+    # non-seed mass decays toward zero reachable-only: seeds dominate
+    assert out.loc[out["node"].isin(seeds), "rank_scaled"].min() > 0
