@@ -3367,6 +3367,85 @@ def _q_journey_counts(sf_dir: str):
     return out.sort_values("journey").reset_index(drop=True)
 
 
+def _q_burst_days(sf_dir: str):
+    """3-sigma burst days per user — anomaly detection with EXACT
+    integer arithmetic: a day's count c bursts when c*m - S1 > 0 and
+    (c*m - S1)^2 > 9*(m*S2 - S1^2) over the user's m daily counts
+    (the z > 3 test cross-multiplied to kill the sqrt and divisions).
+    Daily counts + per-user moments off ONE hash(user) exchange, the
+    predicate vectorized in the same shard."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"), columns=["user_id", "ts"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pc.divide(
+                    t.column("ts").cast(pa.int64()),
+                    pa.scalar(86_400_000_000, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                "user_id": t.column("user_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "day": t.column("day")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = pdf.groupby(["user_id", "day"], as_index=False).size()
+        g = g.rename(columns={"size": "c"})
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["user_id", "day"], as_index=False)["c"].sum()
+        m["c"] = m["c"].astype(np.int64)
+        agg = m.groupby("user_id", as_index=False).agg(
+            m_days=("day", "size"), s1=("c", "sum")
+        )
+        m2 = m.assign(csq=m["c"].to_numpy(np.int64) ** 2)
+        agg = agg.merge(
+            m2.groupby("user_id", as_index=False)["csq"].sum().rename(
+                columns={"csq": "s2"}
+            ),
+            on="user_id",
+        )
+        j = m.merge(agg, on="user_id")
+        c = j["c"].to_numpy(np.int64)
+        md = j["m_days"].to_numpy(np.int64)
+        s1 = j["s1"].to_numpy(np.int64)
+        s2 = j["s2"].to_numpy(np.int64)
+        dev = c * md - s1
+        keep = (dev > 0) & (dev * dev > 9 * (md * s2 - s1 * s1))
+        out = j.loc[keep, ["user_id", "day", "c"]].copy()
+        for col in out.columns:
+            out[col] = out[col].astype(np.int64)
+        return out
+
+    out = keyed_hash_agg(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        lambda b: b.column("user_id")
+        .to_numpy(zero_copy_only=False)
+        .view(np.uint64),
+        finish,
+        partitions=16,
+    ).to_pandas()
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
 def _q_label_scatter(sf_dir: str):
     """Per-label within-cluster scatter (stages/similarity.label_scatter):
     trace of the biased covariance in EXACT fixed-point — quantized
@@ -4810,6 +4889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_scatter": _q_label_scatter,
         "user_gini": _q_user_gini,
         "activity_spikes": _q_activity_spikes,
+        "burst_days": _q_burst_days,
         "last_touch": _q_last_touch,
         "canonical_docs": _q_canonical_docs,
         "journey_counts": _q_journey_counts,
@@ -6614,6 +6694,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, n, ssq,
                    CAST(n*n - ssq AS DOUBLE) / CAST(n*n AS DOUBLE) AS gini
             FROM a ORDER BY user_id
+        """,
+        "burst_days": """
+            WITH d AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY user_id, day
+            ),
+            a AS (
+                SELECT user_id,
+                       CAST(COUNT(*) AS BIGINT) AS m_days,
+                       CAST(SUM(c) AS BIGINT) AS s1,
+                       CAST(SUM(c*c) AS BIGINT) AS s2
+                FROM d GROUP BY user_id
+            )
+            SELECT d.user_id, d.day, d.c
+            FROM d JOIN a USING (user_id)
+            WHERE d.c * a.m_days - a.s1 > 0
+              AND (d.c * a.m_days - a.s1) * (d.c * a.m_days - a.s1)
+                  > 9 * (a.m_days * a.s2 - a.s1 * a.s1)
+            ORDER BY d.user_id, d.day
         """,
         "activity_spikes": """
             WITH d AS (
