@@ -3058,6 +3058,64 @@ def _q_type_value_quantiles(sf_dir: str):
     return out.sort_values(["event_type", "q_pct"]).reset_index(drop=True)
 
 
+def _q_kmeans_step(sf_dir: str):
+    """One exact k-means Lloyd step (stages/similarity.kmeans_assign_step):
+    deterministic init (the min-vec_id row per label, quantized), exact
+    integer squared distances, argmin tie-broken by centroid id, new
+    per-(cluster, dim) counts + sums — the whole assign/resum step under
+    a full SQL value oracle (assignment included)."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.similarity import kmeans_assign_step
+
+    _quiet()
+    emb = rd.read_parquet(str(Path(sf_dir) / "embeddings.parquet"))
+
+    # deterministic init: quantized embedding of the min vec_id per label
+    def pick_min(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                "label": t.column("label")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "vec_id": t.column("vec_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = pdf.groupby("label", as_index=False)["vec_id"].min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    mins = (
+        emb.map_batches(pick_min, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("label", as_index=False)["vec_id"]
+        .min()
+        .sort_values("label")
+    )
+    want = np.sort(mins["vec_id"].to_numpy(np.int64))
+
+    def keep_min_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        pos = np.searchsorted(want, ids)
+        m = (pos < len(want)) & (want[np.minimum(pos, len(want) - 1)] == ids)
+        return t.filter(pa.array(m))
+
+    rows = emb.map_batches(keep_min_rows, batch_format="pyarrow").to_pandas()
+    rows = rows.sort_values("label").reset_index(drop=True)
+    C = np.floor(
+        np.stack([np.asarray(v, np.float64) for v in rows["embedding"]])
+        * 16384.0
+    ).astype(np.int64)
+
+    out = kmeans_assign_step(
+        emb, vec_col="embedding", centroids_q=C, scale_bits=14
+    ).to_pandas()
+    return out.sort_values(["cluster", "dim"]).reset_index(drop=True)
+
+
 def _q_centroid_dots(sf_dir: str):
     """Pairwise dot products between per-label embedding SUM vectors in
     exact fixed-point (cluster-geometry summary: which classes point the
@@ -4896,6 +4954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_trigrams": _q_event_trigrams,
         "node_clustering": _q_node_clustering,
         "centroid_dots": _q_centroid_dots,
+        "kmeans_step": _q_kmeans_step,
         "events_audit": _q_events_audit,
         "type_value_quantiles": _q_type_value_quantiles,
         "user_twa": _q_user_twa,
@@ -6498,6 +6557,46 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT event_type, CAST(90 AS BIGINT), q90 FROM a
             ORDER BY event_type, q_pct
+        """,
+        "kmeans_step": """
+            WITH q AS (
+                SELECT vec_id, CAST(label AS BIGINT) AS lab,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                           AS dim,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                  * 16384.0) AS BIGINT) AS q
+                FROM embeddings
+            ),
+            labs AS (
+                SELECT lab, MIN(vec_id) AS mid,
+                       CAST(ROW_NUMBER() OVER (ORDER BY lab) - 1 AS BIGINT)
+                           AS cluster
+                FROM (SELECT DISTINCT vec_id, lab FROM q) GROUP BY lab
+            ),
+            cent AS (
+                SELECT l.cluster AS c, q.dim, q.q AS cq
+                FROM labs l JOIN q ON q.vec_id = l.mid
+            ),
+            dist AS (
+                SELECT q.vec_id, c.c,
+                       CAST(SUM((q.q - c.cq) * (q.q - c.cq)) AS BIGINT) AS d2
+                FROM q JOIN cent c ON c.dim = q.dim
+                GROUP BY q.vec_id, c.c
+            ),
+            asg AS (
+                SELECT vec_id, c,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY d2, c
+                       ) AS rk
+                FROM dist
+            ),
+            a1 AS (SELECT vec_id, c FROM asg WHERE rk = 1)
+            SELECT a1.c AS cluster, q.dim,
+                   COUNT(*) AS n,
+                   CAST(SUM(q.q) AS BIGINT) AS sum_q
+            FROM a1 JOIN q ON q.vec_id = a1.vec_id
+            GROUP BY a1.c, q.dim
+            ORDER BY cluster, dim
         """,
         "centroid_dots": """
             WITH x AS (

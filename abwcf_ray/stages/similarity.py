@@ -394,3 +394,75 @@ def label_scatter(
         merge,
         partitions=merge_partitions,
     )
+
+
+def kmeans_assign_step(
+    ds,
+    *,
+    vec_col: str,
+    centroids_q: np.ndarray,
+    scale_bits: int = 14,
+    merge_partitions: int = 8,
+):
+    """ONE exact k-means (Lloyd) step over fixed-point vectors — the
+    assign-and-resum inner loop of distributed k-means made
+    bit-reproducible AND SQL-mirrorable: components quantize to
+    q = floor(x * 2^scale_bits), squared distances to the QUANTIZED
+    integer centroids are exact int64 sums of products, the argmin
+    tie-breaks by lowest centroid id (np.argmin first-hit == SQL
+    ROW_NUMBER ORDER BY d2, c), and the new per-(cluster, dim) counts
+    and component sums are exact int64 — so DuckDB computing the
+    identical expressions hash-matches the whole step end-to-end
+    (assignment included). The production IVF/k-means path keeps float
+    centroids for speed (similarity.py k-means fit); THIS step is the
+    verification twin that proves the distributed assign/resum shape.
+
+    ``centroids_q``: (k, d) int64 quantized centroid matrix (broadcast
+    once — tiny). Overflow bound: d * (2^(scale_bits+1))^2 < 2^63.
+
+    Returns a Dataset (cluster, dim, n, sum_q) — k x d rows.
+    """
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    C = np.asarray(centroids_q, np.int64)
+    k, d = C.shape
+    mul = np.float64(np.int64(1) << np.int64(scale_bits))
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = _batch_vectors(t, vec_col, dtype=np.float64)
+        q = np.floor(X * mul).astype(np.int64)
+        diff = q[:, None, :] - C[None, :, :]
+        d2 = (diff * diff).sum(axis=2)  # exact int64 under the bound
+        assign = np.argmin(d2, axis=1).astype(np.int64)  # first min = low c
+        sums = np.zeros((k, d), np.int64)
+        np.add.at(sums, assign, q)
+        cnt = np.bincount(assign, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(
+                    np.repeat(np.arange(k, dtype=np.int64), d), pa.int64()
+                ),
+                "dim": pa.array(
+                    np.tile(np.arange(d, dtype=np.int64), k), pa.int64()
+                ),
+                "n": pa.array(np.repeat(cnt, d), pa.int64()),
+                "sum_q": pa.array(sums.ravel(), pa.int64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["cluster", "dim"], as_index=False, sort=False).agg(
+            n=("n", "sum"), sum_q=("sum_q", "sum")
+        )
+        for c in ("n", "sum_q"):
+            m[c] = m[c].astype(np.int64)
+        return m
+
+    return keyed_hash_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        lambda b: b.column("cluster")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64),
+        merge,
+        partitions=merge_partitions,
+    )

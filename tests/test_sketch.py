@@ -461,3 +461,46 @@ def test_group_float_quantiles_selects_exact_elements(ray_session):
             assert row.value == ref_q(vals, row.q_pct / 100.0)
             # quantile_disc SELECTS: the output must be an actual element
             assert (vals == row.value).any()
+
+
+def test_kmeans_assign_step_bruteforce(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.similarity import kmeans_assign_step
+
+    rng = np.random.default_rng(113)
+    n, d, k = 300, 6, 4
+    X = rng.normal(scale=0.4, size=(n, d))
+    C = np.floor(rng.normal(scale=0.4, size=(k, d)) * 16384.0).astype(np.int64)
+    q = np.floor(X * 16384.0).astype(np.int64)
+    diff = q[:, None, :] - C[None, :, :]
+    assign = np.argmin((diff * diff).sum(axis=2), axis=1)
+    ref_n = np.bincount(assign, minlength=k)
+    ref_s = np.zeros((k, d), np.int64)
+    np.add.at(ref_s, assign, q)
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(X), pa.list_(pa.float64())),
+        }
+    )
+    for blocks in (1, 5):
+        out = (
+            kmeans_assign_step(
+                rd.from_arrow(tbl).repartition(blocks),
+                vec_col="embedding",
+                centroids_q=C,
+                scale_bits=14,
+                merge_partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["cluster", "dim"])
+            .reset_index(drop=True)
+        )
+        got_n = out.groupby("cluster")["n"].max().to_numpy()
+        np.testing.assert_array_equal(got_n, ref_n)
+        np.testing.assert_array_equal(
+            out["sum_q"].to_numpy().reshape(k, d), ref_s
+        )
