@@ -3058,6 +3058,25 @@ def _q_type_value_quantiles(sf_dir: str):
     return out.sort_values(["event_type", "q_pct"]).reset_index(drop=True)
 
 
+def _q_knn_loo(sf_dir: str):
+    """Leave-one-out 1-NN label accuracy
+    (stages/similarity.knn_loo_accuracy): the embedding-space quality
+    eval with EXACT integer distances (quantized), (d2, id) tie-broken
+    nearest neighbor excluding self, per-label exact counts + one IEEE
+    division — the full eval, assignment included, under a SQL value
+    oracle."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.similarity import knn_loo_accuracy
+
+    _quiet()
+    emb = rd.read_parquet(str(Path(sf_dir) / "embeddings.parquet"))
+    out = knn_loo_accuracy(
+        emb, vec_col="embedding", id_col="vec_id", label_col="label"
+    ).to_pandas()
+    return out.sort_values("label").reset_index(drop=True)
+
+
 def _q_kmeans_step(sf_dir: str):
     """One exact k-means Lloyd step (stages/similarity.kmeans_assign_step):
     deterministic init (the min-vec_id row per label, quantized), exact
@@ -4955,6 +4974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node_clustering": _q_node_clustering,
         "centroid_dots": _q_centroid_dots,
         "kmeans_step": _q_kmeans_step,
+        "knn_loo": _q_knn_loo,
         "events_audit": _q_events_audit,
         "type_value_quantiles": _q_type_value_quantiles,
         "user_twa": _q_user_twa,
@@ -6557,6 +6577,43 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT event_type, CAST(90 AS BIGINT), q90 FROM a
             ORDER BY event_type, q_pct
+        """,
+        "knn_loo": """
+            WITH q AS (
+                SELECT vec_id, CAST(label AS BIGINT) AS lab,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                           AS dim,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                  * 16384.0) AS BIGINT) AS q
+                FROM embeddings
+            ),
+            p AS (
+                SELECT a.vec_id AS i, b.vec_id AS j,
+                       CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
+                FROM q a JOIN q b
+                     ON a.dim = b.dim AND a.vec_id <> b.vec_id
+                GROUP BY a.vec_id, b.vec_id
+            ),
+            nn AS (
+                SELECT i, j,
+                       ROW_NUMBER() OVER (PARTITION BY i ORDER BY d2, j)
+                           AS rk
+                FROM p
+            ),
+            lbl AS (SELECT DISTINCT vec_id, lab FROM q),
+            a1 AS (
+                SELECT la.lab AS label, lb.lab AS pred
+                FROM nn
+                JOIN lbl la ON la.vec_id = nn.i
+                JOIN lbl lb ON lb.vec_id = nn.j
+                WHERE nn.rk = 1
+            )
+            SELECT label, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_correct,
+                   CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END)
+                        AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS acc
+            FROM a1 GROUP BY label ORDER BY label
         """,
         "kmeans_step": """
             WITH q AS (

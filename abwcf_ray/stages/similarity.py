@@ -466,3 +466,109 @@ def kmeans_assign_step(
         merge,
         partitions=merge_partitions,
     )
+
+
+def knn_loo_accuracy(
+    ds,
+    *,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    scale_bits: int = 14,
+    merge_partitions: int = 8,
+):
+    """Leave-one-out 1-NN label accuracy — the standard embedding-space
+    quality eval ("do neighbors share labels?"), made exact: quantized
+    integer squared distances, nearest neighbor excluding self with the
+    (d2, id) total order (composite integer key, no float compare), and
+    per-label correct counts; accuracy is ONE IEEE division of exact
+    int64s. The reference matrix (ids, labels, quantized vectors) is
+    broadcast ONCE via ray.put — the brute-force-KNN shape, fine to
+    ~10^6 reference rows; beyond that the IVF path is the tool and this
+    stays the evaluation harness on a sample.
+
+    Returns a Dataset (label, n:int64, n_correct:int64, acc:float64).
+    """
+    import ray
+
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    mul = np.float64(np.int64(1) << np.int64(scale_bits))
+
+    # materialize the reference side once (politeness-bounded contract)
+    ref_tbl = ds.materialize()
+    ids_all, labels_all, Q_all = [], [], []
+    for b in ref_tbl.iter_batches(batch_format="pyarrow"):
+        ids_all.append(
+            b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        labels_all.append(
+            b.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        Q_all.append(
+            np.floor(_batch_vectors(b, vec_col, dtype=np.float64) * mul).astype(
+                np.int64
+            )
+        )
+    ids = np.concatenate(ids_all)
+    labels = np.concatenate(labels_all)
+    Q = np.vstack(Q_all)
+    order = np.argsort(ids, kind="stable")
+    ids, labels, Q = ids[order], labels[order], Q[order]
+    bc = ray.put((ids, labels, Q))
+
+    def partial(t: pa.Table) -> pa.Table:
+        rids, rlabels, rQ = ray.get(bc)
+        q = np.floor(_batch_vectors(t, vec_col, dtype=np.float64) * mul).astype(
+            np.int64
+        )
+        my_ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        my_lab = t.column(label_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        # exact integer d2 via the expansion (avoids an n x m x d blowup)
+        qq = (q * q).sum(axis=1)
+        rr = (rQ * rQ).sum(axis=1)
+        d2 = qq[:, None] - 2 * (q @ rQ.T) + rr[None, :]
+        # exclude self by id; (d2, position) composite total order —
+        # positions are the rank of the reference id (ids sorted), so
+        # min composite == min (d2, id)
+        m = len(rids)
+        self_pos = np.searchsorted(rids, my_ids)
+        comp = d2 * np.int64(m) + np.arange(m, dtype=np.int64)[None, :]
+        rows = np.arange(len(q))
+        valid_self = (self_pos < m) & (rids[np.minimum(self_pos, m - 1)] == my_ids)
+        comp[rows[valid_self], self_pos[valid_self]] = np.iinfo(np.int64).max
+        nn = np.argmin(comp, axis=1)
+        correct = (rlabels[nn] == my_lab).astype(np.int64)
+        pdf = pd.DataFrame(
+            {"label": my_lab, "n": np.ones(len(q), np.int64), "c": correct}
+        )
+        g = pdf.groupby("label", as_index=False).agg(
+            n=("n", "sum"), n_correct=("c", "sum")
+        )
+        for cc in ("n", "n_correct"):
+            g[cc] = g[cc].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        m2 = g.groupby("label", as_index=False).agg(
+            n=("n", "sum"), n_correct=("n_correct", "sum")
+        )
+        for cc in ("n", "n_correct"):
+            m2[cc] = m2[cc].astype(np.int64)
+        m2["acc"] = m2["n_correct"].to_numpy(np.int64).astype(
+            np.float64
+        ) / m2["n"].to_numpy(np.int64).astype(np.float64)
+        return m2
+
+    return keyed_hash_agg(
+        ref_tbl.map_batches(partial, batch_format="pyarrow"),
+        lambda b: b.column("label")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64),
+        finish,
+        partitions=merge_partitions,
+    )

@@ -504,3 +504,53 @@ def test_kmeans_assign_step_bruteforce(ray_session):
         np.testing.assert_array_equal(
             out["sum_q"].to_numpy().reshape(k, d), ref_s
         )
+
+
+def test_knn_loo_accuracy_bruteforce(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.similarity import knn_loo_accuracy
+
+    rng = np.random.default_rng(127)
+    n, d, k = 120, 5, 3
+    centers = rng.normal(scale=1.0, size=(k, d))
+    lab = rng.integers(0, k, n).astype(np.int64)
+    X = centers[lab] + rng.normal(scale=0.3, size=(n, d))
+    q = np.floor(X * 16384.0).astype(np.int64)
+    ref = {}
+    for i in range(n):
+        d2 = ((q - q[i]) ** 2).sum(axis=1)
+        d2[i] = np.iinfo(np.int64).max
+        # tie-break by lowest id = argmin first hit on (d2, id) order
+        nn = min(range(n), key=lambda j: (d2[j], j))
+        ref.setdefault(int(lab[i]), [0, 0])
+        ref[int(lab[i])][0] += 1
+        ref[int(lab[i])][1] += int(lab[nn] == lab[i])
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "label": pa.array(lab),
+            "embedding": pa.array(list(X), pa.list_(pa.float64())),
+        }
+    )
+    for blocks in (1, 4):
+        out = (
+            knn_loo_accuracy(
+                rd.from_arrow(tbl).repartition(blocks),
+                vec_col="embedding",
+                id_col="vec_id",
+                label_col="label",
+                merge_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("label")
+            .reset_index(drop=True)
+        )
+        for row in out.itertuples():
+            tot, cor = ref[int(row.label)]
+            assert (row.n, row.n_correct) == (tot, cor)
+            assert row.acc == cor / tot
+    # well-separated clusters: the eval should be nearly perfect
+    assert out["n_correct"].sum() / out["n"].sum() > 0.8
