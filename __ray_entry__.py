@@ -3444,6 +3444,46 @@ def _q_journey_counts(sf_dir: str):
     return out.sort_values("journey").reset_index(drop=True)
 
 
+def _q_user_running_max(sf_dir: str):
+    """Per-user running maximum + drawdown of an integer signal
+    (stages/winfun.keyed_window_functions max_col option): the
+    peak-tracking window — MAX OVER (ROWS UNBOUNDED PRECEDING) and its
+    gap to the current value, exact int64 on one keyed exchange."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.winfun import keyed_window_functions
+
+    _quiet()
+
+    def mk(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "w": eid % 1000,
+            }
+        )
+
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    ).map_batches(mk, batch_format="pyarrow")
+    out = keyed_window_functions(
+        ev,
+        key_col="user_id",
+        order_cols=["ts_us", "event_id"],
+        max_col="w",
+    ).to_pandas()
+    out = out[["event_id", "w", "run_max", "drawdown"]].astype(
+        {c: np.int64 for c in ["event_id", "w", "run_max", "drawdown"]}
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_burst_days(sf_dir: str):
     """3-sigma burst days per user — anomaly detection with EXACT
     integer arithmetic: a day's count c bursts when c*m - S1 > 0 and
@@ -4967,6 +5007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_gini": _q_user_gini,
         "activity_spikes": _q_activity_spikes,
         "burst_days": _q_burst_days,
+        "user_running_max": _q_user_running_max,
         "last_touch": _q_last_touch,
         "canonical_docs": _q_canonical_docs,
         "journey_counts": _q_journey_counts,
@@ -6850,6 +6891,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, n, ssq,
                    CAST(n*n - ssq AS DOUBLE) / CAST(n*n AS DOUBLE) AS gini
             FROM a ORDER BY user_id
+        """,
+        "user_running_max": """
+            WITH e AS (
+                SELECT event_id, user_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                       event_id % 1000 AS w
+                FROM events
+            )
+            SELECT event_id, w,
+                   CAST(MAX(w) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS run_max,
+                   CAST(MAX(w) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) - w AS BIGINT) AS drawdown
+            FROM e ORDER BY event_id
         """,
         "burst_days": """
             WITH d AS (

@@ -61,6 +61,7 @@ def keyed_window_functions(
     rank_cols: list[str] | None = None,
     ntile: int | None = None,
     roll_rows: int | None = None,
+    max_col: str | None = None,
     partitions: int = DEFAULT_WINFUN_PARTITIONS,
 ):
     """Append per-key ordered window columns to ``ds``.
@@ -88,6 +89,9 @@ def keyed_window_functions(
       ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW — the fixed-depth
       smoothing window; exact int64, one cumsum + one clamped gather, no
       per-row loop.
+    - ``run_max`` / ``drawdown`` (if ``max_col``): running MAX(max_col)
+      over ROWS UNBOUNDED PRECEDING and its gap to the current value —
+      the peak/drawdown analytics pair; exact int64.
     - ``ntile`` (if ``ntile=t``): NTILE(t) over the full window order —
       standard SQL bucketing (first ``cnt % t`` buckets get one extra
       row), vectorized off group sizes; needs no second pass because each
@@ -101,6 +105,8 @@ def keyed_window_functions(
     int_cols = list(order_cols)
     if sum_col is not None and sum_col not in int_cols:
         int_cols.append(sum_col)
+    if max_col is not None and max_col not in int_cols:
+        int_cols.append(max_col)
     if lag_col is not None and lag_col not in int_cols:
         int_cols.append(lag_col)
     if dense_rank_cols is not None and (
@@ -140,6 +146,13 @@ def keyed_window_functions(
         start = np.maximum.accumulate(np.where(new, idx, 0))
         out = g.iloc[order].reset_index(drop=True)
         out["rn"] = idx - start + 1
+        if max_col is not None:
+            # running MAX(max_col) + drawdown (run_max - current): the
+            # peak-tracking window — one C-level grouped cummax
+            mv = out[max_col].to_numpy(np.int64)
+            rm = pd.Series(mv).groupby(cs).cummax().to_numpy(np.int64)
+            out["run_max"] = rm
+            out["drawdown"] = rm - mv
         if sum_col is not None:
             v = out[sum_col].to_numpy(np.int64)
             c = np.cumsum(v)

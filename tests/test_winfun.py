@@ -440,3 +440,36 @@ def test_last_match_before_bruteforce(ray_session):
         )
         assert len(out) == len(ref)
         assert out["attr_id"].tolist() == [ref[r] for r in out["rid"]]
+
+
+def test_run_max_drawdown_bruteforce(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.winfun import keyed_window_functions
+
+    rng = np.random.default_rng(131)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 10, n).astype(np.int64),
+            "o": rng.permutation(n).astype(np.int64),
+            "v": rng.integers(-50, 50, n).astype(np.int64),
+        }
+    )
+    ref = {}
+    for _, sub in df.groupby("u"):
+        cm = -10**9
+        for row in sub.sort_values("o").itertuples():
+            cm = max(cm, row.v)
+            ref[row.o] = (cm, cm - row.v)
+    out = keyed_window_functions(
+        rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        .repartition(6),
+        key_col="u",
+        order_cols=["o"],
+        max_col="v",
+        partitions=4,
+    ).to_pandas()
+    for row in out.itertuples():
+        assert (row.run_max, row.drawdown) == ref[row.o]
