@@ -3444,6 +3444,66 @@ def _q_journey_counts(sf_dir: str):
     return out.sort_values("journey").reset_index(drop=True)
 
 
+def _q_orders_recon(sf_dir: str):
+    """Cross-table key reconciliation — the data-integrity primitive
+    every ingestion pipeline runs: distinct o_orderkey vs distinct
+    l_orderkey, counted as only-left / only-right / both. Map-side
+    distinct combiners on each side, side-tagged union, ONE keyed
+    exchange whose per-partition presence flags ADD (each key lives in
+    exactly one partition), partitions-sized driver finish. Exact
+    int64."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    _quiet()
+
+    def side(col: str, tag: int):
+        def fn(t: pa.Table) -> pa.Table:
+            k = np.unique(
+                t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            return pa.table(
+                {
+                    "k": pa.array(k, pa.int64()),
+                    "s": pa.array(np.full(len(k), tag, np.int64)),
+                }
+            )
+
+        return fn
+
+    left = rd.read_parquet(
+        str(Path(sf_dir) / "orders.parquet"), columns=["o_orderkey"]
+    ).map_batches(side("o_orderkey", 1), batch_format="pyarrow")
+    right = rd.read_parquet(
+        str(Path(sf_dir) / "lineitem.parquet"), columns=["l_orderkey"]
+    ).map_batches(side("l_orderkey", 2), batch_format="pyarrow")
+
+    def summarize(g: pd.DataFrame) -> pd.DataFrame:
+        # sides are 1/2 bit flags; per-key OR == sum of the DISTINCT
+        # (k, s) pairs — fully vectorized
+        m = g.drop_duplicates(["k", "s"]).groupby("k")["s"].sum()
+        vc = m.value_counts()
+        return pd.DataFrame(
+            {
+                "n_only_orders": np.array([int(vc.get(1, 0))], np.int64),
+                "n_only_lineitem": np.array([int(vc.get(2, 0))], np.int64),
+                "n_both": np.array([int(vc.get(3, 0))], np.int64),
+            }
+        )
+
+    parts = keyed_hash_agg(
+        left.union(right),
+        lambda b: b.column("k").to_numpy(zero_copy_only=False).view(np.uint64),
+        summarize,
+        partitions=16,
+    ).to_pandas()
+    out = pd.DataFrame(
+        {c: np.array([int(parts[c].sum())], np.int64) for c in parts.columns}
+    )
+    return out
+
+
 def _q_user_running_max(sf_dir: str):
     """Per-user running maximum + drawdown of an integer signal
     (stages/winfun.keyed_window_functions max_col option): the
@@ -5008,6 +5068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_spikes": _q_activity_spikes,
         "burst_days": _q_burst_days,
         "user_running_max": _q_user_running_max,
+        "orders_recon": _q_orders_recon,
         "last_touch": _q_last_touch,
         "canonical_docs": _q_canonical_docs,
         "journey_counts": _q_journey_counts,
@@ -6891,6 +6952,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, n, ssq,
                    CAST(n*n - ssq AS DOUBLE) / CAST(n*n AS DOUBLE) AS gini
             FROM a ORDER BY user_id
+        """,
+        "orders_recon": """
+            WITH l AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+            r AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+            f AS (
+                SELECT COALESCE(l.k, r.k) AS k,
+                       CASE WHEN l.k IS NOT NULL THEN 1 ELSE 0 END
+                       + CASE WHEN r.k IS NOT NULL THEN 2 ELSE 0 END AS s
+                FROM l FULL OUTER JOIN r ON l.k = r.k
+            )
+            SELECT
+                CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_only_orders,
+                CAST(SUM(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_only_lineitem,
+                CAST(SUM(CASE WHEN s = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_both
+            FROM f
         """,
         "user_running_max": """
             WITH e AS (
