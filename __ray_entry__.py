@@ -3444,6 +3444,70 @@ def _q_journey_counts(sf_dir: str):
     return out.sort_values("journey").reset_index(drop=True)
 
 
+def _q_conversion_latency(sf_dir: str):
+    """View-to-purchase conversion latency quantiles: per user, first
+    'view' timestamp v0 and the first 'purchase' at-or-after it — one
+    hash(user) exchange + vectorized per-segment min scans — then the
+    global exact quantile_disc of the floor-divided latency seconds
+    (stages/sketch.int_quantiles). The funnel-analytics composition,
+    exact int end-to-end."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+    from abwcf_ray.stages.sketch import int_quantiles
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "is_view": pc.cast(
+                    pc.equal(t.column("event_type"), pa.scalar("view")),
+                    pa.int64(),
+                ),
+                "is_pur": pc.cast(
+                    pc.equal(t.column("event_type"), pa.scalar("purchase")),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def latencies(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"latency_s": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        iv = g[g["is_view"] == 1].groupby("user_id")["ts_us"].min()
+        p = g[g["is_pur"] == 1][["user_id", "ts_us"]].copy()
+        if p.empty or iv.empty:
+            return empty
+        p["v0"] = p["user_id"].map(iv)
+        p = p[p["v0"].notna() & (p["ts_us"] >= p["v0"])]
+        if p.empty:
+            return empty
+        p0 = p.groupby("user_id").agg(p0=("ts_us", "min"), v0=("v0", "min"))
+        lat = (
+            (p0["p0"].to_numpy(np.int64) - p0["v0"].to_numpy(np.int64))
+            // 1_000_000
+        )
+        return pd.DataFrame({"latency_s": lat.astype(np.int64)})
+
+    lat_ds = keyed_hash_agg(
+        ev,
+        lambda b: b.column("user_id")
+        .to_numpy(zero_copy_only=False)
+        .view(np.uint64),
+        latencies,
+        partitions=16,
+    )
+    return int_quantiles(lat_ds, col="latency_s", qs=[0.5, 0.9, 0.99])
+
+
 def _q_orders_recon(sf_dir: str):
     """Cross-table key reconciliation — the data-integrity primitive
     every ingestion pipeline runs: distinct o_orderkey vs distinct
@@ -5069,6 +5133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_days": _q_burst_days,
         "user_running_max": _q_user_running_max,
         "orders_recon": _q_orders_recon,
+        "conversion_latency": _q_conversion_latency,
         "last_touch": _q_last_touch,
         "canonical_docs": _q_canonical_docs,
         "journey_counts": _q_journey_counts,
@@ -6952,6 +7017,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, n, ssq,
                    CAST(n*n - ssq AS DOUBLE) / CAST(n*n AS DOUBLE) AS gini
             FROM a ORDER BY user_id
+        """,
+        "conversion_latency": """
+            WITH e AS (
+                SELECT user_id, event_type,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                FROM events
+            ),
+            v AS (
+                SELECT user_id, MIN(ts_us) AS v0 FROM e
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            p AS (
+                SELECT e.user_id, MIN(e.ts_us) AS p0, MIN(v.v0) AS v0
+                FROM e JOIN v USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts_us >= v.v0
+                GROUP BY e.user_id
+            ),
+            lat AS (SELECT (p0 - v0) // 1000000 AS latency_s FROM p),
+            a AS (
+                SELECT quantile_disc(latency_s, 0.5) AS q50,
+                       quantile_disc(latency_s, 0.9) AS q90,
+                       quantile_disc(latency_s, 0.99) AS q99
+                FROM lat
+            )
+            SELECT CAST(50 AS BIGINT) AS q_pct, CAST(q50 AS BIGINT) AS value
+            FROM a
+            UNION ALL SELECT CAST(90 AS BIGINT), CAST(q90 AS BIGINT) FROM a
+            UNION ALL SELECT CAST(99 AS BIGINT), CAST(q99 AS BIGINT) FROM a
+            ORDER BY q_pct
         """,
         "orders_recon": """
             WITH l AS (SELECT DISTINCT o_orderkey AS k FROM orders),
