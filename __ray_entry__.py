@@ -3444,6 +3444,133 @@ def _q_journey_counts(sf_dir: str):
     return out.sort_values("journey").reset_index(drop=True)
 
 
+def _q_vocab_growth(sf_dir: str):
+    """Vocabulary growth curve (the Heaps'-law corpus statistic): how
+    many distinct tokens exist among the first 25/50/75/100%% of docs
+    (by doc_id) — computed as ONE pass: per-token MIN(doc_id) via
+    map-side (token, min-doc) combiners + one keyed merge (exchange
+    O(vocabulary)), then each token counts toward every checkpoint its
+    first doc precedes. Exact int64."""
+    import ray.data as rd
+
+    from abwcf_ray.functions.hashing import hash64
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    _quiet()
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+    cps = [
+        (n_docs * 25) // 100,
+        (n_docs * 50) // 100,
+        (n_docs * 75) // 100,
+        n_docs,
+    ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        words, mins = [], []
+        agg: dict = {}
+        for i, tx in zip(ids, texts):
+            for w in (tx or "").split():
+                prev = agg.get(w)
+                if prev is None or i < prev:
+                    agg[w] = i
+        for w, i in agg.items():
+            words.append(w)
+            mins.append(i)
+        return pa.table(
+            {
+                "w": pa.array(words, pa.string()),
+                "min_doc": pa.array(np.array(mins, np.int64)),
+            }
+        )
+
+    firsts = keyed_hash_agg(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        lambda b: hash64(b.column("w")),
+        lambda g: g.groupby("w", as_index=False)["min_doc"]
+        .min()
+        .astype({"min_doc": np.int64}),
+        partitions=16,
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        md = t.column("min_doc").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        rows = []
+        for cp in cps:
+            rows.append((int(cp), int((md < cp).sum())))
+        return pa.table(
+            {
+                "first_docs": pa.array([r[0] for r in rows], pa.int64()),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+
+    parts = firsts.map_batches(bucketize, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("first_docs", as_index=False)["n"].sum().rename(
+        columns={"n": "n_distinct_tokens"}
+    )
+    out["n_distinct_tokens"] = out["n_distinct_tokens"].astype(np.int64)
+    return out.sort_values("first_docs").reset_index(drop=True)
+
+
+def _q_order_size_hist(sf_dir: str):
+    """Order-fanout histogram — the join-cardinality profile every
+    planner wants: lineitems per order (keyed count), then orders per
+    fanout size (second tiny keyed count). Exact int64, two
+    combiner-bounded exchanges."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    _quiet()
+    li = rd.read_parquet(
+        str(Path(sf_dir) / "lineitem.parquet"), columns=["l_orderkey"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        k, c = np.unique(
+            t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            ),
+            return_counts=True,
+        )
+        return pa.table(
+            {"k": pa.array(k, pa.int64()), "c": pa.array(c.astype(np.int64))}
+        )
+
+    per_order = keyed_hash_agg(
+        li.map_batches(partial, batch_format="pyarrow"),
+        lambda b: b.column("k").to_numpy(zero_copy_only=False).view(np.uint64),
+        lambda g: g.groupby("k", as_index=False)["c"].sum().astype(
+            {"c": np.int64}
+        ),
+        partitions=16,
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        s, n = np.unique(
+            t.column("c").to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "n_items": pa.array(s, pa.int64()),
+                "n_orders": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    parts = per_order.map_batches(hist, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("n_items", as_index=False)["n_orders"].sum()
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.sort_values("n_items").reset_index(drop=True)
+
+
 def _q_conversion_latency(sf_dir: str):
     """View-to-purchase conversion latency quantiles: per user, first
     'view' timestamp v0 and the first 'purchase' at-or-after it — one
@@ -5134,6 +5261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_max": _q_user_running_max,
         "orders_recon": _q_orders_recon,
         "conversion_latency": _q_conversion_latency,
+        "vocab_growth": _q_vocab_growth,
+        "order_size_hist": _q_order_size_hist,
         "last_touch": _q_last_touch,
         "canonical_docs": _q_canonical_docs,
         "journey_counts": _q_journey_counts,
@@ -7017,6 +7146,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, n, ssq,
                    CAST(n*n - ssq AS DOUBLE) / CAST(n*n AS DOUBLE) AS gini
             FROM a ORDER BY user_id
+        """,
+        "vocab_growth": """
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+                FROM documents
+            ),
+            f AS (SELECT w, MIN(doc_id) AS md FROM tok GROUP BY w),
+            n AS (SELECT COUNT(*) AS nd FROM documents),
+            cp AS (
+                SELECT CAST(nd * 25 // 100 AS BIGINT) AS c FROM n
+                UNION ALL SELECT CAST(nd * 50 // 100 AS BIGINT) FROM n
+                UNION ALL SELECT CAST(nd * 75 // 100 AS BIGINT) FROM n
+                UNION ALL SELECT CAST(nd AS BIGINT) FROM n
+            )
+            SELECT cp.c AS first_docs,
+                   CAST(SUM(CASE WHEN f.md < cp.c THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_distinct_tokens
+            FROM cp CROSS JOIN f
+            GROUP BY cp.c ORDER BY first_docs
+        """,
+        "order_size_hist": """
+            WITH per AS (
+                SELECT l_orderkey, COUNT(*) AS c
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT CAST(c AS BIGINT) AS n_items,
+                   COUNT(*) AS n_orders
+            FROM per GROUP BY c ORDER BY n_items
         """,
         "conversion_latency": """
             WITH e AS (
