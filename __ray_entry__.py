@@ -3467,26 +3467,21 @@ def _q_vocab_growth(sf_dir: str):
     ]
 
     def partial(t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
+        texts = [tx or "" for tx in t.column("text").to_pylist()]
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
             np.int64
         )
-        words, mins = [], []
-        agg: dict = {}
-        for i, tx in zip(ids, texts):
-            for w in (tx or "").split():
-                prev = agg.get(w)
-                if prev is None or i < prev:
-                    agg[w] = i
-        for w, i in agg.items():
-            words.append(w)
-            mins.append(i)
-        return pa.table(
-            {
-                "w": pa.array(words, pa.string()),
-                "min_doc": pa.array(np.array(mins, np.int64)),
-            }
+        tok_lists = [tx.split() for tx in texts]
+        lens = np.array([len(x) for x in tok_lists], np.int64)
+        flat = [w for ts in tok_lists for w in ts]
+        did = np.repeat(ids, lens)
+        g = (
+            pd.DataFrame({"w": flat, "min_doc": did})
+            .groupby("w", as_index=False, sort=False)["min_doc"]
+            .min()
         )
+        g["min_doc"] = g["min_doc"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     firsts = keyed_hash_agg(
         docs.map_batches(partial, batch_format="pyarrow"),
