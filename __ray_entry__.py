@@ -3444,6 +3444,46 @@ def _q_journey_counts(sf_dir: str):
     return out.sort_values("journey").reset_index(drop=True)
 
 
+def _q_label_dim_medians(sf_dir: str):
+    """ROBUST per-(label, dim) centroid: the continuous MEDIAN of each
+    quantized embedding component (outlier-immune alternative to the
+    mean centroid) — stages/sketch.group_median_cont on a packed
+    (label * dims + dim) composite key, unpacked after; the (a+b)*0.5
+    dyadic midpoint keeps the float hash-exact."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.sketch import group_median_cont
+
+    _quiet()
+    emb = rd.read_parquet(str(Path(sf_dir) / "embeddings.parquet"))
+    DIMS = 64
+
+    def explode(t: pa.Table) -> pa.Table:
+        pl = t.column("embedding")
+        if isinstance(pl, pa.ChunkedArray):
+            pl = pl.combine_chunks()
+        X = np.asarray(pl.flatten().to_numpy(zero_copy_only=False)).reshape(
+            -1, DIMS
+        )
+        q = np.floor(X.astype(np.float64) * 16384.0).astype(np.int64)
+        lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = np.repeat(lab, DIMS) * DIMS + np.tile(
+            np.arange(DIMS, dtype=np.int64), len(lab)
+        )
+        return pa.table({"g": pa.array(g), "q": pa.array(q.ravel())})
+
+    out = group_median_cont(
+        emb.map_batches(explode, batch_format="pyarrow"),
+        group_col="g",
+        col="q",
+        merge_partitions=16,
+    ).to_pandas()
+    out["label"] = (out["g"] // DIMS).astype(np.int64)
+    out["dim"] = (out["g"] % DIMS).astype(np.int64)
+    out = out[["label", "dim", "n", "med_cont"]]
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
 def _q_vocab_growth(sf_dir: str):
     """Vocabulary growth curve (the Heaps'-law corpus statistic): how
     many distinct tokens exist among the first 25/50/75/100%% of docs
@@ -5256,6 +5296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_max": _q_user_running_max,
         "orders_recon": _q_orders_recon,
         "conversion_latency": _q_conversion_latency,
+        "label_dim_medians": _q_label_dim_medians,
         "vocab_growth": _q_vocab_growth,
         "order_size_hist": _q_order_size_hist,
         "last_touch": _q_last_touch,
@@ -7141,6 +7182,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, n, ssq,
                    CAST(n*n - ssq AS DOUBLE) / CAST(n*n AS DOUBLE) AS gini
             FROM a ORDER BY user_id
+        """,
+        "label_dim_medians": """
+            WITH x AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                           AS dim,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                  * 16384.0) AS BIGINT) AS q
+                FROM embeddings
+            )
+            SELECT label, dim, COUNT(*) AS n,
+                   quantile_cont(q, 0.5) AS med_cont
+            FROM x GROUP BY label, dim
+            ORDER BY label, dim
         """,
         "vocab_growth": """
             WITH tok AS (
