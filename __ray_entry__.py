@@ -3444,6 +3444,34 @@ def _q_journey_counts(sf_dir: str):
     return out.sort_values("journey").reset_index(drop=True)
 
 
+def _q_snm_pairs(sf_dir: str):
+    """Sorted-neighborhood (merge/purge) dedup join
+    (stages/simjoin.sorted_neighborhood_join): the THIRD candidate
+    scheme next to LSH and prefix filtering — exact global rank on an
+    8-byte lexicographic text key, window-10 rank pairs, exact
+    shingle-Jaccard verify through the shared router. The oracle pins
+    BOTH the blocking definition (ROW_NUMBER + rank-distance join) and
+    the verification stats."""
+    from abwcf_ray.stages.simjoin import sorted_neighborhood_join
+
+    _quiet()
+    out = sorted_neighborhood_join(
+        _docs(sf_dir, ["doc_id", "text"]),
+        window=10,
+        threshold_num=3,
+        threshold_den=10,
+        shingle_k=3,
+    ).to_pandas()
+    if "shared" not in out.columns:
+        out = pd.DataFrame(
+            {
+                c: pd.Series([], dtype=np.int64)
+                for c in ["src", "dst", "shared", "size_a", "size_b"]
+            }
+        ).assign(jaccard=pd.Series([], dtype=np.float64))
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
 def _q_label_dim_medians(sf_dir: str):
     """ROBUST per-(label, dim) centroid: the continuous MEDIAN of each
     quantized embedding component (outlier-immune alternative to the
@@ -5296,6 +5324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_max": _q_user_running_max,
         "orders_recon": _q_orders_recon,
         "conversion_latency": _q_conversion_latency,
+        "snm_pairs": _q_snm_pairs,
         "label_dim_medians": _q_label_dim_medians,
         "vocab_growth": _q_vocab_growth,
         "order_size_hist": _q_order_size_hist,
@@ -7182,6 +7211,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, n, ssq,
                    CAST(n*n - ssq AS DOUBLE) / CAST(n*n AS DOUBLE) AS gini
             FROM a ORDER BY user_id
+        """,
+        "snm_pairs": r"""
+            WITH k AS (
+                SELECT doc_id, text, ascii(substr(text, 1, 1)) * 72057594037927936 + ascii(substr(text, 2, 1)) * 281474976710656 + ascii(substr(text, 3, 1)) * 1099511627776 + ascii(substr(text, 4, 1)) * 4294967296 + ascii(substr(text, 5, 1)) * 16777216 + ascii(substr(text, 6, 1)) * 65536 + ascii(substr(text, 7, 1)) * 256 + ascii(substr(text, 8, 1)) * 1 AS skey
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS rnk
+                FROM k
+            ),
+            cand AS (
+                SELECT LEAST(a.doc_id, b.doc_id) AS src,
+                       GREATEST(a.doc_id, b.doc_id) AS dst
+                FROM r a JOIN r b
+                     ON b.rnk > a.rnk AND b.rnk - a.rnk < 10
+            ),
+            t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS l
+                  FROM documents),
+            s AS (
+                SELECT doc_id,
+                       unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                               FOR i IN generate_series(1, len(l)-2)]) AS sh
+                FROM t
+            ),
+            tok AS (SELECT DISTINCT doc_id, sh FROM s),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+            p AS (
+                SELECT c.src, c.dst, COUNT(*) AS shared
+                FROM cand c
+                JOIN tok a ON a.doc_id = c.src
+                JOIN tok b ON b.doc_id = c.dst AND b.sh = a.sh
+                GROUP BY c.src, c.dst
+            )
+            SELECT src, dst, shared, sa.n AS size_a, sb.n AS size_b,
+                   CAST(shared AS DOUBLE)
+                       / CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+            FROM p JOIN sz sa ON sa.doc_id = src
+                   JOIN sz sb ON sb.doc_id = dst
+            WHERE 10 * shared >= 3 * (sa.n + sb.n - shared)
+            ORDER BY src, dst
         """,
         "label_dim_medians": """
             WITH x AS (

@@ -229,6 +229,24 @@ def similarity_join(
         partitions=merge_partitions,
     )
 
+    return verify_edges_distributed(
+        cand,
+        payload_ds,
+        None,
+        payload_type=_PAYLOAD_TYPE,
+        id_col=id_col,
+        merge_partitions=merge_partitions,
+        emit_fn=make_jaccard_stats_emit(tn, td),
+    )
+
+
+def make_jaccard_stats_emit(tn: int, td: int):
+    """emit_fn for ``verify_edges_distributed``: per-pair exact overlap
+    statistics (shared / size_a / size_b) via ONE flat lexsort over the
+    partition's (pair, hash, side) triples, kept iff
+    td*shared >= tn*union, jaccard one IEEE division. Shared by the
+    prefix-filter and sorted-neighborhood joins."""
+
     def emit(m: pd.DataFrame) -> pd.DataFrame:
         cols = ["src", "dst", "shared", "size_a", "size_b"]
         if m.empty:
@@ -273,6 +291,132 @@ def similarity_join(
         ).astype(np.float64)
         return out
 
+    return emit
+
+
+def sorted_neighborhood_join(
+    ds,
+    *,
+    window: int,
+    threshold_num: int,
+    threshold_den: int,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merge_partitions: int = DEDUP_MERGE_PARTITIONS,
+):
+    """SORTED-NEIGHBORHOOD blocking join (Hernandez & Stolfo's
+    merge/purge) — the THIRD candidate scheme of the dedup family
+    (LSH = probabilistic, prefix filter = complete, SNM = locality):
+    docs are globally ranked by a lexicographic sort key (the first 8
+    bytes of the text as a big-endian integer — order-preserving for
+    ASCII; contract: texts >= 8 chars, ASCII-clean, as this fixture
+    guarantees), every pair within ``window`` ranks becomes a
+    candidate, and candidates verify by EXACT shingle-Jaccard stats
+    through the shared ``verify_edges_distributed`` router.
+
+    The candidate set is DEFINED by the window (SQL mirrors it with
+    ROW_NUMBER + a rank-distance self-join, so the oracle pins both
+    the blocking and the verification); recall vs the complete join is
+    the scheme's documented trade — near-dups that sort far apart are
+    missed, which is why production runs multi-pass SNM with rotated
+    keys.
+
+    Distributed shape: exact global rank (the TeraSort-shaped
+    histogram + range exchange in stages/rank), each row emitted to
+    its rank-block and the next (any pair within ``window`` < block
+    size shares a block), per-block vectorized pair explode, pair
+    dedupe, shared verify. Returns (src, dst, shared, size_a, size_b,
+    jaccard) with src < dst by id.
+    """
+    from abwcf_ray.stages.rank import global_rank
+
+    tn, td = int(threshold_num), int(threshold_den)
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    W = int(window)
+
+    payload_ds = ds.map_batches(
+        _shingle_payload_stage(shingle_k, text_col, id_col),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def sort_key(t: pa.Table) -> pa.Table:
+        texts = [x or "" for x in t.column(text_col).to_pylist()]
+        keys = np.fromiter(
+            (
+                int.from_bytes(x.encode("utf-8")[:8].ljust(8, b"\x00"), "big")
+                for x in texts
+            ),
+            np.uint64,
+            len(texts),
+        ).view(np.int64)
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                "skey": pa.array(keys),
+            }
+        )
+
+    ranked = global_rank(
+        ds.map_batches(sort_key, batch_format="pyarrow"),
+        key_col="skey",
+        id_col=id_col,
+    )
+
+    def to_blocks(t: pa.Table) -> pa.Table:
+        r = t.column("rank").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        blk = r // W
+        return pa.table(
+            {
+                "blk": pa.array(np.concatenate([blk, blk + 1])),
+                "r": pa.array(np.concatenate([r, r])),
+                "doc": pa.array(np.concatenate([ids, ids])),
+            }
+        )
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        e = pd.Series([], dtype=np.int64)
+        if len(g) < 2:
+            return pd.DataFrame({"src": e, "dst": e})
+        g = g.drop_duplicates(["blk", "r"]).sort_values(
+            ["blk", "r"], kind="mergesort"
+        )
+        blk = g["blk"].to_numpy(np.int64)
+        r = g["r"].to_numpy(np.int64)
+        doc = g["doc"].to_numpy(np.int64)
+        new = np.empty(len(g), bool)
+        new[0] = True
+        new[1:] = blk[1:] != blk[:-1]
+        seg_start = np.flatnonzero(new)
+        seg_len = np.diff(np.append(seg_start, len(g)))
+        ai, bi = segment_pair_indices(seg_start, seg_len)
+        keep = (r[bi] - r[ai]) < W
+        lo = np.minimum(doc[ai][keep], doc[bi][keep])
+        hi = np.maximum(doc[ai][keep], doc[bi][keep])
+        return pd.DataFrame({"src": lo, "dst": hi}).drop_duplicates()
+
+    cand = keyed_hash_agg(
+        ranked.map_batches(to_blocks, batch_format="pyarrow"),
+        lambda b: b.column("blk").to_numpy(zero_copy_only=False).view(
+            np.uint64
+        )
+        * _GOLD,
+        block_pairs,
+        partitions=merge_partitions,
+    )
+    cand = keyed_hash_agg(
+        cand,
+        lambda b: (
+            b.column("src").to_numpy(zero_copy_only=False).view(np.uint64)
+            * _GOLD
+            ^ b.column("dst").to_numpy(zero_copy_only=False).view(np.uint64)
+        ),
+        lambda g: g.drop_duplicates(["src", "dst"]),
+        partitions=merge_partitions,
+    )
+
     return verify_edges_distributed(
         cand,
         payload_ds,
@@ -280,5 +424,5 @@ def similarity_join(
         payload_type=_PAYLOAD_TYPE,
         id_col=id_col,
         merge_partitions=merge_partitions,
-        emit_fn=emit,
+        emit_fn=make_jaccard_stats_emit(tn, td),
     )

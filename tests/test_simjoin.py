@@ -120,3 +120,49 @@ def test_similarity_join_threshold_one_is_exact_set_equality(ray_session):
     )
     assert out[["src", "dst"]].values.tolist() == [[0, 1]]
     assert out["jaccard"].tolist() == [1.0]
+
+
+def test_sorted_neighborhood_join_subset_of_complete(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from abwcf_ray.stages.simjoin import sorted_neighborhood_join
+
+    rng = np.random.default_rng(137)
+    # near-dups built by PREFIX-preserving mutation (mutate a late token)
+    # sort adjacently, so a window catches them
+    words = [f"w{i}" for i in range(10)]
+    texts = []
+    for _ in range(40):
+        texts.append(" ".join(rng.choice(words, 12)))
+    for i in range(20):
+        base = texts[i].split()
+        base[-1] = words[int(rng.integers(0, 10))]
+        texts.append(" ".join(base))
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    complete = _brute(df, 3, 2, 5)
+    out = sorted_neighborhood_join(
+        rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        .repartition(4),
+        window=8,
+        threshold_num=2,
+        threshold_den=5,
+        shingle_k=3,
+        merge_partitions=8,
+    ).to_pandas()
+    if "shared" not in out.columns:
+        out = complete.iloc[:0]
+    out = out.sort_values(["src", "dst"]).reset_index(drop=True)
+    # every SNM pair is a TRUE pair with exact stats (soundness)...
+    comp_idx = complete.set_index(["src", "dst"])
+    for row in out.itertuples():
+        ref = comp_idx.loc[(row.src, row.dst)]
+        assert (row.shared, row.size_a, row.size_b) == (
+            ref["shared"], ref["size_a"], ref["size_b"]
+        )
+        assert row.jaccard == ref["jaccard"]
+    # ...and the prefix-preserving mutations give high (not guaranteed
+    # total) recall
+    assert len(out) >= 0.5 * len(complete) > 0
