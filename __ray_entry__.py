@@ -2615,6 +2615,49 @@ def _q_group_corr(sf_dir: str):
     )
 
 
+def _q_group_regression(sf_dir: str):
+    """Per-event-type OLS fit of spend (cents) on hour-of-day
+    (stages/stats.group_regression): the group_corr moment exchange
+    reused, with slope/intercept/r2 each a fixed short IEEE expression
+    over exact int64 moments — the oracle mirrors the expressions
+    bit-for-bit (NOT regr_slope()/regr_intercept()/regr_r2())."""
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_regression
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+
+    def ints(t):
+        hour = pc.hour(t.column("ts")).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        cents = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "x": pa.array(hour, pa.int64()),
+                "y": pa.array(cents, pa.int64()),
+            }
+        )
+
+    out = group_regression(
+        ev.map_batches(ints, batch_format="pyarrow"),
+        group_cols=["event_type"],
+        x_col="x",
+        y_col="y",
+    ).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def _q_host_mad(sf_dir: str):
     """Per-host median + median-absolute-deviation of document length
     (stages/sketch.group_mad): both statistics off ONE sparse-histogram
@@ -5288,6 +5331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_clusters": _q_fuzzy_clusters,
         "group_covariance": _q_group_covariance,
         "group_corr": _q_group_corr,
+        "group_regression": _q_group_regression,
         "host_mad": _q_host_mad,
         "price_wmedian": _q_price_wmedian,
         "group_mode": _q_group_mode,
@@ -7951,6 +7995,37 @@ def oracle_sql() -> dict[str, str]:
                        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
                               * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
             FROM m ORDER BY l_returnflag, l_linestatus
+        """,
+        "group_regression": """
+            WITH t AS (
+                SELECT event_type,
+                       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+                       CAST(FLOOR(value * 100) AS BIGINT) AS y
+                FROM events
+            ),
+            m AS (
+                SELECT event_type,
+                       COUNT(*) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx,
+                       CAST(SUM(y * y) AS BIGINT) AS syy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy
+                FROM t GROUP BY event_type
+            )
+            SELECT event_type, n, sx, sy, sxx, syy, sxy,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                   (CAST(sy AS DOUBLE)
+                        - (CAST(n * sxy - sx * sy AS DOUBLE)
+                               / CAST(n * sxx - sx * sx AS DOUBLE))
+                          * CAST(sx AS DOUBLE))
+                       / CAST(n AS DOUBLE) AS intercept,
+                   (CAST(n * sxy - sx * sy AS DOUBLE)
+                        * CAST(n * sxy - sx * sy AS DOUBLE))
+                       / (CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+            FROM m ORDER BY event_type
         """,
         "host_mad": """
             WITH d AS (

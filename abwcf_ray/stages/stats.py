@@ -282,7 +282,7 @@ _CORR_AGGS = {
 }
 
 
-def group_corr(
+def _second_moment_merge(
     ds,
     *,
     group_cols: list[str],
@@ -290,20 +290,11 @@ def group_corr(
     y_col: str,
     merge_partitions: int = 64,
 ):
-    """Per-group Pearson correlation of integer columns: returns
-    ``group_cols + [n, sx, sy, sxx, syy, sxy, corr]``. Same one-exchange
-    moment shape as :func:`group_cov`, with the extra second moments.
-
-    corr = (n·Σxy − Σx·Σy) / sqrt((n·Σxx − Σx²) · (n·Σyy − Σy²))
-
-    computed as EXACT int64 numerator/moment terms followed by exactly
-    three IEEE operations — one multiply, one sqrt (correctly rounded by
-    IEEE 754), one divide — in that order, so the SQL oracle reproduces
-    the float bit-for-bit by writing the identical expression (NOT
-    corr(), whose streaming update rounds differently). NaN when either
-    variance term is zero (then the numerator is too — Cauchy–Schwarz —
-    so 0/0 on both sides). Caller bound: every moment term under 2^63.
-    """
+    """Shared moment pipeline for :func:`group_corr` /
+    :func:`group_regression`: map-side combiner of the six exact int64
+    second-moment terms (n, Σx, Σy, Σx², Σy², Σxy) per group, then ONE
+    keyed-partition exchange of the partials — O(distinct groups) on
+    the wire, never O(rows)."""
 
     def partial(t: pa.Table) -> pa.Table:
         x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -326,13 +317,44 @@ def group_corr(
             k = k * np.uint64(0x9E3779B97F4A7C15) ^ hash64(b.column(c))
         return k
 
-    merged = keyed_hash_agg(
+    return keyed_hash_agg(
         ds.map_batches(partial, batch_format="pyarrow"),
         key_of,
         lambda g: g.groupby(group_cols, as_index=False, sort=False).agg(
             **_CORR_AGGS
         ),
         partitions=merge_partitions,
+    )
+
+
+def group_corr(
+    ds,
+    *,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    merge_partitions: int = 64,
+):
+    """Per-group Pearson correlation of integer columns: returns
+    ``group_cols + [n, sx, sy, sxx, syy, sxy, corr]``. Same one-exchange
+    moment shape as :func:`group_cov`, with the extra second moments.
+
+    corr = (n·Σxy − Σx·Σy) / sqrt((n·Σxx − Σx²) · (n·Σyy − Σy²))
+
+    computed as EXACT int64 numerator/moment terms followed by exactly
+    three IEEE operations — one multiply, one sqrt (correctly rounded by
+    IEEE 754), one divide — in that order, so the SQL oracle reproduces
+    the float bit-for-bit by writing the identical expression (NOT
+    corr(), whose streaming update rounds differently). NaN when either
+    variance term is zero (then the numerator is too — Cauchy–Schwarz —
+    so 0/0 on both sides). Caller bound: every moment term under 2^63.
+    """
+    merged = _second_moment_merge(
+        ds,
+        group_cols=group_cols,
+        x_col=x_col,
+        y_col=y_col,
+        merge_partitions=merge_partitions,
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -348,6 +370,65 @@ def group_corr(
         with np.errstate(divide="ignore", invalid="ignore"):
             corr = num / np.sqrt(d1 * d2)
         return t.append_column("corr", pa.array(corr, pa.float64()))
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def group_regression(
+    ds,
+    *,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    merge_partitions: int = 64,
+):
+    """Per-group ordinary-least-squares fit of integer ``y_col`` on
+    integer ``x_col``: returns ``group_cols + [n, sx, sy, sxx, syy, sxy,
+    slope, intercept, r2]``. Reuses the :func:`group_corr` moment
+    exchange (one keyed exchange of six exact int64 terms per group).
+
+    Float discipline — every output float is a FIXED short IEEE
+    expression over exact int64 moments, so a DuckDB oracle reproduces
+    the bits by writing the identical expressions (NOT regr_slope()/
+    regr_intercept()/regr_r2(), whose streaming updates round
+    differently):
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)        (1 divide)
+        intercept = (Σy − slope·Σx) / n                     (−, ×, ÷)
+        r2        = num² / ((n·Σxx − Σx²)·(n·Σyy − Σy²))    (×, ×, ÷)
+
+    Zero x-variance groups yield NaN/±inf identically on both sides
+    (0/0 or k/0 in the same IEEE op). Caller bound: every moment term —
+    including the n·Σy² cross product — under 2^63; pre-scale wide
+    values (the same contract as :func:`group_corr`).
+    """
+    merged = _second_moment_merge(
+        ds,
+        group_cols=group_cols,
+        x_col=x_col,
+        y_col=y_col,
+        merge_partitions=merge_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = t.column("sx").to_numpy(zero_copy_only=False).astype(np.int64)
+        sy = t.column("sy").to_numpy(zero_copy_only=False).astype(np.int64)
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False).astype(np.int64)
+        syy = t.column("syy").to_numpy(zero_copy_only=False).astype(np.int64)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False).astype(np.int64)
+        num = (n * sxy - sx * sy).astype(np.float64)
+        d1 = (n * sxx - sx * sx).astype(np.float64)
+        d2 = (n * syy - sy * sy).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = num / d1
+            intercept = (
+                sy.astype(np.float64) - slope * sx.astype(np.float64)
+            ) / n.astype(np.float64)
+            r2 = (num * num) / (d1 * d2)
+        t = t.append_column("slope", pa.array(slope, pa.float64()))
+        t = t.append_column("intercept", pa.array(intercept, pa.float64()))
+        return t.append_column("r2", pa.array(r2, pa.float64()))
 
     return merged.map_batches(finish, batch_format="pyarrow")
 

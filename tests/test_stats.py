@@ -257,6 +257,66 @@ def test_group_corr_zero_variance_is_nan(ray_session):
     assert np.isnan(out.loc[0, "corr"])
 
 
+def test_group_regression_matches_reference(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_regression
+
+    rng = np.random.default_rng(47)
+    n = 1500
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["p", "q", "r"], n),
+            "x": rng.integers(0, 50, n).astype(np.int64),
+        }
+    )
+    df["y"] = df["x"] * 3 + 7 + rng.integers(-4, 5, n).astype(np.int64)
+    got = (
+        group_regression(
+            rd.from_pandas(df).repartition(5),
+            group_cols=["g"], x_col="x", y_col="y",
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    for _, r in got.iterrows():
+        sub = df[df["g"] == r["g"]]
+        nn, sx, sy = len(sub), int(sub.x.sum()), int(sub.y.sum())
+        sxx = int((sub.x**2).sum())
+        syy = int((sub.y**2).sum())
+        sxy = int((sub.x * sub.y).sum())
+        num = np.float64(nn * sxy - sx * sy)
+        d1 = np.float64(nn * sxx - sx * sx)
+        d2 = np.float64(nn * syy - sy * sy)
+        slope = num / d1
+        intercept = (np.float64(sy) - slope * np.float64(sx)) / np.float64(nn)
+        r2 = (num * num) / (d1 * d2)
+        assert r["slope"] == slope  # bit-exact
+        assert r["intercept"] == intercept
+        assert r["r2"] == r2
+        # planted line y = 3x + 7 with small noise
+        assert abs(r["slope"] - 3.0) < 0.05
+        assert abs(r["intercept"] - 7.0) < 1.5
+        assert r["r2"] > 0.99
+
+
+def test_group_regression_zero_x_variance(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_regression
+
+    df = pd.DataFrame(
+        {"g": ["a"] * 4, "x": np.array([3, 3, 3, 3], np.int64),
+         "y": np.array([1, 2, 3, 4], np.int64)}
+    )
+    out = group_regression(
+        rd.from_pandas(df), group_cols=["g"], x_col="x", y_col="y"
+    ).to_pandas()
+    assert np.isnan(out.loc[0, "slope"])  # 0/0
+    assert np.isnan(out.loc[0, "r2"])
+
+
 def test_group_ohlc_bruteforce_and_layout_invariance(ray_session):
     import pyarrow as pa
     import ray.data as rd
