@@ -2658,6 +2658,57 @@ def _q_group_regression(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Change-data-capture between two snapshot versions of the
+    documents table (stages/diff.snapshot_diff): old = docs without
+    doc_id%17==0, new = docs without doc_id%11==0 with lang rewritten
+    on %13 and n_chars bumped on %7 — the diff returns exactly the
+    added / removed / changed keys with old/new values side by side
+    (one keyed exchange via the outer equi-join; output is O(churn))."""
+    import pyarrow.compute as pc
+
+    from abwcf_ray.stages.diff import snapshot_diff
+
+    _quiet()
+    docs = _docs(sf_dir, ["doc_id", "lang", "source", "n_chars"])
+
+    def mk_old(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(d % 17 != 0))
+
+    def mk_new(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(d % 11 != 0))
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        lang = pc.if_else(
+            pa.array(d % 13 == 0), pa.scalar("xx"), t.column("lang")
+        )
+        n_chars = pa.array(
+            t.column("n_chars").to_numpy(zero_copy_only=False)
+            + np.where(d % 7 == 0, 5, 0),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": lang,
+                "source": t.column("source"),
+                "n_chars": n_chars,
+            }
+        )
+
+    old = docs.map_batches(mk_old, batch_format="pyarrow")
+    new = docs.map_batches(mk_new, batch_format="pyarrow")
+    out = snapshot_diff(
+        old, new, key="doc_id", compare_cols=["lang", "source", "n_chars"]
+    ).to_pandas()
+    # absent-side ints: sentinel-fill (-1) like the other outer-join
+    # queries so both sides hash as plain int64
+    for c in ("old_n_chars", "new_n_chars"):
+        out[c] = out[c].fillna(-1).astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_host_mad(sf_dir: str):
     """Per-host median + median-absolute-deviation of document length
     (stages/sketch.group_mad): both statistics off ONE sparse-histogram
@@ -5332,6 +5383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_covariance": _q_group_covariance,
         "group_corr": _q_group_corr,
         "group_regression": _q_group_regression,
+        "snapshot_diff": _q_snapshot_diff,
         "host_mad": _q_host_mad,
         "price_wmedian": _q_price_wmedian,
         "group_mode": _q_group_mode,
@@ -8026,6 +8078,38 @@ def oracle_sql() -> dict[str, str]:
                        / (CAST(n * sxx - sx * sx AS DOUBLE)
                               * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
             FROM m ORDER BY event_type
+        """,
+        "snapshot_diff": """
+            WITH old AS (
+                SELECT doc_id, lang, source, n_chars
+                FROM documents WHERE doc_id % 17 <> 0
+            ),
+            new AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 0 THEN 'xx' ELSE lang END
+                           AS lang,
+                       source,
+                       n_chars
+                           + CASE WHEN doc_id % 7 = 0 THEN 5 ELSE 0 END
+                           AS n_chars
+                FROM documents WHERE doc_id % 11 <> 0
+            )
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change,
+                   o.lang AS old_lang,
+                   o.source AS old_source,
+                   COALESCE(o.n_chars, -1) AS old_n_chars,
+                   n.lang AS new_lang,
+                   n.source AS new_source,
+                   COALESCE(n.n_chars, -1) AS new_n_chars
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+            WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+               OR o.lang IS DISTINCT FROM n.lang
+               OR o.source IS DISTINCT FROM n.source
+               OR o.n_chars IS DISTINCT FROM n.n_chars
+            ORDER BY doc_id
         """,
         "host_mad": """
             WITH d AS (
