@@ -2547,6 +2547,36 @@ def _q_resample_ffill(sf_dir: str):
     )
 
 
+def _q_resample_interp(sf_dir: str):
+    """Hourly per-user resample with LINEAR INTERPOLATION across gaps
+    (stages/resample.resample_interp): same combiner + one hash(user)
+    exchange as resample_ffill; each gap value is the fixed four-op
+    expression v0 + ((v1−v0)·(g−b0))/(b1−b0) over the neighbor
+    observations, mirrored bit-for-bit by the LEAD()-based oracle."""
+    from pathlib import Path
+
+    import ray.data as rd
+
+    from abwcf_ray.stages.resample import resample_interp
+
+    _quiet()
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    out = resample_interp(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        val_col="value",
+        tie_col="event_id",
+        span_us=3_600_000_000,
+    )
+    return (
+        out.to_pandas().sort_values(["user_id", "bucket"]).reset_index(drop=True)
+    )
+
+
 def _q_fuzzy_names(sf_dir: str):
     """Entity-resolution fuzzy self-join (stages/fuzzy.py): every pair of
     customer names within Levenshtein distance 1, via SymSpell/FastSS
@@ -5377,6 +5407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_distributed": _q_sssp_distributed,
         "skyline": _q_skyline,
         "resample_ffill": _q_resample_ffill,
+        "resample_interp": _q_resample_interp,
         "event_transitions": _q_event_transitions,
         "fuzzy_names": _q_fuzzy_names,
         "fuzzy_clusters": _q_fuzzy_clusters,
@@ -8244,5 +8275,43 @@ def oracle_sql() -> dict[str, str]:
                    ) AS value,
                    CAST(ob AS BIGINT) AS observed
             FROM j
+        """,
+        "resample_interp": """
+            WITH obs AS (
+                SELECT user_id, bucket, value FROM (
+                    SELECT user_id,
+                           epoch_us(ts) // 3600000000 AS bucket,
+                           value,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY user_id, epoch_us(ts) // 3600000000
+                               ORDER BY ts DESC, event_id DESC
+                           ) AS rn
+                    FROM events
+                ) WHERE rn = 1
+            ),
+            nbr AS (
+                SELECT user_id, bucket, value,
+                       LEAD(bucket) OVER (
+                           PARTITION BY user_id ORDER BY bucket
+                       ) AS nb,
+                       LEAD(value) OVER (
+                           PARTITION BY user_id ORDER BY bucket
+                       ) AS nv
+                FROM obs
+            ),
+            grid AS (
+                SELECT user_id, bucket AS b0, value AS v0, nb, nv,
+                       UNNEST(generate_series(bucket,
+                                              COALESCE(nb - 1, bucket))) AS g
+                FROM nbr
+            )
+            SELECT user_id, CAST(g AS BIGINT) AS bucket,
+                   CASE WHEN g = b0 THEN v0
+                        ELSE v0 + ((nv - v0) * CAST(g - b0 AS DOUBLE))
+                                 / CAST(nb - b0 AS DOUBLE)
+                   END AS value,
+                   CAST(CASE WHEN g = b0 THEN 1 ELSE 0 END AS BIGINT)
+                       AS observed
+            FROM grid
         """,
     }
