@@ -1105,6 +1105,105 @@ def _q_orders_revenue_top(sf_dir: str):
     )
 
 
+def _q_big_orders(sf_dir: str):
+    """TPC-H Q18-style COMPOSED pipeline (large-volume customer):
+    per-order quantity sums with map-side partials -> HAVING sum > 250
+    -> inner join back to orders (broadcast: the qualifying set is
+    HAVING-bounded) -> broadcast customer-name join -> exact distributed
+    top-100 by the MULTI-KEY order (o_totalprice DESC, o_orderdate,
+    o_orderkey) via topk_per_group's lexicographic sort keys. Quantity
+    sums are pure int64; price/date are carried untouched, so the whole
+    composition value-hashes against DuckDB."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+    from abwcf_ray.stages.join import equi_join
+    from abwcf_ray.stages.sample import topk_per_group
+
+    _quiet()
+    li = rd.read_parquet(
+        str(Path(sf_dir) / "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    )
+
+    def qty(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {"o_orderkey": t.column("l_orderkey"), "q": pa.array(q, pa.int64())}
+        )
+
+    sums = keyed_hash_agg(
+        li.map_batches(qty, batch_format="pyarrow"),
+        lambda b: b.column("o_orderkey").to_numpy(zero_copy_only=False),
+        lambda g: g.groupby("o_orderkey", as_index=False).agg(
+            sum_qty=("q", "sum")
+        ),
+    ).filter(expr="sum_qty > 250")
+
+    orders = rd.read_parquet(
+        str(Path(sf_dir) / "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def day(t: pa.Table) -> pa.Table:
+        d = (
+            t.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+            // 86_400_000_000
+        )
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_totalprice": t.column("o_totalprice"),
+                "o_orderdate_day": pa.array(d, pa.int64()),
+            }
+        )
+
+    j = equi_join(orders.map_batches(day, batch_format="pyarrow"), sums,
+                  on="o_orderkey")
+    cust = rd.read_parquet(
+        str(Path(sf_dir) / "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    ).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_name"]),
+        batch_format="pyarrow",
+    )
+    j2 = equi_join(j, cust, on="o_custkey").map_batches(
+        lambda t: t.append_column(
+            "g", pa.array(np.zeros(t.num_rows, np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+    out = topk_per_group(
+        j2,
+        100,
+        group_col="g",
+        score_col=["o_totalprice", "o_orderdate_day"],
+        descending=[True, False],
+        id_col="o_orderkey",
+    ).to_pandas()
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    return (
+        out[
+            [
+                "c_name",
+                "o_custkey",
+                "o_orderkey",
+                "o_orderdate_day",
+                "o_totalprice",
+                "sum_qty",
+            ]
+        ]
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
 def _q_top_per_host(sf_dir: str):
     """Exact top-5 longest documents per host (the per-domain best-quality
     pick): two-level top-k — per-block prune to <=k per group, then one
@@ -5345,6 +5444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_left_join_bucketed": _q_orders_left_join_bucketed,
         "orders_full_join": _q_orders_full_join,
         "orders_revenue_top": _q_orders_revenue_top,
+        "big_orders": _q_big_orders,
         "user_running": _q_user_running,
         "user_rank_tiles": _q_user_rank_tiles,
         "funnel": _q_funnel,
@@ -6080,6 +6180,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
                        AS rank
             FROM documents
+        """,
+        "big_orders": """
+            WITH q AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+            )
+            SELECT c.c_name,
+                   o.o_custkey,
+                   o.o_orderkey,
+                   CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT)
+                       AS o_orderdate_day,
+                   o.o_totalprice,
+                   q.sum_qty
+            FROM q
+            JOIN orders o ON o.o_orderkey = q.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY o.o_totalprice DESC, o_orderdate_day, o.o_orderkey
+            LIMIT 100
         """,
         "orders_revenue_top": """
             WITH rev AS (

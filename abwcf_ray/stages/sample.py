@@ -157,22 +157,33 @@ def _topg(
     t: pa.Table,
     k: int,
     group_col: str,
-    score_col: str,
+    score_col,
     id_col: str,
-    descending: bool,
+    descending,
 ) -> pa.Table:
-    """Exact per-group top-``k`` of one table by (score, id asc) —
+    """Exact per-group top-``k`` of one table by (score..., id asc) —
     vectorized (one polars sort + int_range over group), no per-group
-    Python. Ties break on ascending id, so the result is deterministic
-    and exactly mirrors ``row_number() OVER (PARTITION BY g ORDER BY
-    score [DESC], id)``."""
+    Python. ``score_col`` may be one column or an ordered list of sort
+    keys (``descending`` a bool or a matching list) — a full multi-key
+    ``ORDER BY ... LIMIT k``. Ties break on ascending id, so the result
+    is deterministic and exactly mirrors ``row_number() OVER (PARTITION
+    BY g ORDER BY score... [DESC], id)``."""
     if t.num_rows == 0:
         return t
     import polars as pl
 
+    scores = [score_col] if isinstance(score_col, str) else list(score_col)
+    desc = (
+        [descending] * len(scores)
+        if isinstance(descending, bool)
+        else list(descending)
+    )
     out = (
         pl.from_arrow(t)
-        .sort([group_col, score_col, id_col], descending=[False, descending, False])
+        .sort(
+            [group_col, *scores, id_col],
+            descending=[False, *desc, False],
+        )
         .with_columns(pl.int_range(pl.len()).over(group_col).alias("_r"))
         .filter(pl.col("_r") < int(k))
         .drop(["_r"])
@@ -186,13 +197,16 @@ def topk_per_group(
     k: int,
     *,
     group_col: str,
-    score_col: str,
+    score_col: str | list[str],
     id_col: str = "doc_id",
-    descending: bool = True,
+    descending: bool | list[bool] = True,
     merge_partitions: int = 16,
 ):
-    """Exact top-``k`` rows per group ranked by (score, id) — e.g. the
+    """Exact top-``k`` rows per group ranked by (score..., id) — e.g. the
     best-quality documents per host, the per-domain representative pick.
+    ``score_col``/``descending`` accept ordered lists for a multi-key
+    ``ORDER BY a DESC, b ASC, ... LIMIT k`` (pruning by the same
+    lexicographic order the merge uses stays exact).
 
     Same two-level shape as :func:`stratified_sample` (and the frontier
     scheduler's D1 top-k): every block prunes itself to <= k rows per

@@ -133,6 +133,48 @@ def test_topk_per_group_int_groups_and_ascending(ray_session):
     assert got == [0, 1, 3, 4, 6, 9]
 
 
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_topk_per_group_multikey_matches_sql_order(ray_session, blocks):
+    import ray.data as rd
+
+    from abwcf_ray.stages.sample import topk_per_group
+
+    rng = np.random.default_rng(13)
+    n = 800
+    # heavy primary-key ties so the secondary key + id tiebreak matter
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "g": rng.integers(0, 5, n).astype(np.int64),
+            "a": np.round(rng.uniform(0, 3, n), 1),  # float, ~30 values
+            "b": rng.integers(0, 4, n).astype(np.int64),
+        }
+    )
+    got = (
+        topk_per_group(
+            rd.from_pandas(df).repartition(blocks),
+            3,
+            group_col="g",
+            score_col=["a", "b"],
+            descending=[True, False],
+            id_col="doc_id",
+        )
+        .to_pandas()
+        .sort_values("doc_id")["doc_id"]
+        .tolist()
+    )
+    exp = (
+        df.sort_values(
+            ["g", "a", "b", "doc_id"], ascending=[True, False, True, True]
+        )
+        .groupby("g")
+        .head(3)
+        .sort_values("doc_id")["doc_id"]
+        .tolist()
+    )
+    assert got == exp
+
+
 def test_longest_prefix_route(ray_session):
     import pyarrow as pa
     import ray.data as rd
