@@ -2700,6 +2700,21 @@ def _q_fuzzy_names(sf_dir: str):
     )
 
 
+def _q_char_pairs(sf_dir: str):
+    """BPE-trainer pair statistics (stages/bpe.char_pair_counts): global
+    top-50 adjacent codepoint pairs over documents.text — one uint32
+    decode + shifted 64-bit view per batch, np.unique pre-aggregation
+    (shuffle volume = distinct pairs ~ alphabet², never characters),
+    one keyed exchange, pruned two-level top-k. Exact integer counts;
+    tie-break (n DESC, c1, c2) in codepoint order = SQL string order."""
+    from abwcf_ray.stages.bpe import char_pair_counts
+
+    _quiet()
+    out = char_pair_counts(_docs(sf_dir, ["text"]), k=50).to_pandas()
+    return out.sort_values(["n", "c1", "c2"], ascending=[False, True, True]
+                           ).reset_index(drop=True)
+
+
 def _q_group_corr(sf_dir: str):
     """Grouped Pearson correlation (stages/stats.group_corr): exact
     int64 moments (adds Σx², Σy² to the covariance partials) + exactly
@@ -5513,6 +5528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_clusters": _q_fuzzy_clusters,
         "group_covariance": _q_group_covariance,
         "group_corr": _q_group_corr,
+        "char_pairs": _q_char_pairs,
         "group_regression": _q_group_regression,
         "snapshot_diff": _q_snapshot_diff,
         "host_mad": _q_host_mad,
@@ -8176,6 +8192,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN tdf d1 ON d1.w = p.w1
             JOIN tdf d2 ON d2.w = p.w2
             ORDER BY n DESC, w1, w2
+        """,
+        "char_pairs": """
+            WITH pairs AS (
+                SELECT substr(d.text, i.i, 1) AS c1,
+                       substr(d.text, i.i + 1, 1) AS c2
+                FROM documents d,
+                     LATERAL (SELECT UNNEST(generate_series(
+                         1, length(d.text) - 1)) AS i) i
+            )
+            SELECT c1, c2, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pairs GROUP BY c1, c2
+            ORDER BY n DESC, c1, c2 LIMIT 50
         """,
         "group_corr": """
             WITH t AS (
