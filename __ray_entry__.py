@@ -2715,6 +2715,20 @@ def _q_char_pairs(sf_dir: str):
                            ).reset_index(drop=True)
 
 
+def _q_bpe_merges(sf_dir: str):
+    """Full BPE tokenizer training, 8 merges (stages/bpe.bpe_train):
+    per round one distinct-pair-bounded count exchange + argmax + one
+    vectorized corpus-wide greedy merge pass, corpus re-materialized per
+    round (the PageRank iteration idiom). Iterative and therefore
+    no_oracle; round 1 degenerates to the SQL-oracled char_pairs top-1,
+    and tests/test_bpe.py pins the whole merge sequence against a
+    sequential reference implementation."""
+    from abwcf_ray.stages.bpe import bpe_train
+
+    _quiet()
+    return bpe_train(_docs(sf_dir, ["text"]), n_merges=8)
+
+
 def _q_group_corr(sf_dir: str):
     """Grouped Pearson correlation (stages/stats.group_corr): exact
     int64 moments (adds Σx², Σy² to the covariance partials) + exactly
@@ -5529,6 +5543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_covariance": _q_group_covariance,
         "group_corr": _q_group_corr,
         "char_pairs": _q_char_pairs,
+        "bpe_merges": _q_bpe_merges,
         "group_regression": _q_group_regression,
         "snapshot_diff": _q_snapshot_diff,
         "host_mad": _q_host_mad,

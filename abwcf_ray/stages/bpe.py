@@ -108,3 +108,194 @@ def char_pair_counts(
         )
 
     return top.map_batches(decode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Full BPE training: the iterative merge loop. Each round counts pairs
+# over the CURRENT symbol sequences (same distinct-bounded exchange as
+# char_pair_counts), takes the global argmax (count DESC, pair ASC —
+# deterministic), broadcasts the winning pair, and applies the merge
+# corpus-wide as one vectorized pass (greedy left-to-right,
+# non-overlapping — the standard BPE application order). New symbol ids
+# are allocated from 0x110000 (above the unicode range) upward.
+# ---------------------------------------------------------------------------
+
+_NEW_ID_BASE = 0x110000
+
+
+def _syms_of_text(text_col: str):
+    """text -> (syms list<int64>) initial symbol sequences."""
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        joined = "\x00".join(x if x is not None else "" for x in texts)
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        lens = np.array(
+            [len(x) if x is not None else 0 for x in texts], np.int64
+        )
+        # drop the sentinel positions between docs
+        keep = cp != _SENTINEL
+        # sentinel only ever appears at the joins (documented corpus
+        # contract shared with char_pair_counts)
+        offsets = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        return pa.table(
+            {
+                "syms": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()).cast(pa.int32()),
+                    pa.array(cp[keep], pa.int64()),
+                )
+            }
+        )
+
+    return f
+
+
+def _list_parts(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (values, offsets) of the ``syms`` list column."""
+    col = t.column("syms")
+    chunk = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    values = chunk.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = chunk.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return values, offsets
+
+
+def _pair_partial_syms(t: pa.Table) -> pa.Table:
+    v, offsets = _list_parts(t)
+    if len(v) < 2:
+        return pa.table(
+            {"pair": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+    valid = np.ones(len(v) - 1, bool)
+    # a document's last symbol cannot start a pair
+    ends = offsets[1:] - 1
+    valid[ends[(ends >= 0) & (ends < len(valid))]] = False
+    key = (v[:-1].astype(np.uint64) << np.uint64(32)) | v[1:].astype(
+        np.uint64
+    )
+    uniq, counts = np.unique(key[valid], return_counts=True)
+    return pa.table(
+        {
+            "pair": pa.array(uniq.astype(np.int64), pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _greedy_select(idx: np.ndarray) -> np.ndarray:
+    """Greedy left-to-right non-overlapping subset of match positions:
+    within each run of CONSECUTIVE indices keep every other one (runs
+    only occur when left==right, e.g. 'aaaa'); vectorized."""
+    if len(idx) == 0:
+        return idx
+    run_start = np.r_[True, np.diff(idx) != 1]
+    run_id = np.cumsum(run_start) - 1
+    first = idx[run_start]
+    return idx[(idx - first[run_id]) % 2 == 0]
+
+
+def _apply_merge(a: int, b: int, new_id: int):
+    def f(t: pa.Table) -> pa.Table:
+        v, offsets = _list_parts(t)
+        if len(v) < 2:
+            return t
+        m = (v[:-1] == a) & (v[1:] == b)
+        ends = offsets[1:] - 1
+        ends = ends[(ends >= 0) & (ends < len(m))]
+        m[ends] = False
+        sel = _greedy_select(np.flatnonzero(m))
+        if len(sel) == 0:
+            return t
+        out = v.copy()
+        out[sel] = new_id
+        keep = np.ones(len(v), bool)
+        keep[sel + 1] = False
+        # each doc shrinks by its selected-merge count
+        per_doc = np.diff(np.searchsorted(sel, offsets))
+        new_offsets = offsets - np.cumsum(np.r_[0, per_doc])[: len(offsets)]
+        return pa.table(
+            {
+                "syms": pa.ListArray.from_arrays(
+                    pa.array(new_offsets, pa.int32()).cast(pa.int32()),
+                    pa.array(out[keep], pa.int64()),
+                )
+            }
+        )
+
+    return f
+
+
+def bpe_train(
+    ds,
+    *,
+    text_col: str = "text",
+    n_merges: int = 8,
+    merge_partitions: int = 16,
+) -> pd.DataFrame:
+    """Train ``n_merges`` BPE merges over the corpus. Returns the merge
+    table as a pandas DataFrame (it is O(n_merges), driver-small by
+    construction): ``step, left_tok, right_tok, token, count`` — the
+    merged pair's token strings and its corpus count at selection time.
+
+    Each round is one distributed pair-count (map-side ``np.unique``
+    partials, one keyed exchange, pruned top-1) + one vectorized
+    corpus-wide merge application, with the corpus re-materialized per
+    round (the PageRank iteration idiom). Deterministic: ties on count
+    break on ascending packed pair id = (left, right) codepoint order.
+
+    Stops early when no pair occurs at least twice (merging singleton
+    pairs is pure vocabulary noise). ``char_pair_counts`` is the
+    SQL-oracled degeneration of round 1 (its top-1 is the first merge).
+    """
+    corpus = ds.map_batches(_syms_of_text(text_col), batch_format="pyarrow")
+    corpus = corpus.materialize()
+
+    tok: dict[int, str] = {}
+
+    def tok_of(sym: int) -> str:
+        return tok[sym] if sym in tok else chr(sym)
+
+    rows = []
+    for step in range(n_merges):
+        partials = corpus.map_batches(
+            _pair_partial_syms, batch_format="pyarrow"
+        )
+        merged = keyed_hash_agg(
+            partials,
+            lambda bt: bt.column("pair").to_numpy(zero_copy_only=False),
+            lambda g: g.groupby("pair", as_index=False).agg(n=("n", "sum")),
+            partitions=merge_partitions,
+        ).map_batches(
+            lambda t: t.append_column(
+                "g", pa.array(np.zeros(t.num_rows, np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        top = topk_per_group(
+            merged, 1, group_col="g", score_col="n", id_col="pair"
+        ).take(1)
+        if not top or top[0]["n"] < 2:
+            break
+        pair = np.uint64(top[0]["pair"])
+        a = int(pair >> np.uint64(32))
+        b = int(pair & np.uint64(0xFFFFFFFF))
+        new_id = _NEW_ID_BASE + step
+        tok[new_id] = tok_of(a) + tok_of(b)
+        rows.append(
+            {
+                "step": step,
+                "left_tok": tok_of(a),
+                "right_tok": tok_of(b),
+                "token": tok[new_id],
+                "count": int(top[0]["n"]),
+            }
+        )
+        corpus = corpus.map_batches(
+            _apply_merge(a, b, new_id), batch_format="pyarrow"
+        ).materialize()
+
+    return pd.DataFrame(
+        rows, columns=["step", "left_tok", "right_tok", "token", "count"]
+    )

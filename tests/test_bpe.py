@@ -52,6 +52,76 @@ def test_char_pairs_overlapping_and_no_cross_doc(ray_session):
     assert got == {("a", "a"): 2, ("a", "b"): 1, ("b", "a"): 1}
 
 
+def _ref_bpe(texts, n_merges):
+    """Pure-Python reference BPE: same id allocation, same (count DESC,
+    pair ASC) argmax, true sequential greedy left-to-right application."""
+    seqs = [[ord(ch) for ch in t] for t in texts]
+    tok = {}
+
+    def tok_of(s):
+        return tok[s] if s in tok else chr(s)
+
+    rows = []
+    for step in range(n_merges):
+        c = Counter()
+        for seq in seqs:
+            for x, y in zip(seq, seq[1:]):
+                c[(x, y)] += 1
+        if not c:
+            break
+        (a, b), n = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        nid = 0x110000 + step
+        tok[nid] = tok_of(a) + tok_of(b)
+        rows.append(
+            {
+                "step": step,
+                "left_tok": tok_of(a),
+                "right_tok": tok_of(b),
+                "token": tok[nid],
+                "count": n,
+            }
+        )
+        for si, seq in enumerate(seqs):
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(nid)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[si] = out
+    return rows
+
+
+def _run_bpe(texts, n_merges, blocks):
+    from abwcf_ray.stages.bpe import bpe_train
+
+    ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(blocks)
+    return bpe_train(ds, n_merges=n_merges).to_dict("records")
+
+
+def test_bpe_train_matches_reference(ray_session):
+    texts = [
+        "the cat sat on the mat",
+        "the hat of the cat",
+        "that that mat",
+        "aaaa aabaa aaa",  # runs: parity selection must equal greedy
+        "",
+    ] * 4
+    assert _run_bpe(texts, 8, blocks=3) == _ref_bpe(texts, 8)
+
+
+def test_bpe_train_layout_invariance_and_early_stop(ray_session):
+    texts = ["ababab", "xy"]  # after a few merges no pair repeats
+    a = _run_bpe(texts, 10, blocks=1)
+    b = _run_bpe(texts, 10, blocks=5)
+    assert a == b == _ref_bpe(texts, 10)
+    assert len(a) < 10  # stopped before exhausting the budget
+
+
 def test_char_pairs_unicode_codepoints(ray_session):
     got = _run(["héé", "日本日本"], 10)
     d = {(c1, c2): n for c1, c2, n in got}
