@@ -2715,6 +2715,47 @@ def _q_char_pairs(sf_dir: str):
                            ).reset_index(drop=True)
 
 
+def _q_group_zscore(sf_dir: str):
+    """Per-document z-score of n_chars within its language
+    (stages/stats.group_zscore): exact int64 moments off one keyed
+    exchange, broadcast back once via ray.put, per-row fixed IEEE
+    expression mirrored bit-for-bit by the SQL oracle."""
+    from abwcf_ray.stages.stats import group_zscore
+
+    _quiet()
+    out = group_zscore(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+        group_cols=["lang"],
+        value_col="n_chars",
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_group_welch(sf_dir: str):
+    """Per-language Welch t-statistic of n_chars between the even/odd
+    doc_id cohorts (stages/stats.group_welch_t): one keyed exchange
+    co-locates both cohorts of a group, exact int64 moments, t as a
+    fixed IEEE expression mirrored op-for-op by the SQL oracle."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_welch_t
+
+    _quiet()
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def cohort(t):
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column("cohort", pa.array(d % 2, pa.int64()))
+
+    out = group_welch_t(
+        docs.map_batches(cohort, batch_format="pyarrow"),
+        group_cols=["lang"],
+        cohort_col="cohort",
+        value_col="n_chars",
+    ).to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def _q_bpe_merges(sf_dir: str):
     """Full BPE tokenizer training, 8 merges (stages/bpe.bpe_train):
     per round one distinct-pair-bounded count exchange + argmax + one
@@ -5544,6 +5585,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_corr": _q_group_corr,
         "char_pairs": _q_char_pairs,
         "bpe_merges": _q_bpe_merges,
+        "group_zscore": _q_group_zscore,
+        "group_welch": _q_group_welch,
         "group_regression": _q_group_regression,
         "snapshot_diff": _q_snapshot_diff,
         "host_mad": _q_host_mad,
@@ -8207,6 +8250,49 @@ def oracle_sql() -> dict[str, str]:
             JOIN tdf d1 ON d1.w = p.w1
             JOIN tdf d2 ON d2.w = p.w2
             ORDER BY n DESC, w1, w2
+        """,
+        "group_zscore": """
+            WITH m AS (
+                SELECT lang, COUNT(*) AS n,
+                       CAST(SUM(n_chars) AS BIGINT) AS sx,
+                       CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+                FROM documents GROUP BY lang
+            )
+            SELECT doc_id, d.lang, n_chars,
+                   (CAST(n_chars AS DOUBLE)
+                        - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  / CAST(n * n AS DOUBLE)) AS z
+            FROM documents d JOIN m USING (lang)
+            ORDER BY doc_id
+        """,
+        "group_welch": """
+            WITH m AS (
+                SELECT lang, doc_id % 2 AS cohort, COUNT(*) AS n,
+                       CAST(SUM(n_chars) AS BIGINT) AS sx,
+                       CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+                FROM documents GROUP BY lang, doc_id % 2
+            ),
+            w AS (
+                SELECT lang,
+                       CAST(COALESCE(MAX(CASE WHEN cohort = 0 THEN n END), 0) AS BIGINT) AS n0,
+                       CAST(COALESCE(MAX(CASE WHEN cohort = 0 THEN sx END), 0) AS BIGINT) AS sx0,
+                       CAST(COALESCE(MAX(CASE WHEN cohort = 0 THEN sxx END), 0) AS BIGINT) AS sxx0,
+                       CAST(COALESCE(MAX(CASE WHEN cohort = 1 THEN n END), 0) AS BIGINT) AS n1,
+                       CAST(COALESCE(MAX(CASE WHEN cohort = 1 THEN sx END), 0) AS BIGINT) AS sx1,
+                       CAST(COALESCE(MAX(CASE WHEN cohort = 1 THEN sxx END), 0) AS BIGINT) AS sxx1
+                FROM m GROUP BY lang
+            )
+            SELECT lang, n0, n1, sx0, sx1, sxx0, sxx1,
+                   (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                        - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                       / sqrt(CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE)
+                                  / CAST(n1 * (n1 - 1) AS DOUBLE)
+                                  / CAST(n1 AS DOUBLE)
+                              + CAST(n0 * sxx0 - sx0 * sx0 AS DOUBLE)
+                                  / CAST(n0 * (n0 - 1) AS DOUBLE)
+                                  / CAST(n0 AS DOUBLE)) AS t
+            FROM w ORDER BY lang
         """,
         "char_pairs": """
             WITH pairs AS (

@@ -100,6 +100,156 @@ _COV_AGGS = {
 }
 
 
+def group_zscore(
+    ds,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "z",
+    merge_partitions: int = 64,
+):
+    """Per-row z-score of integer ``value_col`` within its group — the
+    standard ML feature-normalization transform. Returns the input rows
+    with ``out_col`` appended.
+
+    Two-phase aggregate-then-broadcast-back: :func:`group_stats` settles
+    the exact int64 moments per group (one keyed exchange, O(distinct
+    groups)), the small moments table is broadcast once via ``ray.put``
+    and every batch joins it map-side — the full table never shuffles.
+
+    Float discipline: z = (x − Σx/n) / sqrt((n·Σx² − Σx²ᵀ)/n²) as FIXED
+    IEEE ops over exact integers (divide, subtract, divide, sqrt,
+    divide), so a SQL oracle mirrors the bits with the identical
+    expression. Zero-variance groups yield ±inf/NaN identically on both
+    sides. Caller bound: n·Σx² and n² under 2^63.
+    """
+    import ray
+
+    moments = group_stats(
+        ds,
+        group_cols=group_cols,
+        value_col=value_col,
+        merge_partitions=merge_partitions,
+    ).to_pandas()
+    mdf = moments[group_cols + ["count", "sum", "sumsq"]]
+    mref = ray.put(mdf)
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(mref)  # zero-copy per node after first fetch
+        j = df.merge(m, on=group_cols, how="left", sort=False)
+        n = j["count"].to_numpy().astype(np.int64)
+        sx = j["sum"].to_numpy().astype(np.int64)
+        sxx = j["sumsq"].to_numpy().astype(np.int64)
+        x = j[value_col].to_numpy().astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = sx.astype(np.float64) / n.astype(np.float64)
+            var = (n * sxx - sx * sx).astype(np.float64) / (
+                n * n
+            ).astype(np.float64)
+            z = (x - mean) / np.sqrt(var)
+        out = df.copy()
+        out[out_col] = z
+        return out
+
+    return ds.map_batches(apply, batch_format="pandas")
+
+
+def group_welch_t(
+    ds,
+    *,
+    group_cols: list[str],
+    cohort_col: str,
+    value_col: str,
+    merge_partitions: int = 64,
+):
+    """Per-group Welch t-statistic between two cohorts (``cohort_col``
+    ∈ {0, 1}) of integer ``value_col`` — the A/B-test primitive.
+    Returns ``group_cols + [n0, sx0, sxx0, n1, sx1, sxx1, t]``.
+
+    One keyed exchange on hash(group) — BOTH cohorts of a group
+    co-locate, so the pairing needs no second exchange. Every
+    accumulated term is exact int64; t is the fixed IEEE expression
+
+        t = (m1 − m0) / sqrt(v1/n1 + v0/n0),
+        m_i = Σx_i / n_i,
+        v_i = (n_i·Σx²_i − Σx_i²) / (n_i·(n_i−1))   (sample variance)
+
+    mirrored op-for-op by the SQL oracle (NOT a streaming var_samp()).
+    Groups missing a cohort or with a singleton cohort yield NaN/±inf
+    identically on both sides. Caller bound: n·Σx² under 2^63.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {c: t.column(c).to_pandas() for c in group_cols}
+        cols["cohort"] = (
+            t.column(cohort_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        cols.update(n=np.ones(t.num_rows, np.int64), sx=x, sxx=x * x)
+        g = (
+            pd.DataFrame(cols)
+            .groupby(group_cols + ["cohort"], as_index=False, sort=False)
+            .agg(n=("n", "sum"), sx=("sx", "sum"), sxx=("sxx", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def key_of(b: pa.Table) -> np.ndarray:
+        k = hash64(b.column(group_cols[0]))
+        for c in group_cols[1:]:
+            k = k * np.uint64(0x9E3779B97F4A7C15) ^ hash64(b.column(c))
+        return k
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(group_cols + ["cohort"], as_index=False, sort=False).agg(
+            n=("n", "sum"), sx=("sx", "sum"), sxx=("sxx", "sum")
+        )
+        wide = m.pivot_table(
+            index=group_cols,
+            columns="cohort",
+            values=["n", "sx", "sxx"],
+            aggfunc="first",
+        )
+        out = pd.DataFrame(index=wide.index).reset_index()
+        arr = {}
+        for stat in ("n", "sx", "sxx"):
+            for c in (0, 1):
+                col = (
+                    wide[(stat, c)]
+                    if (stat, c) in wide.columns
+                    else pd.Series(np.nan, index=wide.index)
+                )
+                # missing cohort -> 0 counts; the int64 moment algebra
+                # below then yields 0/0 = NaN for that group, same as a
+                # singleton cohort (den = n*(n-1) = 0).
+                arr[f"{stat}{c}"] = (
+                    col.fillna(0).to_numpy(dtype=np.int64)
+                )
+                out[f"{stat}{c}"] = arr[f"{stat}{c}"]
+        n0, n1 = arr["n0"], arr["n1"]
+        sx0, sx1 = arr["sx0"], arr["sx1"]
+        sxx0, sxx1 = arr["sxx0"], arr["sxx1"]
+        # exact int64 numerators/denominators, then fixed IEEE ops
+        num0 = (n0 * sxx0 - sx0 * sx0).astype(np.float64)
+        den0 = (n0 * (n0 - 1)).astype(np.float64)
+        num1 = (n1 * sxx1 - sx1 * sx1).astype(np.float64)
+        den1 = (n1 * (n1 - 1)).astype(np.float64)
+        nf0, nf1 = n0.astype(np.float64), n1.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            m0 = sx0.astype(np.float64) / nf0
+            m1 = sx1.astype(np.float64) / nf1
+            v0 = num0 / den0
+            v1 = num1 / den1
+            out["t"] = (m1 - m0) / np.sqrt(v1 / nf1 + v0 / nf0)
+        return out
+
+    return keyed_hash_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key_of,
+        finish,
+        partitions=merge_partitions,
+    )
+
+
 def group_cov(
     ds,
     *,

@@ -410,3 +410,144 @@ def test_group_time_weighted_bruteforce(ray_session):
             num, den, twa = ref[int(row.u)]
             assert (row.num, row.den) == (num, den)
             assert row.twa_q == twa
+
+
+# ---------------------------------------------------------------- zscore
+
+
+def test_group_zscore_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_zscore
+
+    df = _frame(300, seed=3).rename(columns={"a": "g"}).drop(columns=["b"])
+    df["id"] = np.arange(len(df))
+    out = (
+        group_zscore(
+            rd.from_pandas(df).repartition(5),
+            group_cols=["g"],
+            value_col="v",
+            merge_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    n = df.groupby("g")["v"].transform("size").to_numpy().astype(np.int64)
+    sx = df.groupby("g")["v"].transform("sum").to_numpy().astype(np.int64)
+    sxx = (
+        df.assign(v2=df["v"].to_numpy() ** 2)
+        .groupby("g")["v2"]
+        .transform("sum")
+        .to_numpy()
+        .astype(np.int64)
+    )
+    x = df["v"].to_numpy().astype(np.float64)
+    exp = (x - sx.astype(np.float64) / n) / np.sqrt(
+        (n * sxx - sx * sx).astype(np.float64) / (n * n).astype(np.float64)
+    )
+    np.testing.assert_array_equal(out["z"].to_numpy(), exp)  # bit-exact
+
+
+def test_group_zscore_zero_variance_group(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_zscore
+
+    df = pd.DataFrame({"g": ["a", "a", "b"], "v": [7, 7, 3]})
+    out = group_zscore(
+        rd.from_pandas(df), group_cols=["g"], value_col="v"
+    ).to_pandas()
+    za = out.loc[out["g"] == "a", "z"].to_numpy()
+    zb = out.loc[out["g"] == "b", "z"].to_numpy()
+    assert np.isnan(za).all()  # 0/0 within constant group
+    assert np.isnan(zb).all()  # singleton: var 0, x == mean -> 0/0
+
+
+# ---------------------------------------------------------------- welch
+
+
+def _welch_brute(df):
+    rows = []
+    for g, sub in df.groupby("g"):
+        stats = {}
+        for c in (0, 1):
+            v = sub.loc[sub["cohort"] == c, "v"].to_numpy().astype(np.int64)
+            stats[c] = (
+                np.int64(len(v)),
+                np.int64(v.sum()) if len(v) else np.int64(0),
+                np.int64((v * v).sum()) if len(v) else np.int64(0),
+            )
+        n0, sx0, sxx0 = stats[0]
+        n1, sx1, sxx1 = stats[1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            m0 = np.float64(sx0) / np.float64(n0)
+            m1 = np.float64(sx1) / np.float64(n1)
+            v0 = np.float64(n0 * sxx0 - sx0 * sx0) / np.float64(n0 * (n0 - 1))
+            v1 = np.float64(n1 * sxx1 - sx1 * sx1) / np.float64(n1 * (n1 - 1))
+            t = (m1 - m0) / np.sqrt(
+                v1 / np.float64(n1) + v0 / np.float64(n0)
+            )
+        rows.append(
+            dict(g=g, n0=n0, n1=n1, sx0=sx0, sx1=sx1, sxx0=sxx0, sxx1=sxx1, t=t)
+        )
+    return pd.DataFrame(rows).sort_values("g").reset_index(drop=True)
+
+
+def test_group_welch_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_welch_t
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["en", "de", "fr", "it"], 500),
+            "cohort": rng.integers(0, 2, 500).astype(np.int64),
+            "v": rng.integers(0, 1000, 500).astype(np.int64),
+        }
+    )
+    out = (
+        group_welch_t(
+            rd.from_pandas(df).repartition(7),
+            group_cols=["g"],
+            cohort_col="cohort",
+            value_col="v",
+            merge_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    exp = _welch_brute(df)
+    cols = ["g", "n0", "n1", "sx0", "sx1", "sxx0", "sxx1", "t"]
+    pd.testing.assert_frame_equal(out[cols], exp[cols])
+
+
+def test_group_welch_degenerate_cohorts(ray_session):
+    """Missing cohort and singleton cohort both yield NaN t."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_welch_t
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b", "c", "c", "c", "c"],
+            "cohort": [0, 0, 0, 0, 1, 0, 0, 1, 1],
+            "v": [1, 2, 3, 4, 5, 6, 7, 8, 9],
+        }
+    )
+    out = (
+        group_welch_t(
+            rd.from_pandas(df),
+            group_cols=["g"],
+            cohort_col="cohort",
+            value_col="v",
+        )
+        .to_pandas()
+        .set_index("g")
+    )
+    assert np.isnan(out.loc["a", "t"])  # cohort 1 missing
+    assert np.isnan(out.loc["b", "t"])  # both cohorts singletons
+    assert np.isfinite(out.loc["c", "t"])  # 2 vs 2: defined
+    assert out.loc["a", "n1"] == 0 and out.loc["a", "sx1"] == 0
