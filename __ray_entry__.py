@@ -2169,6 +2169,48 @@ def _q_heavy_hitters(sf_dir: str):
     return out.rename(columns={"item": "word"}).reset_index(drop=True)
 
 
+def _q_cms_topwords(sf_dir: str):
+    """Frequent words via Count-Min sketch + exact verify
+    (stages/sketch.cms_heavy_hitters): the CMS sibling of heavy_hitters.
+    A Count-Min cell only over-counts, so the candidate set is an
+    unconditional superset of the true frequent set and the verify pass
+    makes the output EXACTLY the GROUP BY ... HAVING table — a full
+    value oracle on Count-Min machinery with no precondition."""
+    from abwcf_ray.stages.sketch import cms_heavy_hitters
+
+    _quiet()
+    docs = _docs(sf_dir, ["text"])
+    n_tokens = int(
+        docs.map_batches(
+            lambda b: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            int(
+                                b.column("text")
+                                .to_pandas()
+                                .astype("string")
+                                .fillna("")
+                                .str.count(r"\S+")
+                                .sum()
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("n")
+    )
+    out = cms_heavy_hitters(
+        _docs(sf_dir, ["text"]),
+        threshold=max(1, n_tokens // 80),
+        depth=4,
+        width=65536,
+    )
+    return out.rename(columns={"item": "word"}).reset_index(drop=True)
+
+
 def _docs_en(sf_dir: str):
     """Target distribution for the DSIR queries: the English slice."""
     import pyarrow.compute as pc
@@ -5549,6 +5591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_bucketed": _q_asof_join_bucketed,
         "asof_join_forward": _q_asof_join_forward,
         "heavy_hitters": _q_heavy_hitters,
+        "cms_topwords": _q_cms_topwords,
         "distinct_words": _q_distinct_words,
         "compression_signal": _q_compression_signal,
         "hll_distinct": _q_hll_distinct,
@@ -6895,6 +6938,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
             ),
             n AS (SELECT GREATEST(1, COUNT(*) // 50) AS thr FROM toks)
+            SELECT w AS word, COUNT(*) AS cnt
+            FROM toks
+            GROUP BY w
+            HAVING COUNT(*) >= (SELECT thr FROM n)
+        """,
+        "cms_topwords": r"""
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+            ),
+            n AS (SELECT GREATEST(1, COUNT(*) // 80) AS thr FROM toks)
             SELECT w AS word, COUNT(*) AS cnt
             FROM toks
             GROUP BY w

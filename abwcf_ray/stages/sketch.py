@@ -828,3 +828,127 @@ def group_float_quantiles(
         quant,
         partitions=merge_partitions,
     )
+
+
+# ---------------------------------------------------------------- count-min
+
+
+def _cms_salts(depth: int) -> np.ndarray:
+    """Deterministic odd 64-bit multipliers, one per CMS row
+    (splitmix64 finalizer over the row index, forced odd)."""
+    i = np.arange(depth, dtype=np.uint64)
+    z = (i + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z | np.uint64(1)
+
+
+def cms_heavy_hitters(
+    ds,
+    *,
+    threshold: int,
+    depth: int = 4,
+    width: int = 65536,
+    text_col: str = "text",
+    tokenize: bool = True,
+):
+    """Exact frequent items via Count-Min sketch + verify — the CMS
+    sibling of :func:`heavy_hitters` (Cormode & Muthukrishnan 2005).
+    Returns a pandas DataFrame (item, cnt) with EXACT counts of every
+    item occurring ``>= threshold`` times, sorted (cnt desc, item asc).
+
+    Unlike Misra-Gries, the CMS filter needs NO threshold > N/(k+1)
+    precondition: a Count-Min cell only ever OVER-counts, so any item
+    with true count >= threshold has estimate >= threshold and survives
+    into the verify pass unconditionally — width buys a smaller
+    false-candidate set (E[est − true] <= 2N/width per row, minimized
+    over ``depth`` independent rows), never correctness. The verify
+    pass prunes the overestimates, making the output exactly the
+    GROUP BY ... HAVING set — which is why the query carries a full
+    DuckDB value oracle on sketch machinery.
+
+    Distributed shape: the d×w sketch travels as SPARSE (flat cell,
+    count) partials through one keyed exchange (<= d·w rows total after
+    the merge regardless of corpus size), assembles dense on the
+    driver (d·w·8 bytes, e.g. 2 MB), broadcasts once via ``ray.put``,
+    and the verify pass exchanges only per-block candidate counts —
+    O(candidates), never O(distinct items).
+    """
+    import ray
+
+    if width & (width - 1) or width <= 0:
+        raise ValueError("width must be a power of two")
+    lg = int(width).bit_length() - 1
+    shift = np.uint64(64 - lg)
+    salts = _cms_salts(depth)
+
+    def items_of(batch: pa.Table) -> pd.Series:
+        col = batch.column(text_col).to_pandas().astype("string").fillna("")
+        if tokenize:
+            return col.str.findall(r"\S+").explode().dropna()
+        return col
+
+    def cell_rows(h: np.ndarray) -> np.ndarray:
+        """(depth, len(h)) flat cell ids: row*width + multiply-shift."""
+        idx = ((h[None, :] * salts[:, None]) >> shift).astype(np.int64)
+        return idx + (np.arange(depth, dtype=np.int64) * width)[:, None]
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        it = items_of(batch)
+        if not len(it):
+            return pa.table(
+                {"cell": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        vc = it.value_counts()
+        h = hash64(vc.index.tolist())
+        cnt = vc.to_numpy(np.int64)
+        flat = cell_rows(h).ravel()
+        w = np.broadcast_to(cnt, (depth, len(cnt))).ravel()
+        cells, inv = np.unique(flat, return_inverse=True)
+        sums = np.bincount(inv, weights=w).astype(np.int64)
+        return pa.table(
+            {"cell": pa.array(cells, pa.int64()), "c": pa.array(sums, pa.int64())}
+        )
+
+    merged = keyed_hash_agg(
+        ds.map_batches(sketch, batch_format="pyarrow"),
+        lambda b: b.column("cell").to_numpy(zero_copy_only=False),
+        lambda g: g.groupby("cell", as_index=False).agg(c=("c", "sum")),
+    ).to_pandas()
+    dense = np.zeros(depth * width, np.int64)
+    dense[merged["cell"].to_numpy(np.int64)] = merged["c"].to_numpy(np.int64)
+    ref = ray.put(dense)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        cms = ray.get(ref)
+        it = items_of(batch)
+        if not len(it):
+            return pa.table(
+                {"item": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        vc = it.value_counts()
+        h = hash64(vc.index.tolist())
+        est = cms[cell_rows(h)].min(axis=0)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "item": pa.array(
+                    vc.index.to_numpy(dtype=object)[keep].tolist(), pa.string()
+                ),
+                "n": pa.array(vc.to_numpy(np.int64)[keep], pa.int64()),
+            }
+        )
+
+    agg = keyed_hash_agg(
+        ds.map_batches(verify, batch_format="pyarrow"),
+        lambda b: hash64(b.column("item")),
+        lambda g: g.groupby("item", as_index=False).agg(n=("n", "sum")),
+    ).to_pandas()
+    agg = agg[agg["n"] >= threshold]
+    out = pd.DataFrame(
+        {"item": agg["item"].to_numpy(dtype=object), "cnt": agg["n"].to_numpy(np.int64)}
+    )
+    return out.sort_values(
+        ["cnt", "item"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)

@@ -554,3 +554,72 @@ def test_knn_loo_accuracy_bruteforce(ray_session):
             assert row.acc == cor / tot
     # well-separated clusters: the eval should be nearly perfect
     assert out["n_correct"].sum() / out["n"].sum() > 0.8
+
+
+# ---------------------------------------------------------------- count-min
+
+
+def test_cms_matches_brute_force(ray_session):
+    from abwcf_ray.stages.sketch import cms_heavy_hitters
+
+    df = _zipf_docs(5, 80, 400)
+    out = cms_heavy_hitters(
+        rd.from_pandas(df).repartition(6), threshold=20, depth=4, width=4096
+    )
+    pd.testing.assert_frame_equal(out, _brute(df, 20))
+
+
+def test_cms_tiny_width_still_exact(ray_session):
+    """Collision-heavy sketch (width 64 << vocab) inflates the candidate
+    set but the verify pass keeps the output exact — the one-sided-error
+    guarantee that replaces MG's threshold > N/(k+1) precondition."""
+    from abwcf_ray.stages.sketch import cms_heavy_hitters
+
+    df = _zipf_docs(7, 60, 500)
+    out = cms_heavy_hitters(
+        rd.from_pandas(df).repartition(4), threshold=15, depth=2, width=64
+    )
+    pd.testing.assert_frame_equal(out, _brute(df, 15))
+
+
+def test_cms_layout_invariance(ray_session):
+    from abwcf_ray.stages.sketch import cms_heavy_hitters
+
+    df = _zipf_docs(9, 50, 300)
+    a = cms_heavy_hitters(rd.from_pandas(df).repartition(2), threshold=12)
+    b = cms_heavy_hitters(
+        rd.from_pandas(df.iloc[::-1].reset_index(drop=True)).repartition(9),
+        threshold=12,
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_cms_overestimate_invariant(ray_session):
+    """CMS point estimates never undercount (the completeness lemma)."""
+    import ray
+
+    from abwcf_ray.functions.hashing import hash64
+    from abwcf_ray.stages.sketch import _cms_salts, cms_heavy_hitters
+
+    df = _zipf_docs(3, 40, 200)
+    # run with threshold 1: every token is a candidate, so the verify
+    # output IS the exact vocabulary count table
+    out = cms_heavy_hitters(
+        rd.from_pandas(df).repartition(3), threshold=1, depth=3, width=256
+    )
+    exact = _brute(df, 1)
+    pd.testing.assert_frame_equal(out, exact)
+
+
+def test_cms_nontokenized_mode(ray_session):
+    from abwcf_ray.stages.sketch import cms_heavy_hitters
+
+    df = pd.DataFrame({"host": ["a"] * 30 + ["b"] * 5 + ["c"] * 12})
+    out = cms_heavy_hitters(
+        rd.from_pandas(df).repartition(3),
+        threshold=10,
+        text_col="host",
+        tokenize=False,
+        width=1024,
+    )
+    assert out.to_records(index=False).tolist() == [("a", 30), ("c", 12)]
