@@ -2211,6 +2211,22 @@ def _q_cms_topwords(sf_dir: str):
     return out.rename(columns={"item": "word"}).reset_index(drop=True)
 
 
+def _q_pack_bins(sf_dir: str):
+    """GPT-style sequence packing by global token offsets
+    (stages/packing.pack_bins): concat all docs' whitespace tokens in
+    doc_id order, split every 64 — two-level distributed prefix scan
+    (slim count table -> bucket-sum exchange -> driver exclusive prefix
+    -> map-side span explode), exact int64 arithmetic mirrored by a
+    window-SUM + lateral-range SQL oracle."""
+    from abwcf_ray.stages.packing import pack_bins
+
+    _quiet()
+    out = pack_bins(
+        _docs(sf_dir, ["doc_id", "text"]), window=64
+    ).to_pandas()
+    return out.sort_values(["bin_id", "doc_id"]).reset_index(drop=True)
+
+
 def _docs_en(sf_dir: str):
     """Target distribution for the DSIR queries: the English slice."""
     import pyarrow.compute as pc
@@ -5592,6 +5608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_forward": _q_asof_join_forward,
         "heavy_hitters": _q_heavy_hitters,
         "cms_topwords": _q_cms_topwords,
+        "pack_bins": _q_pack_bins,
         "distinct_words": _q_distinct_words,
         "compression_signal": _q_compression_signal,
         "hll_distinct": _q_hll_distinct,
@@ -6942,6 +6959,29 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
             GROUP BY w
             HAVING COUNT(*) >= (SELECT thr FROM n)
+        """,
+        "pack_bins": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+                FROM documents
+            ),
+            o AS (
+                SELECT doc_id, n,
+                       CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) AS s
+                FROM t
+            ),
+            e AS (
+                SELECT doc_id, n, s,
+                       unnest(range(s // 64, (s + n - 1) // 64 + 1)) AS bin_id
+                FROM o WHERE n > 0
+            )
+            SELECT bin_id, doc_id,
+                   LEAST(s + n, (bin_id + 1) * 64)
+                       - GREATEST(s, bin_id * 64) AS n_in_bin
+            FROM e ORDER BY bin_id, doc_id
         """,
         "cms_topwords": r"""
             WITH toks AS (

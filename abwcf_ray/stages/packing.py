@@ -80,3 +80,132 @@ def chunk_documents(
         return out.to_arrow().cast(target)
 
     return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def pack_bins(
+    ds,
+    *,
+    window: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    merge_partitions: int = 64,
+):
+    """GPT-style sequence packing by GLOBAL token offsets: concatenate all
+    documents' whitespace tokens in ``id_col`` order and split every
+    ``window`` tokens — tokens cross document boundaries, no padding.
+    Returns one row per (bin, doc) incidence:
+
+        (bin_id, id_col, n_in_bin)
+
+    where ``n_in_bin`` is how many of the doc's tokens land in that bin.
+    Zero-token documents span no bins (mirrors chunk_documents).
+
+    The global prefix sum distributes as a classic two-level scan:
+
+    1. one token-count pass reduces the corpus to the SLIM (id, n) table
+       (16 B/doc — materialized once so the count pass never re-runs);
+    2. docs range-bucket by id into ``buckets`` coarse ranges; ONE small
+       exchange settles per-bucket token sums, the driver computes the
+       exclusive prefix over <= ``buckets`` rows and the base offsets
+       broadcast in the task closure (8 B/bucket);
+    3. ONE keyed exchange co-locates each bucket; within a bucket the
+       prefix is a local vectorized cumsum + its base, and the doc->bin
+       span explode (np.repeat + offset aranges) happens map-side in the
+       same pass — output rows never reshuffle.
+
+    Bin boundaries are pure arithmetic over exact int64 prefix sums, so a
+    SQL oracle (window SUM + lateral range explode) value-matches. Skew
+    bound: one bucket holds ~N/buckets docs and is materialized per
+    group; raise ``buckets`` for very large corpora.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from abwcf_ray.stages.dedup import keyed_hash_agg
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    W = np.int64(window)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        t = batch.column(text_col).to_pandas().astype("string").fillna("")
+        import numpy as _np
+
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n": pa.array(
+                    t.str.count(r"\S+").to_numpy(_np.int64), pa.int64()
+                ),
+            }
+        )
+
+    rows = ds.map_batches(counts, batch_format="pyarrow").materialize()
+    lo = int(rows.min(id_col))
+    hi = int(rows.max(id_col))
+    width = max(1, (hi - lo + buckets) // buckets)
+
+    def bucket_of(ids: np.ndarray) -> np.ndarray:
+        return (ids.astype(np.int64) - lo) // width
+
+    # pass 2: per-bucket token totals -> driver exclusive prefix
+    def bucket_sums(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        b = bucket_of(ids)
+        ub, inv = np.unique(b, return_inverse=True)
+        s = np.bincount(inv, weights=n).astype(np.int64)
+        return pa.table(
+            {"b": pa.array(ub, pa.int64()), "s": pa.array(s, pa.int64())}
+        )
+
+    bsum = (
+        keyed_hash_agg(
+            rows.map_batches(bucket_sums, batch_format="pyarrow"),
+            lambda b: b.column("b").to_numpy(zero_copy_only=False),
+            lambda g: g.groupby("b", as_index=False).agg(s=("s", "sum")),
+            partitions=merge_partitions,
+        )
+        .to_pandas()
+        .sort_values("b")
+    )
+    nb = (hi - lo) // width + 1
+    base = np.zeros(nb, np.int64)
+    bs = np.zeros(nb, np.int64)
+    bs[bsum["b"].to_numpy(np.int64)] = bsum["s"].to_numpy(np.int64)
+    base[1:] = np.cumsum(bs)[:-1]
+
+    # pass 3: within-bucket prefix + span explode, all map-side per shard
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        n = g["n"].to_numpy(np.int64)
+        b = bucket_of(ids)
+        order = np.lexsort((ids, b))
+        ids, n, b = ids[order], n[order], b[order]
+        cs = np.cumsum(n) - n
+        first_idx = np.r_[0, np.flatnonzero(np.diff(b)) + 1]
+        seg_len = np.diff(np.r_[first_idx, len(b)])
+        s = cs - np.repeat(cs[first_idx], seg_len) + base[b]
+        keep = n > 0
+        ids, n, s = ids[keep], n[keep], s[keep]
+        first = s // W
+        k = ((s + n - 1) // W - first + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s)), k)
+        intra = np.arange(int(k.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(k) - k, k
+        )
+        bins = first[idx] + intra
+        tok = np.minimum(s[idx] + n[idx], (bins + 1) * W) - np.maximum(
+            s[idx], bins * W
+        )
+        return pd.DataFrame(
+            {"bin_id": bins, id_col: ids[idx], "n_in_bin": tok}
+        )
+
+    return keyed_hash_agg(
+        rows,
+        lambda t: bucket_of(t.column(id_col).to_numpy(zero_copy_only=False)),
+        finish,
+        partitions=merge_partitions,
+    )

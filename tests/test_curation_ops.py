@@ -486,3 +486,120 @@ def test_compression_ratio_differential(ray_session):
         assert out.loc[i, "n_bytes"] == len(b)
     assert out.loc[0, "compression_ratio"] < out.loc[1, "compression_ratio"]
     assert out.loc[1, "compression_ratio"] < out.loc[2, "compression_ratio"]
+
+
+# ---------------------------------------------------------------- pack_bins
+
+
+def _pack_brute(df, W):
+    """Sequential reference: concat tokens in doc_id order, split every W."""
+    rows = []
+    off = 0
+    for _, r in df.sort_values("doc_id").iterrows():
+        n = len(r["text"].split())
+        if n:
+            for b in range(off // W, (off + n - 1) // W + 1):
+                tok = min(off + n, (b + 1) * W) - max(off, b * W)
+                rows.append((b, r["doc_id"], tok))
+        off += n
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["bin_id", "doc_id", "n_in_bin"])
+
+
+def test_pack_bins_matches_sequential_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from abwcf_ray.stages.packing import pack_bins
+
+    rng = np.random.default_rng(21)
+    texts = [
+        " ".join(f"t{j}" for j in range(rng.integers(0, 40)))
+        for _ in range(300)
+    ]
+    # non-contiguous, shuffled ids exercise the range bucketing
+    ids = rng.permutation(np.arange(0, 3000, 10))[:300]
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    out = (
+        pack_bins(
+            rd.from_pandas(df).repartition(7),
+            window=64,
+            buckets=16,
+            merge_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["bin_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        _pack_brute(df, 64)
+        .sort_values(["bin_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp)
+    # conservation: every token lands in exactly one bin
+    assert out["n_in_bin"].sum() == sum(len(t.split()) for t in texts)
+    # every bin except the last is exactly full
+    per_bin = out.groupby("bin_id")["n_in_bin"].sum()
+    assert (per_bin.iloc[:-1] == 64).all()
+
+
+def test_pack_bins_layout_invariance(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from abwcf_ray.stages.packing import pack_bins
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(50),
+            "text": ["x " * (i % 13) for i in range(50)],
+        }
+    )
+    a = (
+        pack_bins(rd.from_pandas(df).repartition(2), window=10, buckets=4)
+        .to_pandas()
+        .sort_values(["bin_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    b = (
+        pack_bins(
+            rd.from_pandas(df.iloc[::-1].reset_index(drop=True)).repartition(9),
+            window=10,
+            buckets=64,
+        )
+        .to_pandas()
+        .sort_values(["bin_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_bins_doc_spanning_many_bins(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from abwcf_ray.stages.packing import pack_bins
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["a b c", "w " * 25, ""]}
+    )
+    out = (
+        pack_bins(rd.from_pandas(df), window=8, buckets=2)
+        .to_pandas()
+        .sort_values(["bin_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    # doc 1: 3 tokens in bin 0; doc 2: 25 tokens at offset 3 -> bins 0..3
+    # (5, 8, 8, 4); doc 3: empty, absent
+    assert out.to_records(index=False).tolist() == [
+        (0, 1, 3),
+        (0, 2, 5),
+        (1, 2, 8),
+        (2, 2, 8),
+        (3, 2, 4),
+    ]
+    assert 3 not in set(out["doc_id"])
