@@ -2828,6 +2828,45 @@ def _q_bpe_merges(sf_dir: str):
     return bpe_train(_docs(sf_dir, ["text"]), n_merges=8)
 
 
+def _q_bpe_encode(sf_dir: str):
+    """Train-then-tokenize composition (stages/bpe.bpe_encode): 8 trained
+    merges replayed over the corpus in one stateless map pass (merge
+    table rides in the closure), per-doc token counts out. no_oracle
+    (greedy merge application is not SQL-expressible); the kernel is
+    pinned against a sequential reference in tests/test_bpe.py and the
+    fixed-merge sibling below carries a full value oracle."""
+    from abwcf_ray.stages.bpe import bpe_encode, bpe_train
+
+    _quiet()
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    merges = bpe_train(docs, n_merges=8)
+    out = bpe_encode(docs, merges).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_bpe_encode_fixed(sf_dir: str):
+    """SQL-value-oracled degeneration of the BPE encode kernel: two FIXED
+    merges ('t','h')->U+0001 then (U+0001,'e')->U+0002. For a != b the
+    kernel's simultaneous-match + greedy-every-other selection equals
+    leftmost non-overlapping replacement, so nested SQL replace() with
+    1-char sentinels reproduces the token counts exactly (corpus text
+    contains no control chars)."""
+    import pandas as pd
+
+    from abwcf_ray.stages.bpe import bpe_encode
+
+    _quiet()
+    merges = pd.DataFrame(
+        {
+            "left_id": [ord("t"), 1],
+            "right_id": [ord("h"), ord("e")],
+            "new_id": [1, 2],
+        }
+    )
+    out = bpe_encode(_docs(sf_dir, ["doc_id", "text"]), merges).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_group_corr(sf_dir: str):
     """Grouped Pearson correlation (stages/stats.group_corr): exact
     int64 moments (adds Σx², Σy² to the covariance partials) + exactly
@@ -5645,6 +5684,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_corr": _q_group_corr,
         "char_pairs": _q_char_pairs,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
+        "bpe_encode_fixed": _q_bpe_encode_fixed,
         "group_zscore": _q_group_zscore,
         "group_welch": _q_group_welch,
         "group_regression": _q_group_regression,
@@ -6959,6 +7000,13 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
             GROUP BY w
             HAVING COUNT(*) >= (SELECT thr FROM n)
+        """,
+        "bpe_encode_fixed": """
+            SELECT doc_id,
+                   CAST(length(replace(replace(text, 'th', chr(1)),
+                                       chr(1) || 'e', chr(2))) AS BIGINT)
+                       AS n_tokens
+            FROM documents ORDER BY doc_id
         """,
         "pack_bins": r"""
             WITH t AS (

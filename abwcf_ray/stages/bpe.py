@@ -290,6 +290,9 @@ def bpe_train(
                 "right_tok": tok_of(b),
                 "token": tok[new_id],
                 "count": int(top[0]["n"]),
+                "left_id": a,
+                "right_id": b,
+                "new_id": new_id,
             }
         )
         corpus = corpus.map_batches(
@@ -297,5 +300,88 @@ def bpe_train(
         ).materialize()
 
     return pd.DataFrame(
-        rows, columns=["step", "left_tok", "right_tok", "token", "count"]
+        rows,
+        columns=[
+            "step",
+            "left_tok",
+            "right_tok",
+            "token",
+            "count",
+            "left_id",
+            "right_id",
+            "new_id",
+        ],
     )
+
+
+def bpe_encode(
+    ds,
+    merges,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Tokenize the corpus with a TRAINED merge table: apply each merge
+    (``left_id``, ``right_id`` -> ``new_id`` rows of :func:`bpe_train`'s
+    output, in step order) to every document, return one row per doc:
+    ``(id_col, n_tokens)`` — the token count under the trained BPE vocab.
+
+    Distributed shape: the merge table is O(n_merges) and rides in the
+    task closure; encoding is ONE stateless ``map_batches`` pass — each
+    batch decodes to a codepoint array once and replays all M merges
+    with the same vectorized simultaneous-match + greedy-every-other
+    kernel training used (``_apply_merge``), so train-then-encode of the
+    training corpus reproduces training's final symbol sequences
+    exactly. No exchange; retries are pure.
+
+    Single-pass-per-merge completeness: a merge's pair can never
+    re-form after any other merge (a replacement only creates
+    adjacencies INVOLVING its fresh id, and fresh ids are never a
+    later pair's member unless recorded as such in a later row), so
+    one greedy pass per merge in step order is the exact classic BPE
+    encode.
+    """
+    trip = [
+        (int(a), int(b), int(n))
+        for a, b, n in zip(
+            merges["left_id"], merges["right_id"], merges["new_id"]
+        )
+    ]
+
+    def encode(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        joined = "\x00".join(x if x is not None else "" for x in texts)
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        lens = np.array(
+            [len(x) if x is not None else 0 for x in texts], np.int64
+        )
+        keep = cp != _SENTINEL
+        v = cp[keep]
+        offsets = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        for a, b, nid in trip:
+            if len(v) < 2:
+                break
+            m = (v[:-1] == a) & (v[1:] == b)
+            ends = offsets[1:] - 1
+            ends = ends[(ends >= 0) & (ends < len(m))]
+            m[ends] = False
+            sel = _greedy_select(np.flatnonzero(m))
+            if len(sel) == 0:
+                continue
+            v[sel] = nid
+            keep2 = np.ones(len(v), bool)
+            keep2[sel + 1] = False
+            per_doc = np.diff(np.searchsorted(sel, offsets))
+            offsets = offsets - np.cumsum(np.r_[0, per_doc])[: len(offsets)]
+            v = v[keep2]
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_tokens": pa.array(np.diff(offsets), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")

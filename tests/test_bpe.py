@@ -81,6 +81,9 @@ def _ref_bpe(texts, n_merges):
                 "right_tok": tok_of(b),
                 "token": tok[nid],
                 "count": n,
+                "left_id": a,
+                "right_id": b,
+                "new_id": nid,
             }
         )
         for si, seq in enumerate(seqs):
@@ -129,3 +132,89 @@ def test_char_pairs_unicode_codepoints(ray_session):
     assert d[("h", "é")] == 1
     assert d[("日", "本")] == 2
     assert d[("本", "日")] == 1
+
+
+# ---------------------------------------------------------------- encode
+
+
+def _ref_encode_counts(texts, merge_rows):
+    """Sequential greedy left-to-right application of each merge in step
+    order (the classic BPE encode); returns per-doc token counts."""
+    counts = []
+    for t in texts:
+        seq = [ord(c) for c in t]
+        for r in merge_rows:
+            a, b, nid = r["left_id"], r["right_id"], r["new_id"]
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(nid)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+        counts.append(len(seq))
+    return counts
+
+
+def test_bpe_encode_matches_sequential_reference(ray_session):
+    from abwcf_ray.stages.bpe import bpe_encode, bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the hat of the cat",
+        "that that mat",
+        "aaaa aabaa aaa",
+        "",
+        "ththe",
+    ] * 3
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rd.from_pandas(df).repartition(4)
+    merges = bpe_train(ds, n_merges=8)
+    out = (
+        bpe_encode(ds, merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _ref_encode_counts(texts, merges.to_dict("records"))
+    assert out["n_tokens"].tolist() == exp
+    # every doc shrank or held (merges only ever remove symbols); note the
+    # merge table's `count` is the OVERLAPPING pair count at selection
+    # time, not the applied-merge count, so no exact conservation law here
+    assert (out["n_tokens"].to_numpy() <= df["text"].str.len().to_numpy()).all()
+
+
+def test_bpe_encode_zero_merges_is_char_count(ray_session):
+    from abwcf_ray.stages.bpe import bpe_encode
+
+    texts = ["abc", "", "héé"]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [5, 6, 7], "text": texts}))
+    empty = pd.DataFrame(columns=["left_id", "right_id", "new_id"])
+    out = bpe_encode(ds, empty).to_pandas().sort_values("doc_id")
+    assert out["n_tokens"].tolist() == [3, 0, 3]
+
+
+def test_bpe_encode_layout_invariance(ray_session):
+    from abwcf_ray.stages.bpe import bpe_encode, bpe_train
+
+    texts = ["banana bandana", "ananas", "nan"] * 5
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    m = bpe_train(rd.from_pandas(df).repartition(2), n_merges=5)
+    a = (
+        bpe_encode(rd.from_pandas(df).repartition(1), m)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        bpe_encode(
+            rd.from_pandas(df.iloc[::-1].reset_index(drop=True)).repartition(7),
+            m,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
