@@ -5554,6 +5554,47 @@ def _q_csv_roundtrip(sf_dir: str):
     return agg[["lang", "n_docs", "sum_chars", "sum_textlen"]]
 
 
+def _q_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather v2) sink + source (sources/ipc.py) under the
+    same full SQL value oracle as csv/jsonl_roundtrip: write ``documents``
+    as IPC shards (one per block, content-hash part names — idempotent
+    retries), append a corrupt shard that must tolerate to zero rows,
+    read back per-shard, aggregate by lang. IPC carries the schema
+    verbatim, so fidelity is byte-exact with no coercion layer."""
+    import os
+
+    from abwcf_ray.sources.ipc import read_ipc, write_ipc
+
+    _quiet()
+    out_dir = f"/tmp/abwcf_ipc_{Path(sf_dir).name}_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_ipc(_docs(sf_dir, ["doc_id", "text", "lang", "n_chars"]), out_dir)
+    with open(f"{out_dir}/zz-corrupt.arrow", "wb") as f:
+        f.write(b"ARROW1\x00\x00not-a-real-footer")
+
+    def text_len(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "text_len", pc.utf8_length(b.column("text")).cast(pa.int64())
+        )
+
+    ds = read_ipc(out_dir).map_batches(text_len, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        ds.groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Sum("text_len", alias_name="sum_textlen"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return agg[["lang", "n_docs", "sum_chars", "sum_textlen"]]
+
+
 def _q_triangles(sf_dir: str):
     """Exact triangle count of the undirected link graph
     (stages/graph.triangle_count): degree-oriented wedge-check — canonical
@@ -5751,6 +5792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": _q_triangles,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
+        "ipc_roundtrip": _q_ipc_roundtrip,
         "crawl_wave": _q_crawl,
         "crawl_wave_cuckoo": _q_crawl_cuckoo,
     }
@@ -6000,6 +6042,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, COUNT(*) AS n_pages FROM frontier GROUP BY host
         """,
         "csv_roundtrip": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_textlen
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "ipc_roundtrip": """
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_textlen
