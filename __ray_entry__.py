@@ -5554,6 +5554,21 @@ def _q_csv_roundtrip(sf_dir: str):
     return agg[["lang", "n_docs", "sum_chars", "sum_textlen"]]
 
 
+def _q_source_similarity(sf_dir: str):
+    """Mirror detection / source-similarity matrix
+    (stages/setops.group_jaccard_matrix): pairwise vocabulary Jaccard
+    between crawl sources — distinct (source, token) combiner, one
+    keyed exchange on hash(token) where pair emission is a vectorized
+    shift-by-k sweep, O(sources²) driver output; jaccard is one IEEE
+    division of exact int64s mirrored by the SQL oracle."""
+    from abwcf_ray.stages.setops import group_jaccard_matrix
+
+    _quiet()
+    return group_jaccard_matrix(
+        _docs(sf_dir, ["source", "text"]), group_col="source"
+    )
+
+
 def _q_ipc_roundtrip(sf_dir: str):
     """Arrow IPC (Feather v2) sink + source (sources/ipc.py) under the
     same full SQL value oracle as csv/jsonl_roundtrip: write ``documents``
@@ -5793,6 +5808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
         "ipc_roundtrip": _q_ipc_roundtrip,
+        "source_similarity": _q_source_similarity,
         "crawl_wave": _q_crawl,
         "crawl_wave_cuckoo": _q_crawl_cuckoo,
     }
@@ -6046,6 +6062,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_textlen
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "source_similarity": r"""
+            WITH ws AS (
+                SELECT DISTINCT source, w FROM (
+                    SELECT source,
+                           unnest(regexp_extract_all(text, '\S+')) AS w
+                    FROM documents)
+            ),
+            vs AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                FROM ws GROUP BY source
+            ),
+            pw AS (
+                SELECT a.source AS s1, b.source AS s2,
+                       CAST(COUNT(*) AS BIGINT) AS shared
+                FROM ws a JOIN ws b ON a.w = b.w AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT s1, s2, shared, va.n AS n1, vb.n AS n2,
+                   CAST(shared AS DOUBLE)
+                       / CAST(va.n + vb.n - shared AS DOUBLE) AS jaccard
+            FROM pw
+            JOIN vs va ON va.source = s1
+            JOIN vs vb ON vb.source = s2
+            ORDER BY s1, s2
         """,
         "ipc_roundtrip": """
             SELECT lang, COUNT(*) AS n_docs,

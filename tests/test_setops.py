@@ -82,3 +82,101 @@ def test_bad_op_rejected(ray_session):
     l = rd.from_items([{"a": "x", "b": 1}])
     with pytest.raises(ValueError):
         set_op(l, l, op="minus", key_cols=["a", "b"])
+
+
+# ------------------------------------------------------- jaccard matrix
+
+
+def _jac_brute(df):
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    vocab = {
+        g: set(" ".join(sub["text"]).split())
+        for g, sub in df.groupby("src")
+    }
+    rows = []
+    for a, b in itertools.combinations(sorted(vocab), 2):
+        sh = len(vocab[a] & vocab[b])
+        if sh:
+            rows.append(
+                (
+                    a,
+                    b,
+                    np.int64(sh),
+                    np.int64(len(vocab[a])),
+                    np.int64(len(vocab[b])),
+                    np.float64(sh)
+                    / np.float64(len(vocab[a]) + len(vocab[b]) - sh),
+                )
+            )
+    return pd.DataFrame(
+        rows, columns=["s1", "s2", "shared", "n1", "n2", "jaccard"]
+    )
+
+
+def test_group_jaccard_matches_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from abwcf_ray.stages.setops import group_jaccard_matrix
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(120)]
+    df = pd.DataFrame(
+        {
+            "src": rng.choice(["a", "b", "c", "d"], 200),
+            "text": [
+                " ".join(rng.choice(vocab, rng.integers(1, 15)))
+                for _ in range(200)
+            ],
+        }
+    )
+    out = group_jaccard_matrix(
+        rd.from_pandas(df).repartition(6),
+        group_col="src",
+        partitions=4,
+    )
+    pd.testing.assert_frame_equal(out, _jac_brute(df))
+
+
+def test_group_jaccard_disjoint_and_identical(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from abwcf_ray.stages.setops import group_jaccard_matrix
+
+    df = pd.DataFrame(
+        {
+            "src": ["a", "a", "b", "c"],
+            "text": ["x y z", "x", "x y z", "p q"],
+        }
+    )
+    out = group_jaccard_matrix(rd.from_pandas(df), group_col="src")
+    # a and b identical vocab -> jaccard 1; c disjoint -> absent
+    assert out.to_records(index=False).tolist() == [("a", "b", 3, 3, 3, 1.0)]
+
+
+def test_group_jaccard_nontokenized(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from abwcf_ray.stages.setops import group_jaccard_matrix
+
+    df = pd.DataFrame(
+        {
+            "src": ["a", "a", "b", "b", "b"],
+            "text": ["k1", "k2", "k2", "k3", "k1"],
+        }
+    )
+    out = group_jaccard_matrix(
+        rd.from_pandas(df).repartition(2),
+        group_col="src",
+        tokenize=False,
+    )
+    assert out.to_records(index=False).tolist() == [
+        ("a", "b", 2, 2, 3, 2 / 3)
+    ]
