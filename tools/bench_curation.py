@@ -165,6 +165,28 @@ def main() -> int:
     timed("paragraph_dedup", lambda: paragraph_dedup(docs()).count())
     timed("lm_rarity", lambda: lm_rarity_score(docs()).count())
 
+    # round-4 late additions at volume
+    from abwcf_ray.stages.bpe import bpe_encode
+    from abwcf_ray.stages.packing import pack_bins
+    from abwcf_ray.stages.sketch import cms_heavy_hitters
+
+    timed("pack_bins", lambda: pack_bins(docs(), window=2048).count())
+    timed(
+        "cms_topwords",
+        lambda: len(
+            cms_heavy_hitters(docs(), threshold=args.n_docs // 10)
+        ),
+    )
+    import pandas as pd
+
+    fixed_merges = pd.DataFrame(
+        {"left_id": [ord("t"), 1], "right_id": [ord("h"), ord("e")], "new_id": [1, 2]}
+    )
+    timed(
+        "bpe_encode_2merges",
+        lambda: bpe_encode(docs(), fixed_merges).count(),
+    )
+
     n = args.n_docs
     print(
         json.dumps(
