@@ -218,3 +218,36 @@ def test_bpe_encode_layout_invariance(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bpe_encode_hypothesis_differential(ray_session):
+    """Randomized differential vs the sequential greedy reference:
+    small alphabets force dense merges, runs, and merge-of-merge chains."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from abwcf_ray.stages.bpe import bpe_encode, bpe_train
+
+    @settings(max_examples=10, deadline=None)
+    @given(seed=st.integers(0, 10_000), n_merges=st.integers(1, 6))
+    def inner(seed, n_merges):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(1, 30))
+        texts = [
+            "".join(rng.choice(list("aabbc "), int(rng.integers(0, 25))))
+            for _ in range(n)
+        ]
+        df = pd.DataFrame({"doc_id": range(n), "text": texts})
+        ds = rd.from_pandas(df).repartition(3)
+        merges = bpe_train(ds, n_merges=n_merges)
+        out = (
+            bpe_encode(ds, merges)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = _ref_encode_counts(texts, merges.to_dict("records"))
+        assert out["n_tokens"].tolist() == exp
+
+    inner()

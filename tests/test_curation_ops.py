@@ -603,3 +603,52 @@ def test_pack_bins_doc_spanning_many_bins(ray_session):
         (3, 2, 4),
     ]
     assert 3 not in set(out["doc_id"])
+
+
+def test_pack_bins_hypothesis_differential(ray_session):
+    """Randomized differential vs the sequential reference: adversarial
+    windows (1, 3, 64), empty docs, sparse/shuffled ids, skewed token
+    counts across many layouts."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from abwcf_ray.stages.packing import pack_bins
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        seed=st.integers(0, 10_000),
+        window=st.sampled_from([1, 3, 64]),
+        buckets=st.sampled_from([1, 4, 32]),
+        blocks=st.integers(1, 6),
+    )
+    def inner(seed, window, buckets, blocks):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(1, 60))
+        ids = rng.choice(np.arange(0, 10_000, 7), n, replace=False)
+        texts = [
+            " ".join("w" for _ in range(int(rng.integers(0, 20))))
+            for _ in range(n)
+        ]
+        df = pd.DataFrame({"doc_id": ids, "text": texts})
+        out = (
+            pack_bins(
+                rd.from_pandas(df).repartition(blocks),
+                window=window,
+                buckets=buckets,
+                merge_partitions=3,
+            )
+            .to_pandas()
+            .sort_values(["bin_id", "doc_id"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            _pack_brute(df, window)
+            .sort_values(["bin_id", "doc_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, exp)
+
+    inner()
