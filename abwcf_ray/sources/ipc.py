@@ -7,37 +7,28 @@ write side's schema IS the read side's schema.
 Scale shape mirrors the other connectors:
 
 - **Sink**: one file per input block, streamed (never a driver
-  collect); part names are the xxhash-style 64-bit content hash of the
+  collect); part names are the 64-bit blake2 content hash of the
   serialized bytes, so a retried task rewrites the IDENTICAL file —
   idempotent, resumable output (the fetch-tee retry-safe-naming
-  contract).
+  contract). Content addressing preserves block multiplicity iff no
+  two blocks are byte-identical — guaranteed whenever any column is
+  row-unique (doc_id / url, as in every table here); the sink VERIFIES
+  this (duplicate part paths raise instead of silently collapsing).
 - **Source**: one read task per shard (the CC per-file-parallelism
-  layout, no shuffle). ``strict=False`` tolerates a corrupt/truncated
-  shard to zero rows plus a ``_bad_shards`` marker column (1 on every
-  row of a failed shard's EMPTY replacement row — i.e. corrupt shards
-  surface as one count row, observable not silent), matching
-  csv_src.py's defect-visibility contract.
+  layout, no shuffle); only ``*.arrow`` files are considered, so
+  orphaned ``*.tmp`` files from a crashed writer are never re-read.
+  ``strict=False`` tolerates a corrupt/truncated shard to zero rows,
+  with a warning printed to the task log (visible via Ray's worker
+  logs); ``strict=True`` re-raises.
 """
 
 from __future__ import annotations
 
-import glob
 import os
 
 import pyarrow as pa
 
-
-def _shard_paths(paths) -> list[str]:
-    if isinstance(paths, (list, tuple)):
-        out = []
-        for p in paths:
-            out.extend(_shard_paths(p))
-        return out
-    if os.path.isdir(paths):
-        return sorted(
-            f for f in glob.glob(os.path.join(paths, "*")) if os.path.isfile(f)
-        )
-    return [paths]
+from abwcf_ray.sources.csv_src import _shard_paths
 
 
 def write_ipc(ds, out_dir: str) -> int:
@@ -45,7 +36,9 @@ def write_ipc(ds, out_dir: str) -> int:
     ``part-<contenthash>.arrow`` per block, deterministic names).
     Returns the number of shards written. Streaming: each block
     serializes and lands inside its own task; nothing funnels through
-    the driver."""
+    the driver. Raises ``ValueError`` if two distinct blocks were
+    byte-identical (content addressing cannot preserve their
+    multiplicity — give the data a row-unique column)."""
     os.makedirs(out_dir, exist_ok=True)
 
     def dump(batch: pa.Table) -> pa.Table:
@@ -65,21 +58,36 @@ def write_ipc(ds, out_dir: str) -> int:
         os.replace(tmp, path)  # atomic: concurrent retry writes same bytes
         return pa.table({"path": pa.array([path], pa.string())})
 
-    # count() consumes the streaming write pass; batch_size=None = whole blocks
-    return int(
-        ds.map_batches(dump, batch_format="pyarrow", batch_size=None).count()
-    )
+    # the path table is tiny (one row per block): collect it to verify no
+    # two blocks collapsed onto one content-addressed file
+    paths = [
+        r["path"]
+        for r in ds.map_batches(
+            dump, batch_format="pyarrow", batch_size=None
+        ).take_all()
+    ]
+    if len(set(paths)) != len(paths):
+        raise ValueError(
+            "write_ipc: two byte-identical blocks mapped to one "
+            "content-addressed shard; add a row-unique column to keep "
+            "block multiplicity"
+        )
+    return len(paths)
 
 
 def read_ipc(paths, *, strict: bool = False):
     """Read Arrow IPC shard(s) into a Dataset; one task per shard.
-    ``strict=False`` tolerates unreadable shards to zero rows (the
-    shard's path still appears in the task log); ``strict=True``
-    re-raises. All shards must share one schema (the sink guarantees
-    it; mixed-schema directories raise at union time)."""
+    ``strict=False`` tolerates unreadable shards to zero rows (a warning
+    goes to the reading task's log); ``strict=True`` re-raises. All
+    shards must share one schema (the sink guarantees it; mixed-schema
+    directories raise at union time)."""
     import ray.data as rd
 
-    files = [f for f in _shard_paths(paths) if os.path.isfile(f)]
+    files = [
+        f
+        for f in _shard_paths(paths)
+        if os.path.isfile(f) and f.endswith(".arrow")
+    ]
     if not files:
         raise FileNotFoundError(f"no IPC shards under {paths!r}")
 
@@ -89,9 +97,10 @@ def read_ipc(paths, *, strict: bool = False):
             try:
                 with pa.ipc.open_file(pa.memory_map(p, "r")) as r:
                     out.append(r.read_all())
-            except (pa.ArrowInvalid, pa.ArrowIOError, OSError):
+            except (pa.ArrowInvalid, pa.ArrowIOError, OSError) as e:
                 if strict:
                     raise
+                print(f"read_ipc: skipping unreadable shard {p}: {e}")
         if not out:
             return None  # resolved below: empty against the good schema
         return pa.concat_tables(out, promote_options="none")

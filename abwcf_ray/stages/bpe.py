@@ -123,29 +123,35 @@ def char_pair_counts(
 _NEW_ID_BASE = 0x110000
 
 
+def _flat_codepoints(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Documents -> (flat int64 codepoint values, int64 doc offsets).
+    In-text NUL codepoints are DROPPED (NUL doubles as the join sentinel;
+    stripping it first keeps the offsets aligned with the kept symbols —
+    a stray NUL in crawl-extracted text would otherwise silently shift
+    every later document's boundary)."""
+    texts = [(x or "").replace("\x00", "") for x in texts]
+    joined = "\x00".join(texts)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    lens = np.array([len(x) for x in texts], np.int64)
+    keep = cp != _SENTINEL  # only the join sentinels remain
+    offsets = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    return cp[keep], offsets
+
+
 def _syms_of_text(text_col: str):
     """text -> (syms list<int64>) initial symbol sequences."""
 
     def f(t: pa.Table) -> pa.Table:
         texts = t.column(text_col).to_pylist()
-        joined = "\x00".join(x if x is not None else "" for x in texts)
-        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(
-            np.int64
-        )
-        lens = np.array(
-            [len(x) if x is not None else 0 for x in texts], np.int64
-        )
-        # drop the sentinel positions between docs
-        keep = cp != _SENTINEL
-        # sentinel only ever appears at the joins (documented corpus
-        # contract shared with char_pair_counts)
-        offsets = np.zeros(len(lens) + 1, np.int64)
-        np.cumsum(lens, out=offsets[1:])
+        v, offsets = _flat_codepoints(texts)
         return pa.table(
             {
                 "syms": pa.ListArray.from_arrays(
                     pa.array(offsets, pa.int32()).cast(pa.int32()),
-                    pa.array(cp[keep], pa.int64()),
+                    pa.array(v, pa.int64()),
                 )
             }
         )
@@ -196,30 +202,44 @@ def _greedy_select(idx: np.ndarray) -> np.ndarray:
     return idx[(idx - first[run_id]) % 2 == 0]
 
 
+def _merge_pass(
+    v: np.ndarray, offsets: np.ndarray, a: int, b: int, new_id: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """ONE simultaneous-match + greedy-every-other application of merge
+    (a, b) -> new_id over flattened (values, offsets) doc sequences —
+    the single kernel shared by training (_apply_merge) and encoding
+    (bpe_encode), so train-then-encode reproduces training exactly.
+    Returns the (possibly unchanged) (values, offsets)."""
+    if len(v) < 2:
+        return v, offsets
+    m = (v[:-1] == a) & (v[1:] == b)
+    ends = offsets[1:] - 1
+    ends = ends[(ends >= 0) & (ends < len(m))]
+    m[ends] = False  # a document's last symbol cannot start a pair
+    sel = _greedy_select(np.flatnonzero(m))
+    if len(sel) == 0:
+        return v, offsets
+    out = v.copy()
+    out[sel] = new_id
+    keep = np.ones(len(v), bool)
+    keep[sel + 1] = False
+    # each doc shrinks by its selected-merge count
+    per_doc = np.diff(np.searchsorted(sel, offsets))
+    new_offsets = offsets - np.cumsum(np.r_[0, per_doc])[: len(offsets)]
+    return out[keep], new_offsets
+
+
 def _apply_merge(a: int, b: int, new_id: int):
     def f(t: pa.Table) -> pa.Table:
         v, offsets = _list_parts(t)
-        if len(v) < 2:
+        nv, noff = _merge_pass(v, offsets, a, b, new_id)
+        if nv is v:
             return t
-        m = (v[:-1] == a) & (v[1:] == b)
-        ends = offsets[1:] - 1
-        ends = ends[(ends >= 0) & (ends < len(m))]
-        m[ends] = False
-        sel = _greedy_select(np.flatnonzero(m))
-        if len(sel) == 0:
-            return t
-        out = v.copy()
-        out[sel] = new_id
-        keep = np.ones(len(v), bool)
-        keep[sel + 1] = False
-        # each doc shrinks by its selected-merge count
-        per_doc = np.diff(np.searchsorted(sel, offsets))
-        new_offsets = offsets - np.cumsum(np.r_[0, per_doc])[: len(offsets)]
         return pa.table(
             {
                 "syms": pa.ListArray.from_arrays(
-                    pa.array(new_offsets, pa.int32()).cast(pa.int32()),
-                    pa.array(out[keep], pa.int64()),
+                    pa.array(noff, pa.int32()).cast(pa.int32()),
+                    pa.array(nv, pa.int64()),
                 )
             }
         )
@@ -350,33 +370,11 @@ def bpe_encode(
 
     def encode(t: pa.Table) -> pa.Table:
         texts = t.column(text_col).to_pylist()
-        joined = "\x00".join(x if x is not None else "" for x in texts)
-        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(
-            np.int64
-        )
-        lens = np.array(
-            [len(x) if x is not None else 0 for x in texts], np.int64
-        )
-        keep = cp != _SENTINEL
-        v = cp[keep]
-        offsets = np.zeros(len(lens) + 1, np.int64)
-        np.cumsum(lens, out=offsets[1:])
+        v, offsets = _flat_codepoints(texts)
         for a, b, nid in trip:
             if len(v) < 2:
                 break
-            m = (v[:-1] == a) & (v[1:] == b)
-            ends = offsets[1:] - 1
-            ends = ends[(ends >= 0) & (ends < len(m))]
-            m[ends] = False
-            sel = _greedy_select(np.flatnonzero(m))
-            if len(sel) == 0:
-                continue
-            v[sel] = nid
-            keep2 = np.ones(len(v), bool)
-            keep2[sel + 1] = False
-            per_doc = np.diff(np.searchsorted(sel, offsets))
-            offsets = offsets - np.cumsum(np.r_[0, per_doc])[: len(offsets)]
-            v = v[keep2]
+            v, offsets = _merge_pass(v, offsets, a, b, nid)
         return pa.table(
             {
                 id_col: t.column(id_col),

@@ -877,8 +877,10 @@ def cms_heavy_hitters(
     """
     import ray
 
-    if width & (width - 1) or width <= 0:
-        raise ValueError("width must be a power of two")
+    # width >= 2: width=1 would make the multiply-shift a 64-bit shift,
+    # which is C-undefined (platform-dependent result)
+    if width & (width - 1) or width < 2:
+        raise ValueError("width must be a power of two >= 2")
     lg = int(width).bit_length() - 1
     shift = np.uint64(64 - lg)
     salts = _cms_salts(depth)

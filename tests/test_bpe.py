@@ -251,3 +251,26 @@ def test_bpe_encode_hypothesis_differential(ray_session):
         assert out["n_tokens"].tolist() == exp
 
     inner()
+
+
+def test_bpe_nul_codepoints_dropped_consistently(ray_session):
+    """In-text NUL (the join sentinel) is stripped before symbolization
+    in BOTH train and encode — offsets stay aligned and merges never
+    span document boundaries (regression: a stray NUL used to shift
+    every later doc's boundary)."""
+    from abwcf_ray.stages.bpe import bpe_encode, bpe_train
+
+    dirty = ["a\x00b ab ab", "cd\x00", "\x00\x00", "abab"]
+    clean = [t.replace("\x00", "") for t in dirty]
+    dfd = pd.DataFrame({"doc_id": range(4), "text": dirty})
+    dfc = pd.DataFrame({"doc_id": range(4), "text": clean})
+    md = bpe_train(rd.from_pandas(dfd).repartition(2), n_merges=4)
+    mc = bpe_train(rd.from_pandas(dfc).repartition(2), n_merges=4)
+    assert md.to_dict("records") == mc.to_dict("records")
+    outd = (
+        bpe_encode(rd.from_pandas(dfd), md)
+        .to_pandas()
+        .sort_values("doc_id")["n_tokens"]
+        .tolist()
+    )
+    assert outd == _ref_encode_counts(clean, md.to_dict("records"))

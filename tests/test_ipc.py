@@ -64,3 +64,27 @@ def test_ipc_corrupt_shard_tolerated_and_strict(ray_session, tmp_path):
 def test_ipc_missing_dir_raises(ray_session, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_ipc(str(tmp_path / "nope"))
+
+
+def test_ipc_reader_ignores_tmp_orphans(ray_session, tmp_path):
+    """A crashed writer's orphaned .tmp file (complete, valid IPC bytes)
+    must not be re-read as a shard — only *.arrow files count."""
+    df = _df(40)
+    out = str(tmp_path / "shards")
+    write_ipc(rd.from_pandas(df).repartition(2), out)
+    shard = next(f for f in os.listdir(out) if f.endswith(".arrow"))
+    with open(os.path.join(out, shard), "rb") as f:
+        raw = f.read()
+    with open(os.path.join(out, f"{shard}.999.tmp"), "wb") as f:
+        f.write(raw)  # valid IPC bytes under a tmp name
+    assert len(read_ipc(out).to_pandas()) == 40
+
+
+def test_ipc_duplicate_blocks_raise(ray_session, tmp_path):
+    """Two byte-identical blocks cannot be content-addressed apart; the
+    sink raises instead of silently collapsing them."""
+    df = pd.DataFrame({"x": [1, 2, 3]})
+    both = pd.concat([df, df], ignore_index=True)
+    ds = rd.from_pandas(both).repartition(2)  # two identical blocks
+    with pytest.raises(ValueError, match="byte-identical"):
+        write_ipc(ds, str(tmp_path / "dup"))

@@ -595,11 +595,10 @@ def test_cms_layout_invariance(ray_session):
 
 
 def test_cms_overestimate_invariant(ray_session):
-    """CMS point estimates never undercount (the completeness lemma)."""
-    import ray
-
-    from abwcf_ray.functions.hashing import hash64
-    from abwcf_ray.stages.sketch import _cms_salts, cms_heavy_hitters
+    """Threshold=1 makes every token a candidate, so the verify output
+    equals the exact vocabulary table — only possible because CMS point
+    estimates never undercount (the completeness lemma)."""
+    from abwcf_ray.stages.sketch import cms_heavy_hitters
 
     df = _zipf_docs(3, 40, 200)
     # run with threshold 1: every token is a candidate, so the verify
