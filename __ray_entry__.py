@@ -1646,6 +1646,29 @@ def _q_crawl_cuckoo(sf_dir: str):
     return df.sort_values("url").reset_index(drop=True)
 
 
+def _q_llm_corpus(sf_dir: str):
+    """The COMPOSED crawl-to-training-corpus pipeline
+    (pipelines/llm_corpus.build_training_corpus): wave crawl -> extracted
+    text -> quality gate -> exact dedup (min-url winner) -> global-offset
+    sequence packing -> BPE train + encode, every phase the production
+    stage verbatim. Returns the one-row corpus-mass summary. no_oracle
+    (e2e composition like crawl_wave); each constituent op carries its
+    own SQL oracle elsewhere, and the composition is pinned by
+    tests/test_llm_corpus.py."""
+    from abwcf_ray.config import CrawlConfig
+    from abwcf_ray.pipelines.crawl import run_crawl
+    from abwcf_ray.pipelines.llm_corpus import build_training_corpus
+
+    _quiet()
+    corpus = _crawl_corpus_for(sf_dir)
+    out_dir = Path(f"/tmp/abwcf_llm_corpus_{corpus.n_pages}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = CrawlConfig(max_waves=3, wave_duration_s=10.0, seen_shards=4,
+                      corpus_buckets=corpus.num_buckets, max_crawl_depth=8)
+    run_crawl(cfg, corpus, out_dir, log=lambda *_: None)
+    return build_training_corpus(out_dir)
+
+
 def _graph_edges(sf_dir: str):
     """Deterministic synthetic link graph over documents (node = doc_id,
     dense 0..n-1): out-degree 1 + doc_id % 3, j-th link target
@@ -5809,6 +5832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip": _q_csv_roundtrip,
         "ipc_roundtrip": _q_ipc_roundtrip,
         "source_similarity": _q_source_similarity,
+        "llm_corpus": _q_llm_corpus,
         "crawl_wave": _q_crawl,
         "crawl_wave_cuckoo": _q_crawl_cuckoo,
     }
