@@ -1646,6 +1646,49 @@ def _q_crawl_cuckoo(sf_dir: str):
     return df.sort_values("url").reset_index(drop=True)
 
 
+def _q_anchor_labels(sf_dir: str):
+    """Labeled link graph from the crawl corpus: (src, dst, anchor-text)
+    edges via the regex anchor lexer (functions/htmlx.anchor_texts, the
+    href-absolutization fast path shared with the link extractor), then
+    the modal anchor per TARGET page — the classic web-ranking page-label
+    asset — through ONE hash(dst) exchange (stages/stats.group_mode).
+    rows-only (the fixture corpus html is not a SQL-registered table);
+    the kernel is differential-tested against html.parser and the mode
+    machinery carries its own SQL oracle (group_mode)."""
+    import ray.data as rd
+
+    from abwcf_ray.functions.htmlx import anchor_texts
+    from abwcf_ray.stages.stats import group_mode
+
+    _quiet()
+    corpus = _crawl_corpus_for(sf_dir)
+
+    def edges(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        htmls = t.column("html").to_pylist()
+        src, dst, anch = [], [], []
+        for u, h in zip(urls, htmls):
+            for href, text in anchor_texts(h, u):
+                src.append(u)
+                dst.append(href)
+                anch.append(text)
+        return pa.table(
+            {
+                "dst": pa.array(dst, pa.string()),
+                "anchor": pa.array(anch, pa.string()),
+            }
+        )
+
+    ed = rd.read_parquet(corpus.pages_dir, columns=["url", "html"]).map_batches(
+        edges, batch_format="pyarrow"
+    )
+    out = group_mode(
+        ed, group_cols=["dst"], value_col="anchor"
+    ).to_pandas()
+    out = out.sort_values(["n", "dst"], ascending=[False, True]).head(200)
+    return out.reset_index(drop=True)
+
+
 def _q_llm_corpus(sf_dir: str):
     """The COMPOSED crawl-to-training-corpus pipeline
     (pipelines/llm_corpus.build_training_corpus): wave crawl -> extracted
@@ -5833,6 +5876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ipc_roundtrip": _q_ipc_roundtrip,
         "source_similarity": _q_source_similarity,
         "llm_corpus": _q_llm_corpus,
+        "anchor_labels": _q_anchor_labels,
         "crawl_wave": _q_crawl,
         "crawl_wave_cuckoo": _q_crawl_cuckoo,
     }

@@ -353,3 +353,47 @@ def header_nofollow(x_robots_tag: str | None) -> bool:
     if not x_robots_tag:
         return False
     return any(t.strip().lower() == "nofollow" for t in x_robots_tag.split(","))
+
+
+# ------------------------------------------------------------- anchor text
+
+_ANCHOR_RE = re.compile(
+    r'<a\s[^>]*?href\s*=\s*"([^"]*)"[^>]*>(.*?)</a\s*>',
+    re.IGNORECASE | re.DOTALL,
+)
+_TAG_STRIP_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+
+def anchor_texts(html: bytes | str, base_url: str) -> list[tuple[str, str]]:
+    """Extract (absolute_href, anchor_text) pairs — the labeled link-graph
+    edges (anchor text is the classic web-ranking / page-labeling asset
+    the plain link extractor drops). Inner markup is stripped, whitespace
+    collapsed; anchors with empty text or un-absolutizable hrefs drop.
+    Href absolutization shares :func:`_abs_href_fast`'s invariant fast
+    path with the link extractor (urljoin fallback, malformed drop).
+
+    Regex-lexer scope (same contract as the fast parse paths): handles
+    the double-quoted-href, properly-nested markup the extraction corpus
+    carries; exotic markup (unquoted hrefs, anchors inside comments)
+    falls outside it — the differential tests pin the supported shapes
+    against html.parser.
+    """
+    if isinstance(html, bytes):
+        html = html.decode("utf-8", errors="replace")
+    out = []
+    for m in _ANCHOR_RE.finditer(html):
+        href = m.group(1)
+        text = _WS_RE.sub(" ", _TAG_STRIP_RE.sub(" ", m.group(2))).strip()
+        if not text:
+            continue
+        absu = _abs_href_fast(href)
+        if absu is None:
+            try:
+                absu = urljoin(base_url, href)
+            except ValueError:
+                continue
+            if not absu.startswith(("http://", "https://")):
+                continue
+        out.append((absu, text))
+    return out

@@ -298,3 +298,92 @@ def test_malformed_href_does_not_crash_parse():
     links, text, nf = parse_document(doc, "https://h0.example/p0")
     assert links == ["https://ok.example/p"]
     assert text == "t"
+
+
+# ------------------------------------------------------------- anchor text
+
+
+def _anchors_reference(html, base):
+    """html.parser-based reference: (absolute href, tag-stripped collapsed
+    inner text) per <a href="...">, empty-text anchors dropped."""
+    import re
+    from html.parser import HTMLParser
+    from urllib.parse import urljoin
+
+    out = []
+
+    class P(HTMLParser):
+        def __init__(self):
+            super().__init__()
+            self.stack = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "a":
+                href = dict(attrs).get("href")
+                self.stack.append([href, []])
+
+        def handle_data(self, data):
+            for fr in self.stack:
+                fr[1].append(data)
+
+        def handle_endtag(self, tag):
+            if tag == "a" and self.stack:
+                href, parts = self.stack.pop()
+                text = re.sub(r"\s+", " ", " ".join(parts)).strip()
+                if href is None or not text:
+                    return
+                try:
+                    absu = urljoin(base, href)
+                except ValueError:
+                    return
+                if absu.startswith(("http://", "https://")):
+                    out.append((absu, text))
+
+    p = P()
+    p.feed(html)
+    return out
+
+
+def test_anchor_texts_differential():
+    from abwcf_ray.functions.htmlx import anchor_texts
+
+    base = "https://h7.example/dir/page"
+    html = (
+        '<html><body><a href="https://x.example/p1">first link</a> '
+        '<a href="/rooted">go <b>up</b>\n  now</a>'
+        '<a href="rel/p2">  spaced   words </a>'
+        '<a href="https://y.example/e"><img src="i.png"></a>'  # empty text
+        '<p>no anchor</p><a href="https://z.example/q">last</a></body></html>'
+    )
+    got = anchor_texts(html, base)
+    assert got == _anchors_reference(html, base)
+    assert ("https://h7.example/rooted", "go up now") in got
+    assert all(t for _, t in got)
+
+
+def test_anchor_texts_corpus_differential(ray_session):
+    """Every corpus page's anchors match the html.parser reference."""
+    from abwcf_ray.functions.htmlx import anchor_texts
+    from abwcf_ray.sources.corpus import generate_corpus
+
+    import pyarrow.dataset as pads
+
+    corpus = generate_corpus("/tmp/abwcf_anchor_test_300", n_pages=300, seed=42)
+    t = pads.dataset(corpus.pages_dir).to_table(columns=["url", "html"])
+    n_pairs = 0
+    for u, h in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
+        html = h.decode()
+        got = anchor_texts(html, u)
+        assert got == _anchors_reference(html, u), u
+        n_pairs += len(got)
+    assert n_pairs > 100  # non-degenerate
+
+
+def test_anchor_texts_bytes_and_garbage():
+    from abwcf_ray.functions.htmlx import anchor_texts
+
+    assert anchor_texts(b"\xff\xfe<a href=\"https://a.example/x\">t</a>", "https://b.example/") == [
+        ("https://a.example/x", "t")
+    ]
+    assert anchor_texts("<a href='unquoted-not-supported'>t</a>", "https://b.example/") == []
+    assert anchor_texts("", "https://b.example/") == []
