@@ -105,6 +105,22 @@ class CrawlSummary:
         return str(Path(self.out_dir) / f"wave_{self.waves - 1:04d}")
 
 
+def _sorted_union(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Union of two SORTED unique uint64 arrays. np.union1d quicksorts the
+    concatenation (O(F log F) comparisons on up to frontier_compact_max_flips
+    elements, twice per wave on the driver); a stable sort of two sorted
+    runs is adaptive/radix for ints, then one diff pass dedups — same
+    result, linear-ish."""
+    if not len(a):
+        return b
+    if not len(b):
+        return a
+    c = np.concatenate([a, b])
+    c.sort(kind="stable")
+    keep = np.r_[True, c[1:] != c[:-1]]
+    return c[keep]
+
+
 def _wave_dir(out_dir: Path, n: int) -> Path:
     return out_dir / f"wave_{n:04d}"
 
@@ -232,7 +248,7 @@ class _FrontierChain:
         return out
 
     def flips_merged(self) -> np.ndarray:
-        return np.union1d(self.cum_processed, self.cum_disallowed)
+        return _sorted_union(self.cum_processed, self.cum_disallowed)
 
     def add_wave(
         self,
@@ -246,9 +262,11 @@ class _FrontierChain:
         if flips_path is not None:
             self.flip_files.append(Path(flips_path))
         if len(processed):
-            self.cum_processed = np.union1d(self.cum_processed, processed)
+            self.cum_processed = _sorted_union(self.cum_processed, processed)
         if len(disallowed):
-            self.cum_disallowed = np.union1d(self.cum_disallowed, disallowed)
+            self.cum_disallowed = _sorted_union(
+                self.cum_disallowed, disallowed
+            )
 
     def reset(self, base: Path) -> None:
         self.base = Path(base)
@@ -565,6 +583,13 @@ def run_crawl(
                 json.loads((d / "manifest.json").read_text()) for d in completed
             ]
             chain = _FrontierChain.from_manifest(out, manifest)
+            # a no-op resume (last completed wave was max_waves-1) must
+            # still point last_wave_dir at the completed wave, not wave_-001
+            summary.waves = start_wave
+            summary.total_fetched = total_fetched
+            summary.final_frontier_rows = int(
+                manifest.get("n_frontier") or 0
+            )
             log(f"[crawl] resuming after wave {manifest['wave']}")
         else:
             resume = False
@@ -998,6 +1023,13 @@ def run_crawl(
         new_host_counts = host_accum.drain()
         flips_path = wdir / "flips.parquet"
         _write_flips(flips_path, sel_sorted, disallowed_hashes)
+        # resolve the old-manifest fallback BEFORE this wave's delta enters
+        # the chain (and possibly compacts into base) — computing it after
+        # a compaction would double-count this wave's n_new
+        if prev_frontier_rows is None:
+            prev_frontier_rows = _parquet_rows(Path(chain.base)) + sum(
+                _parquet_rows(d) for d in chain.deltas
+            )
         chain.add_wave(delta_dir, flips_path, sel_sorted, disallowed_hashes)
         try:  # per-stage Ray Data stats for the fused wave execution
             metrics["ray_stats"] = cand_m.stats()[:4000]
@@ -1053,10 +1085,6 @@ def run_crawl(
         if (wdir / "frontier").exists():
             lineage["frontier"] = _file_lineage(wdir / "frontier")
         n_new = sum(claim_counts)  # == lineage["frontier_delta"] rows (footer-checked in tests)
-        if prev_frontier_rows is None:
-            prev_frontier_rows = _parquet_rows(Path(chain.base)) + sum(
-                _parquet_rows(d) for d in chain.deltas[:-1]
-            )
         n_frontier = prev_frontier_rows + n_new
         metrics.update(
             n_selected=n_selected,

@@ -52,6 +52,32 @@ def make_selection_ref(urls, depths) -> "ray.ObjectRef":
     return ray.put((h[order], np.asarray(depths, dtype=np.int32)[order]))
 
 
+def _read_item_fetched(
+    path: str,
+    rgs,
+    hashes: np.ndarray,
+    depths: np.ndarray,
+    max_content_length: int | None,
+) -> pa.Table:
+    """ONE pruned-fetch work item -> fetched rows: read only the listed
+    row groups, membership-filter on the stored ``url_hash`` (sorted-
+    selection searchsorted probe, no re-hashing), align depths. The
+    single kernel shared by the fused fetch+process tee and the plain
+    pruned reader — the membership logic lives here once."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    t = pf.read_row_groups(list(rgs), columns=FETCH_COLUMNS + ["url_hash"])
+    h = t.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    pos = np.searchsorted(hashes, h)
+    pos_c = np.minimum(pos, len(hashes) - 1)
+    hit = (pos < len(hashes)) & (hashes[pos_c] == h)
+    sub = t.filter(pa.array(hit))
+    return _emit_fetched(
+        sub.select(FETCH_COLUMNS), depths[pos_c[hit]], max_content_length
+    )
+
+
 def _emit_fetched(
     sub: pa.Table, depth: np.ndarray, max_content_length: int | None
 ) -> pa.Table:
@@ -139,6 +165,14 @@ def _footer_entries(path_batch: list[str]) -> tuple:
         j = names.index("url_hash")
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(j).statistics
+            if st is None or st.min is None:
+                raise ValueError(
+                    f"hashed corpus layout {p!r} row group {rg} lacks "
+                    "url_hash statistics (written with "
+                    "write_statistics=False?) — the pruned-fetch planner "
+                    "needs min/max footers; regenerate the layout or use "
+                    "the full-scan fetch path"
+                )
             rel_ids.append(rel)
             rg_ids.append(rg)
             mins.append(st.min)
@@ -279,15 +313,8 @@ def make_fetch_process_tee(
         for path, rgs in zip(
             batch.column("path").to_pylist(), batch.column("rgs").to_pylist()
         ):
-            pf = pq.ParquetFile(path)
-            t = pf.read_row_groups(list(rgs), columns=FETCH_COLUMNS + ["url_hash"])
-            h = t.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
-            pos = np.searchsorted(hashes, h)
-            pos_c = np.minimum(pos, len(hashes) - 1)
-            hit = (pos < len(hashes)) & (hashes[pos_c] == h)
-            sub = t.filter(pa.array(hit))
-            fetched = _emit_fetched(
-                sub.select(FETCH_COLUMNS), depths[pos_c[hit]], max_content_length
+            fetched = _read_item_fetched(
+                path, rgs, hashes, depths, max_content_length
             )
             processed = process_fn(fetched)
             if processed.num_rows:
@@ -323,16 +350,9 @@ def make_pruned_fetch_reader(sel_ref, max_content_length: int | None = None):
         for path, rgs in zip(
             batch.column("path").to_pylist(), batch.column("rgs").to_pylist()
         ):
-            pf = pq.ParquetFile(path)
-            t = pf.read_row_groups(list(rgs), columns=FETCH_COLUMNS + ["url_hash"])
-            h = t.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
-            pos = np.searchsorted(hashes, h)
-            pos_c = np.minimum(pos, len(hashes) - 1)
-            hit = (pos < len(hashes)) & (hashes[pos_c] == h)
-            sub = t.filter(pa.array(hit))
             outs.append(
-                _emit_fetched(
-                    sub.select(FETCH_COLUMNS), depths[pos_c[hit]], max_content_length
+                _read_item_fetched(
+                    path, rgs, hashes, depths, max_content_length
                 )
             )
         if not outs:

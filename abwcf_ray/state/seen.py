@@ -621,7 +621,13 @@ class SeenSet:
         # them against freshly computed ones, so the hash implementation
         # must be identical across the checkpoint boundary
         (d / "hash_impl.json").write_text(
-            json.dumps({"impl": self._hash_impl(), "backend": self.backend})
+            json.dumps(
+                {
+                    "impl": self._hash_impl(),
+                    "backend": self.backend,
+                    "num_shards": len(self.shards),
+                }
+            )
         )
         ray.get(
             [
@@ -650,6 +656,17 @@ class SeenSet:
                     f"{stored!r} but this process uses {self._hash_impl()!r}; "
                     "url-hash membership would silently miss — re-crawl or "
                     "pin the original library version"
+                )
+            stored_shards = info.get("num_shards")
+            # shard files are partitioned by h % num_shards at write time;
+            # restoring into a different shard count would route probes to
+            # the wrong shard (silent membership loss), so refuse
+            if stored_shards is not None and stored_shards != len(self.shards):
+                raise RuntimeError(
+                    f"seen-set checkpoint was written with "
+                    f"{stored_shards} shards but this pool has "
+                    f"{len(self.shards)} — resume with seen_shards="
+                    f"{stored_shards}"
                 )
         ray.get(
             [

@@ -531,3 +531,42 @@ def test_cuckoo_backend_resume_equivalence(ray_session, corpus, oracle, tmp_path
         exp.astype({"depth": "int64"}),
     )
     assert summary.seen_size == len(oracle.seen)
+
+
+def test_noop_resume_last_wave_dir_valid(ray_session, corpus, tmp_path_factory):
+    """Resuming a run whose final wave already completed must be a no-op
+    that still reports a VALID last_wave_dir (regression: summary.waves
+    stayed 0 and last_wave_dir pointed at wave_-001)."""
+    from pathlib import Path
+
+    from abwcf_ray.pipelines.crawl import frontier_dataset, run_crawl
+
+    out = tmp_path_factory.mktemp("noop_resume")
+    cfg = CrawlConfig(**{**CFG.__dict__, "max_waves": 2})
+    first = run_crawl(cfg, corpus, out, log=lambda *_: None)
+    again = run_crawl(cfg, corpus, out, resume=True, log=lambda *_: None)
+    assert again.waves == first.waves
+    assert Path(again.last_wave_dir).name != "wave_-001"
+    assert (Path(again.last_wave_dir) / "manifest.json").exists()
+    assert again.total_fetched == first.total_fetched
+    a = frontier_dataset(again.last_wave_dir).to_pandas().sort_values("url")
+    b = frontier_dataset(first.last_wave_dir).to_pandas().sort_values("url")
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
+def test_resume_rejects_shard_count_change(ray_session, corpus, tmp_path_factory):
+    """Restoring the seen set into a different shard count must refuse
+    loudly (shard files are partitioned by h % num_shards — a different
+    count silently mis-routes probes)."""
+    import pytest as _pytest
+
+    from abwcf_ray.pipelines.crawl import run_crawl
+
+    out = tmp_path_factory.mktemp("shard_change")
+    cfg2 = CrawlConfig(**{**CFG.__dict__, "max_waves": 2})
+    run_crawl(cfg2, corpus, out, log=lambda *_: None)
+    bad = CrawlConfig(**{**CFG.__dict__, "max_waves": 3, "seen_shards": 2})
+    with _pytest.raises(RuntimeError, match="shards"):
+        run_crawl(bad, corpus, out, resume=True, log=lambda *_: None)
