@@ -2473,7 +2473,9 @@ def _hits_sql(iters: int = 4) -> str:
                 GROUP BY e.dst)"""
         )
         ctes.append(
-            f"at{i} AS (SELECT GREATEST(COALESCE(SUM(s), 0), 1) AS t "
+            # MAX-normalization (mirrors stages/graph.hits: per-node
+            # resolution independent of n — see half_step)
+            f"at{i} AS (SELECT GREATEST(COALESCE(MAX(s), 0), 1) AS t "
             f"FROM ar{i})"
         )
         ctes.append(
@@ -2490,7 +2492,7 @@ def _hits_sql(iters: int = 4) -> str:
                 GROUP BY e.src)"""
         )
         ctes.append(
-            f"ht{i} AS (SELECT GREATEST(COALESCE(SUM(s), 0), 1) AS t "
+            f"ht{i} AS (SELECT GREATEST(COALESCE(MAX(s), 0), 1) AS t "
             f"FROM hr{i})"
         )
         ctes.append(

@@ -60,6 +60,32 @@ def _kb_pkey(key: np.ndarray, bucket: np.ndarray, partitions: int) -> np.ndarray
     return ((mix >> np.uint64(13)) % np.uint64(partitions)).astype(np.int64)
 
 
+def _arrow_types(ds) -> dict:
+    """Column name -> arrow type of a Dataset (shared by asof_join and
+    range_join_agg; empty/unknowable schemas yield {})."""
+    schema = ds.schema(fetch_if_missing=True)
+    base = schema.base_schema if schema is not None else None
+    if base is None:  # empty dataset — types unknowable
+        return {}
+    if hasattr(base, "field"):  # pyarrow Schema
+        return {f.name: f.type for f in base}
+    # PandasBlockSchema (names + numpy dtypes)
+    return {
+        n: (pa.string() if t == object else pa.from_numpy_dtype(t))
+        for n, t in zip(base.names, base.types)
+    }
+
+
+def _nullsafe_pdf(t: pa.Table) -> pd.DataFrame:
+    """arrow -> pandas with int64 columns as NULLABLE Int64: columns that
+    carry nulls from the tagged union would otherwise decay to float64
+    and round int64 payloads above 2^53. Callers cast the structural
+    non-null columns (_key/_ts/side/bucket) back to numpy int64."""
+    return t.to_pandas(
+        types_mapper=lambda dt: pd.Int64Dtype() if dt == pa.int64() else None
+    )
+
+
 def asof_join(
     left_ds,
     right_ds,
@@ -75,26 +101,22 @@ def asof_join(
     """Backward as-of join. Returns a Dataset with ``_key`` (int64 key),
     ``_ts`` (int64 µs), the extra ``left_cols``, suffixed
     ``payload_cols`` and ``matched`` (int64 0/1). Exact-equal timestamps
-    join (DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` semantics)."""
+    join (DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` semantics).
+
+    Contract: the right side must be UNIQUE on (key, ts) — with duplicate
+    right timestamps the winning payload is row-order-dependent in BOTH
+    regimes (pandas merge_asof keeps the last tied row in block order;
+    the two-stage latest-summary keeps the last in partition order), so
+    the result would vary with layout. Dedup the right side first (e.g.
+    keep max by a deterministic tiebreak column)."""
     out_payload = [f"{c}{suffix}" for c in payload_cols]
     extra_left = [c for c in left_cols if c not in (key_col, ts_col)]
 
-    def _arrow_types(ds) -> dict:
-        schema = ds.schema(fetch_if_missing=True)
-        base = schema.base_schema if schema is not None else None
-        if base is None:  # empty dataset — types unknowable
-            return {}
-        if hasattr(base, "field"):  # pyarrow Schema
-            return {f.name: f.type for f in base}
-        # PandasBlockSchema (names + numpy dtypes)
-        return {
-            n: (pa.string() if t == object else pa.from_numpy_dtype(t))
-            for n, t in zip(base.names, base.types)
-        }
-
     lt_all = _arrow_types(left_ds)
     rt_all = _arrow_types(right_ds)
-    left_types = {c: lt_all[c] for c in extra_left}
+    # an empty/unknowable-schema left side joins nothing — float64 extra
+    # columns are safe (same guard as payload_types for the right side)
+    left_types = {c: lt_all.get(c, pa.float64()) for c in extra_left}
     # an empty right side joins nothing — null float64 payload is safe
     payload_types = {
         oc: rt_all.get(c, pa.float64()) for c, oc in zip(payload_cols, out_payload)
@@ -148,30 +170,75 @@ def asof_join(
         right_ds.map_batches(right_rows, batch_format="pyarrow")
     )
 
-    def join_partition(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["side"].to_numpy()
-        lf = g[side == 0][["_key", "_ts"] + extra_left]
-        rf = g[side == 1][["_key", "_ts"] + out_payload]
-        if not len(lf):
-            out = lf.copy()
-            for c in out_payload:
-                out[c] = pd.Series(dtype=np.float64)
-            out["matched"] = pd.Series(dtype=np.int64)
-            return out
-        lf = lf.sort_values("_ts", kind="mergesort")
-        if len(rf):
-            rf = rf.sort_values("_ts", kind="mergesort")
-            j = pd.merge_asof(lf, rf, on="_ts", by="_key", direction="backward")
+    out_fields = (
+        [("_key", pa.int64()), ("_ts", pa.int64())]
+        + [(c, left_types[c]) for c in extra_left]
+        + [(oc, payload_types[oc]) for oc in out_payload]
+        + [("matched", pa.int64())]
+    )
+
+    def join_partition(t: pa.Table) -> pa.Table:
+        # ARROW-NATIVE payload routing: the tagged union holds nulls in
+        # payload/extra_left columns, and any pandas conversion of those
+        # int64 columns decays them to float64 (rounding 64-bit ids above
+        # 2^53 for ALL rows, matched included). merge_asof therefore sees
+        # only the non-null structural columns plus ROW INDICES; payloads
+        # are gathered arrow-side afterwards with pc.take + a null mask.
+        import pyarrow.compute as pc
+
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        lt_ = t.filter(pa.array(lmask))
+        rt_ = t.filter(pa.array(~lmask))
+        if lt_.num_rows == 0:
+            return pa.schema(out_fields).empty_table()
+        lts = lt_.column("_ts").to_numpy(zero_copy_only=False).astype(np.int64)
+        lk = lt_.column("_key").to_numpy(zero_copy_only=False).astype(np.int64)
+        lorder = np.argsort(lts, kind="stable")
+        lfd = pd.DataFrame(
+            {"_key": lk[lorder], "_ts": lts[lorder], "_li": lorder}
+        )
+        n = len(lfd)
+        if rt_.num_rows:
+            rts = (
+                rt_.column("_ts").to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            rk = (
+                rt_.column("_key").to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            rorder = np.argsort(rts, kind="stable")
+            rfd = pd.DataFrame(
+                {"_key": rk[rorder], "_ts": rts[rorder], "_ri": rorder}
+            )
+            j = pd.merge_asof(lfd, rfd, on="_ts", by="_key", direction="backward")
+            ri = j["_ri"].to_numpy(np.float64)
         else:
-            j = lf.copy()
-            for c in out_payload:
-                j[c] = np.nan
-        j["matched"] = (~j[out_payload[0]].isna()).astype(np.int64)
-        return j
+            j = lfd
+            ri = np.full(n, np.nan)
+        li = pa.array(j["_li"].to_numpy(np.int64))
+        matched = ~np.isnan(ri)
+        data = {
+            "_key": pc.take(lt_.column("_key"), li),
+            "_ts": pc.take(lt_.column("_ts"), li),
+        }
+        for c in extra_left:
+            data[c] = pc.take(lt_.column(c), li)
+        m_arr = pa.array(matched)
+        idx = pa.array(np.where(matched, ri, 0).astype(np.int64))
+        for oc in out_payload:
+            if rt_.num_rows:
+                taken = pc.take(rt_.column(oc), idx)
+                data[oc] = pc.if_else(
+                    m_arr, taken, pa.scalar(None, payload_types[oc])
+                )
+            else:
+                data[oc] = pa.nulls(n, payload_types[oc])
+        data["matched"] = pa.array(matched.astype(np.int64), pa.int64())
+        return pa.table(data)
 
     if not bucket_span_us:
         return tagged.groupby("pkey").map_groups(
-            join_partition, batch_format="pandas"
+            join_partition, batch_format="pyarrow"
         )
 
     # --- skew-safe two-stage ----------------------------------------------
@@ -241,25 +308,39 @@ def asof_join(
     # Fully vectorized: factorize keys, encode (key, bucket) as one
     # monotone composite, one searchsorted finds every target's
     # predecessor — no per-key Python loop (measured 16× on 100k keys).
-    def carry_ins(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(columns=["_key", "bucket", "_ts"] + out_payload)
-        if not len(g):
-            return empty
-        keys = g["_key"].to_numpy()
-        buckets = g["bucket"].to_numpy()
+    carry_schema = pa.schema(
+        [("_key", pa.int64()), ("bucket", pa.int64()), ("_ts", pa.int64())]
+        + [(oc, payload_types[oc]) for oc in out_payload]
+    )
+
+    def carry_ins(t: pa.Table) -> pa.Table:
+        # ARROW-NATIVE like join_partition: marker rows carry null
+        # _ts/payloads, so payload columns never pass through pandas
+        # (int64 would decay to float64) — source rows are selected by
+        # index math and gathered with pc.take
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return carry_schema.empty_table()
+        keys = t.column("_key").to_numpy(zero_copy_only=False).astype(np.int64)
+        buckets = (
+            t.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        is_left = (
+            t.column("is_left").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
         codes, _ = pd.factorize(keys, sort=False)
         bmin = buckets.min()
         B = int(buckets.max() - bmin) + 2
         comp = codes.astype(np.int64) * B + (buckets - bmin)
 
-        right_mask = g["is_left"].to_numpy() == 0
-        r_comp = comp[right_mask]
-        if not len(r_comp):
-            return empty
+        r_idx = np.flatnonzero(is_left == 0)
+        if not len(r_idx):
+            return carry_schema.empty_table()
+        r_comp = comp[r_idx]
         r_order = np.argsort(r_comp, kind="stable")
         r_comp_sorted = r_comp[r_order]
-        r_code_sorted = codes[right_mask][r_order]
-        rights = g[right_mask]
+        r_code_sorted = codes[r_idx][r_order]
 
         t_comp, t_first = np.unique(comp, return_index=True)
         pos = np.searchsorted(r_comp_sorted, t_comp, side="left") - 1
@@ -267,12 +348,16 @@ def asof_join(
             r_code_sorted[np.maximum(pos, 0)] == codes[t_first]
         )
         if not ok.any():
-            return empty
-        src_idx = r_order[pos[ok]]
-        out = rights.iloc[src_idx][["_ts"] + out_payload].reset_index(drop=True)
-        out.insert(0, "_key", keys[t_first[ok]])
-        out.insert(1, "bucket", buckets[t_first[ok]])
-        return out
+            return carry_schema.empty_table()
+        src = pa.array(r_idx[r_order[pos[ok]]].astype(np.int64))
+        data = {
+            "_key": pa.array(keys[t_first[ok]], pa.int64()),
+            "bucket": pa.array(buckets[t_first[ok]], pa.int64()),
+            "_ts": pc.take(t.column("_ts"), src),
+        }
+        for oc in out_payload:
+            data[oc] = pc.take(t.column(oc), src)
+        return pa.table(data)
 
     def carry_rows(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -306,14 +391,14 @@ def asof_join(
             batch_format="pyarrow",
         )
         .groupby("skey")
-        .map_groups(carry_ins, batch_format="pandas")
+        .map_groups(carry_ins, batch_format="pyarrow")
         .map_batches(carry_rows, batch_format="pyarrow")
     )
 
     return (
         tagged.union(carries)
         .groupby("pkey")
-        .map_groups(join_partition, batch_format="pandas")
+        .map_groups(join_partition, batch_format="pyarrow")
     )
 
 
@@ -353,20 +438,8 @@ def range_join_agg(
         raise ValueError("bucket_span_us must be >= width_us")
     extra_left = [c for c in left_cols if c not in (key_col, ts_col)]
 
-    def _arrow_types(ds) -> dict:
-        schema = ds.schema(fetch_if_missing=True)
-        base = schema.base_schema if schema is not None else None
-        if base is None:
-            return {}
-        if hasattr(base, "field"):
-            return {f.name: f.type for f in base}
-        return {
-            n: (pa.string() if t == object else pa.from_numpy_dtype(t))
-            for n, t in zip(base.names, base.types)
-        }
-
     lt_all = _arrow_types(left_ds)
-    left_types = {c: lt_all[c] for c in extra_left}
+    left_types = {c: lt_all.get(c, pa.float64()) for c in extra_left}
     # "bucket" is the ROUTED bucket and is part of the join key inside each
     # partition: several (key, bucket) groups can share a pkey partition,
     # and a right row's next-bucket duplicate must only be visible to left
@@ -413,7 +486,12 @@ def range_join_agg(
         lambda b: _route(b, 0), batch_format="pyarrow"
     ).union(right_ds.map_batches(lambda b: _route(b, 1), batch_format="pyarrow"))
 
-    def window_agg(g: pd.DataFrame) -> pd.DataFrame:
+    def window_agg(t: pa.Table) -> pd.DataFrame:
+        # nullsafe: extra_left int64 columns carry nulls on right rows
+        # (see _nullsafe_pdf — float64 decay would round above 2^53)
+        g = _nullsafe_pdf(t)
+        for c in ("_key", "bucket", "_ts", "side", "_agg"):
+            g[c] = g[c].astype(np.int64)
         side = g["side"].to_numpy()
         lf = g[side == 0][["_key", "bucket", "_ts"] + extra_left]
         rf = g[side == 1][["_key", "bucket", "_ts", "_agg"]]
@@ -464,7 +542,7 @@ def range_join_agg(
         out["sum_in_window"] = s_hi - s_lo
         return out.drop(columns="bucket")
 
-    return tagged.groupby("pkey").map_groups(window_agg, batch_format="pandas")
+    return tagged.groupby("pkey").map_groups(window_agg, batch_format="pyarrow")
 
 
 def range_join_pairs(

@@ -1143,7 +1143,13 @@ def hits(
             nd = b.column("node").to_numpy(zero_copy_only=False)
             s = b.column("s").to_numpy(zero_copy_only=False)
             raw[nd] = s
-        total = max(int(raw.sum()), 1)
+        # normalize by the MAX node, not total mass: a total-mass
+        # normalizer caps the vector sum at ~scale, so per-node values
+        # quantize to 0 once n >> scale (web-scale graphs); max-norm
+        # gives every graph per-node resolution `scale` independent of n
+        # (HITS is invariant to the normalization constant). Overflow
+        # bound unchanged: raw*scale < 2^63 i.e. in_deg_max < 2^63/scale².
+        total = max(int(raw.max()) if len(raw) else 0, 1)
         return (raw * np.int64(scale)) // np.int64(total)
 
     hub = np.full(n_nodes, scale, np.int64)

@@ -118,7 +118,10 @@ def global_ntile_agg(
     agg_col: str | None = None,
     partitions: int = DEFAULT_RANK_PARTITIONS,
 ):
-    """Global equi-depth bucketing + per-bucket aggregate: assign every
+    """(``tiles >= 1``; ``agg_col`` must be integer-valued — the same
+    exact-int64 contract as global_rank / keyed_window_functions.)
+
+    Global equi-depth bucketing + per-bucket aggregate: assign every
     row its NTILE(tiles) OVER (ORDER BY key_col, id_col) — the decile /
     percentile-cohort analysis primitive — and return one row per tile
     with (tile, n_rows, sum_<agg>). NTILE semantics match SQL exactly:
@@ -133,6 +136,8 @@ def global_ntile_agg(
     """
     from abwcf_ray.stages.dedup import keyed_hash_agg
 
+    if tiles < 1:
+        raise ValueError("tiles must be >= 1")
     N = ds.count()
     size_small = N // tiles
     n_big = N % tiles

@@ -303,6 +303,11 @@ def exact_substring_dedup(
         lambda g: g[["doc_id"]].drop_duplicates(),
     ).materialize()
     n_dup = dup_ids_ds.count()
+    # bound each materialized rebuild group by the dup-doc count in BOTH
+    # regimes: under the broadcast (regime b) only dup docs co-partition;
+    # past it (regime c) everything does, and dups dominate the corpus by
+    # construction there, so the same lower bound keeps groups bounded
+    partitions = max(partitions, -(-n_dup // max(dup_docs_per_partition, 1)))
     dup_ids_ref = None
     if n_dup <= broadcast_max_dup_ids:
         id_arrs = [
@@ -313,10 +318,6 @@ def exact_substring_dedup(
         dup_ids_ref = ray.put(
             np.sort(np.concatenate(id_arrs)) if id_arrs
             else np.zeros(0, dtype=np.int64)
-        )
-        # bound each materialized rebuild group by the dup-doc count
-        partitions = max(
-            partitions, -(-n_dup // max(dup_docs_per_partition, 1))
         )
 
     # co-partitioned path: union tagged doc rows + drop rows, one groupby.

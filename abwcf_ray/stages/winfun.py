@@ -102,13 +102,6 @@ def keyed_window_functions(
     input rows (order not preserved — Datasets are unordered bags) with
     the window columns appended.
     """
-    int_cols = list(order_cols)
-    if sum_col is not None and sum_col not in int_cols:
-        int_cols.append(sum_col)
-    if max_col is not None and max_col not in int_cols:
-        int_cols.append(max_col)
-    if lag_col is not None and lag_col not in int_cols:
-        int_cols.append(lag_col)
     if dense_rank_cols is not None and (
         list(dense_rank_cols) != order_cols[: len(dense_rank_cols)]
     ):
@@ -339,9 +332,27 @@ def range_frame_agg(
         seg = np.cumsum(new) - 1
         tmin = int(ts.min())
         big = int(ts.max()) - tmin + range_preceding + 1
-        comp = seg * np.int64(big) + (ts - tmin)
-        lo = np.searchsorted(comp, comp - np.int64(range_preceding), "left")
-        hi = np.searchsorted(comp, comp, "right")
+        # composite (segment, ts) key: seg*big + (ts-tmin) is sorted and
+        # frame queries never cross a segment band. seg*big overflows
+        # int64 once segments*span exceeds 2^63 (a year of µs timestamps
+        # caps a shard at ~290k keys), so segments process in CHUNKS whose
+        # local seg index keeps the product under 2^62 — same math, same
+        # vectorization, a few iterations at worst.
+        nseg = int(seg[-1]) + 1
+        seg_starts = np.flatnonzero(new)
+        max_chunk = max(1, int((1 << 62) // big))
+        lo = np.empty(len(g), np.int64)
+        hi = np.empty(len(g), np.int64)
+        for c0 in range(0, nseg, max_chunk):
+            c1 = min(c0 + max_chunk, nseg)
+            r0 = int(seg_starts[c0])
+            r1 = int(seg_starts[c1]) if c1 < nseg else len(g)
+            comp = (seg[r0:r1] - c0) * np.int64(big) + (ts[r0:r1] - tmin)
+            lo[r0:r1] = (
+                np.searchsorted(comp, comp - np.int64(range_preceding), "left")
+                + r0
+            )
+            hi[r0:r1] = np.searchsorted(comp, comp, "right") + r0
         cs = np.concatenate([[0], np.cumsum(w)])
         return pd.DataFrame(
             {

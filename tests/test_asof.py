@@ -296,3 +296,69 @@ def test_range_pairs_group_isolation(ray_session):
     # user 2's right is at 4000 (after left ts 100) -> no pair for left 0
     got = _run_pairs(lt, rt, 200, partitions=1)
     assert got == [(1, 12)]
+
+
+def test_asof_int64_payload_exact_beyond_2_53(ray_session):
+    """64-bit payload ids survive the null-union exactly (regression: the
+    pandas conversion of null-bearing int64 columns decayed them to
+    float64, rounding values above 2^53 for matched rows too)."""
+    import ray.data as rd
+
+    big = (1 << 60) + 12345  # not representable in float64
+    lt = pd.DataFrame(
+        {
+            "event_id": np.array([1, 2], np.int64),
+            "user_id": np.array([7, 7], np.int64),
+            "ts": np.array([100, 5], np.int64),
+            "tag": np.array([big + 1, big + 2], np.int64),  # extra_left
+        }
+    )
+    rt = pd.DataFrame(
+        {
+            "user_id": np.array([7], np.int64),
+            "ts": np.array([50], np.int64),
+            "ref": np.array([big], np.int64),  # payload
+        }
+    )
+    import pyarrow as pa
+    import ray
+
+    def arrow_rows(ds):
+        # read through ARROW (the engine's contract): a final .to_pandas()
+        # would itself decay the nullable int64 output to float64
+        t = pa.concat_tables(
+            [x for x in ray.get(ds.to_arrow_refs()) if x.num_rows]
+        )
+        rows = sorted(t.to_pylist(), key=lambda r: r["_ts"])
+        return rows
+
+    out = arrow_rows(
+        asof_join(
+            rd.from_pandas(lt),
+            rd.from_pandas(rt),
+            key_col="user_id",
+            ts_col="ts",
+            left_cols=["event_id", "ts", "tag"],
+            payload_cols=["ref"],
+        )
+    )
+    unmatched, matched = out[0], out[1]
+    assert matched["ref_r"] == big  # bit-exact, not float-rounded
+    assert unmatched["ref_r"] is None
+    assert matched["tag"] == big + 1
+    assert unmatched["tag"] == big + 2
+
+    # two-stage (bucketed) path: same exactness through carries/markers
+    out2 = arrow_rows(
+        asof_join(
+            rd.from_pandas(lt),
+            rd.from_pandas(rt),
+            key_col="user_id",
+            ts_col="ts",
+            left_cols=["event_id", "ts", "tag"],
+            payload_cols=["ref"],
+            bucket_span_us=30,
+        )
+    )
+    assert out2[1]["ref_r"] == big
+    assert out2[1]["tag"] == big + 1

@@ -381,10 +381,10 @@ def _ref_hits(src, dst, n, iters, scale):
     for _ in range(iters):
         raw = np.zeros(n, np.int64)
         np.add.at(raw, dst, hub[src])
-        auth = (raw * scale) // max(int(raw.sum()), 1)
+        auth = (raw * scale) // max(int(raw.max()), 1)
         raw = np.zeros(n, np.int64)
         np.add.at(raw, src, auth[dst])
-        hub = (raw * scale) // max(int(raw.sum()), 1)
+        hub = (raw * scale) // max(int(raw.max()), 1)
     return hub, auth
 
 
