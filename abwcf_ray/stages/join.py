@@ -62,12 +62,27 @@ def _cast_exact(df: pd.DataFrame, names, arrow_types) -> pd.DataFrame:
     return pd.DataFrame(cols)
 
 
+def _nullsafe_pdf(t: pa.Table) -> pd.DataFrame:
+    """arrow -> pandas with int64 columns as NULLABLE Int64: the tagged
+    union pads each side's missing columns with nulls, and a plain pandas
+    conversion would decay those int64 columns to float64 — rounding
+    values above 2^53 for ALL rows (the asof.py hazard). Same helper
+    contract as stages/asof._nullsafe_pdf."""
+    return t.to_pandas(
+        types_mapper=lambda dt: pd.Int64Dtype() if dt == pa.int64() else None
+    )
+
+
 def _key_u64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     from abwcf_ray.functions.hashing import hash64
 
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
         return hash64(col)
-    return col.to_numpy(zero_copy_only=False).astype(np.int64).astype(np.uint64)
+    # Fibonacci mix (dedup._int_pkey's) so stride-aligned integer key
+    # domains (sharded id allocators, second-aligned timestamps) don't
+    # collapse into one bucket under `% partitions`
+    v = col.to_numpy(zero_copy_only=False).astype(np.int64).astype(np.uint64)
+    return (v * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(13)
 
 
 def _keys_u64(t: pa.Table, keys: list[str]) -> np.ndarray:
@@ -123,14 +138,25 @@ def equi_join(
             if tables
             else pa.schema([pa.field(c, rtype[c]) for c in rnames]).empty_table()
         )
-        rdf = rt.to_pandas().rename(columns=ren)
+        # nullable-Int64 conversion keeps right int64 columns exact, and
+        # SQL NULL-key semantics: null-key build rows can never match —
+        # drop them up front (a pandas merge would pair NA keys)
+        rdf = _nullsafe_pdf(rt).rename(columns=ren)
+        rdf = rdf[~rdf[keys].isna().any(axis=1)]
         rref = ray.put(rdf)
+        latypes = {c: ltype[c] for c in lnames}
+        rotypes = {ren[c]: rtype[c] for c in rnames if c not in keys}
 
-        def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        def probe(batch: pa.Table) -> pd.DataFrame:
             build = ray.get(rref)  # zero-copy per node after first fetch
-            return batch.merge(build, on=keys, how=how, sort=False)
+            out = _nullsafe_pdf(batch).merge(
+                build, on=keys, how=how, sort=False
+            )
+            # normalize dtypes so matched-only and partly-unmatched
+            # batches emit ONE schema (nullable ints, no float decay)
+            return _cast_exact(out, list(out.columns), {**latypes, **rotypes})
 
-        return left.map_batches(probe, batch_format="pandas")
+        return left.map_batches(probe, batch_format="pyarrow")
 
     # -- bucketed big-big path -------------------------------------------
     # one union + one keyed exchange; each side fills the other's columns
@@ -166,27 +192,44 @@ def equi_join(
     lt = left.map_batches(tag_left, batch_format="pyarrow")
     rt = right.map_batches(tag_right, batch_format="pyarrow")
 
-    # the union's null-filled slots widen int64 -> float64 in pandas groups;
-    # once split by _side each part is null-free again — cast back to the
-    # source dtypes so join keys and values stay exact
+    # int64 columns cross the null-padded union as NULLABLE Int64 (see
+    # _nullsafe_pdf — a plain pandas conversion would round them above
+    # 2^53 before any cast-back could save them), then _cast_exact only
+    # normalizes the remaining dtypes
     latypes = {c: ltype[c] for c in lnames}
     ratypes = {c: ltype[c] for c in keys}
     ratypes.update({c: rtype[ren_inv[c]] for c in out_right})
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        li = g[g["_side"] == 0]
-        ri = g[g["_side"] == 1]
-        lpart = _cast_exact(li, lnames, latypes)
-        rpart = _cast_exact(ri, keys + out_right, ratypes)
+    def merge(t: pa.Table) -> pd.DataFrame:
+        g = _nullsafe_pdf(t)
+        side = g["_side"].to_numpy()
+        li = g[side == 0]
+        ri = g[side == 1]
+        # SQL NULL-key semantics: a NULL key matches NOTHING (pandas
+        # merge would pair NaN/NA keys) — split null-key rows out and
+        # re-emit them as unmatched under left/outer
+        lkey_null = li[keys].isna().any(axis=1)
+        rkey_null = ri[keys].isna().any(axis=1)
+        lpart = _cast_exact(li[~lkey_null], lnames, latypes)
+        rpart = _cast_exact(
+            ri[~rkey_null], keys + out_right, ratypes
+        )
         out = lpart.merge(rpart, on=keys, how=how, sort=False, suffixes=("", suffix))
+        parts = [out]
+        if how != "inner" and lkey_null.any():
+            parts.append(li[lkey_null][lnames])  # right cols re-added below
+        if how == "outer" and rkey_null.any():
+            parts.append(ri[rkey_null][keys + out_right])
+        if len(parts) > 1:
+            out = pd.concat(parts, ignore_index=True)
         if how != "inner":  # unmatched-side ints: keep exact + nullable
             out = _cast_exact(out, list(out.columns), {**latypes, **ratypes})
-        return out
+        return out[lnames + out_right]
 
     return (
         lt.union(rt)
         .groupby("_pkey")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 
@@ -354,7 +397,10 @@ def semi_join(left, right, *, on: str, anti: bool = False,
         cols["_side"] = pa.array(np.ones(len(col), np.int8))
         return pa.table(cols)
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
+    def verify(t: pa.Table) -> pd.DataFrame:
+        # nullsafe: right rows pad the left payload columns with nulls —
+        # int64 payloads must not decay to float64 (see _nullsafe_pdf)
+        g = _nullsafe_pdf(t)
         li = g[g["_side"] == 0]
         rkeys = g.loc[g["_side"] == 1, on].unique()
         mask = li[on].isin(rkeys) & li[on].notna()
@@ -367,7 +413,7 @@ def semi_join(left, right, *, on: str, anti: bool = False,
             right.select_columns([on]).map_batches(tag_r, batch_format="pyarrow")
         )
         .groupby("_pkey")
-        .map_groups(verify, batch_format="pandas")
+        .map_groups(verify, batch_format="pyarrow")
     )
     return definite.union(checked) if anti else checked
 

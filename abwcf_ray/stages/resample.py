@@ -105,6 +105,13 @@ def _settle_and_grid(g: pd.DataFrame):
     # offsets because a span of 2^32 hourly buckets is ~490k years)
     krank = np.cumsum(np.r_[True, okey[1:] != okey[:-1]]) - 1
     bmin = obkt.min()
+    if int(obkt.max() - bmin) >= (1 << 32):
+        raise ValueError(
+            "resample bucket span exceeds 2^32 buckets in one partition "
+            "(fine-grained span_us over a long range): the 32-bit "
+            "composite packing would silently corrupt fill indices — "
+            "use a coarser span_us or pre-split the time range"
+        )
     comp_obs = (krank.astype(np.uint64) << np.uint64(32)) | (
         obkt - bmin
     ).astype(np.uint64)

@@ -332,6 +332,8 @@ def sorted_neighborhood_join(
     from abwcf_ray.stages.rank import global_rank
 
     tn, td = int(threshold_num), int(threshold_den)
+    if not (0 < tn <= td):
+        raise ValueError("threshold must be a fraction in (0, 1]")
     if window < 2:
         raise ValueError("window must be >= 2")
     W = int(window)

@@ -27,8 +27,12 @@ import pandas as pd
 def _mix_partition(series: pd.Series, partitions: int) -> np.ndarray:
     """Stable partition id for a key column (numeric or string)."""
     if pd.api.types.is_integer_dtype(series):
-        v = series.to_numpy(dtype=np.int64, na_value=0)
-        return ((v * 2654435761) % partitions).astype(np.int64)
+        # multiply-then-SHIFT (dedup._int_pkey's shape): a bare
+        # (v * odd) % partitions depends only on v's low bits, so
+        # stride-aligned key domains would collapse into one partition
+        v = series.to_numpy(dtype=np.int64, na_value=0).astype(np.uint64)
+        m = (v * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(29)
+        return (m % np.uint64(partitions)).astype(np.int64)
     from abwcf_ray.functions.hashing import hash64
 
     return (hash64(series.astype(str).tolist()) % np.uint64(partitions)).astype(
@@ -47,6 +51,12 @@ def session_windows(
 ):
     """-> one row per (key, session): session_id (0-based per key),
     session_start (µs), n_events, sum_value.
+
+    ``sum_value`` is ROUNDED to 4 decimals: sub-session partial sums
+    merge across the two stages in a layout-dependent order, so raw
+    float sums would differ in the last bits between runs; the rounding
+    pins a canonical value (and is what the SQL oracle mirrors). Pass
+    integer-scaled values upstream if exact sums are required.
 
     Skew-safe two-stage shape (a naive ``groupby(key)`` makes one hot key
     one unbounded group): stage 1 partitions by hash(key, coarse time

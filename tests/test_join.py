@@ -243,3 +243,113 @@ def test_composite_key_join_matches_pandas(ray_session, broadcast_max_rows, how)
         got["rv"] = got["rv"].astype("float64")
         exp["rv"] = exp["rv"].astype("float64")
     pd.testing.assert_frame_equal(_norm(got), _norm(exp))
+
+
+# ----------------------------------------------------- exactness / nulls
+
+
+def _arrow_rows(ds, order_key):
+    import pyarrow as pa
+    import ray
+
+    t = pa.concat_tables(
+        [x for x in ray.get(ds.to_arrow_refs()) if x.num_rows],
+        promote_options="default",
+    )
+    return sorted(t.to_pylist(), key=order_key)
+
+
+def test_equi_join_int64_exact_beyond_2_53(ray_session):
+    """64-bit payloads survive BOTH regimes exactly (regression: the
+    null-padded union decayed int64 columns to float64 in pandas)."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.join import equi_join
+
+    big = (1 << 60) + 7
+    lt = pd.DataFrame(
+        {"k": np.array([1, 2], np.int64), "lv": np.array([big, big + 1], np.int64)}
+    )
+    rt = pd.DataFrame(
+        {"k": np.array([1, 3], np.int64), "rv": np.array([big + 2, big + 3], np.int64)}
+    )
+    for bc_max in (10, 0):  # broadcast regime, then forced bucketed
+        out = _arrow_rows(
+            equi_join(
+                rd.from_pandas(lt),
+                rd.from_pandas(rt),
+                on="k",
+                how="left",
+                broadcast_max_rows=bc_max,
+            ),
+            lambda r: r["k"],
+        )
+        assert out[0] == {"k": 1, "lv": big, "rv": big + 2}
+        assert out[1]["lv"] == big + 1 and out[1]["rv"] is None
+    # full outer: unmatched right carries its exact payload
+    out = _arrow_rows(
+        equi_join(rd.from_pandas(lt), rd.from_pandas(rt), on="k", how="outer"),
+        lambda r: (r["k"], r["lv"] is None),
+    )
+    r3 = [r for r in out if r["k"] == 3][0]
+    assert r3["rv"] == big + 3 and r3["lv"] is None
+
+
+def test_equi_join_null_keys_never_match(ray_session):
+    """SQL semantics: NULL join keys match nothing (regression: pandas
+    merge pairs NaN keys with each other)."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.join import equi_join
+
+    lt = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"), "lv": [10, 20]})
+    rt = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"), "rv": [30, 40]})
+    for bc_max in (10, 0):
+        inner = _arrow_rows(
+            equi_join(
+                rd.from_pandas(lt),
+                rd.from_pandas(rt),
+                on="k",
+                broadcast_max_rows=bc_max,
+            ),
+            lambda r: r["lv"],
+        )
+        assert inner == [{"k": 1, "lv": 10, "rv": 30}]
+        left = _arrow_rows(
+            equi_join(
+                rd.from_pandas(lt),
+                rd.from_pandas(rt),
+                on="k",
+                how="left",
+                broadcast_max_rows=bc_max,
+            ),
+            lambda r: r["lv"],
+        )
+        assert left[1] == {"k": None, "lv": 20, "rv": None}
+    outer = _arrow_rows(
+        equi_join(rd.from_pandas(lt), rd.from_pandas(rt), on="k", how="outer"),
+        lambda r: (r["lv"] is None, r["lv"] or 0),
+    )
+    # 1<->1 matched; the two null-key rows emit separately, unmatched
+    assert len(outer) == 3
+    assert {(r["lv"], r["rv"]) for r in outer} == {(10, 30), (20, None), (None, 40)}
+
+
+def test_semi_join_int64_exact_beyond_2_53(ray_session):
+    import ray.data as rd
+
+    from abwcf_ray.stages.join import semi_join
+
+    big = (1 << 59) + 11
+    lt = pd.DataFrame(
+        {"k": np.array([1, 2], np.int64), "lv": np.array([big, big + 1], np.int64)}
+    )
+    rt = pd.DataFrame({"k": np.array([1], np.int64)})
+    # force the bucketed-exact verify path (no broadcast)
+    out = _arrow_rows(
+        semi_join(
+            rd.from_pandas(lt), rd.from_pandas(rt), on="k", broadcast_max_rows=0
+        ),
+        lambda r: r["k"],
+    )
+    assert out == [{"k": 1, "lv": big}]
