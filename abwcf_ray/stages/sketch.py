@@ -302,6 +302,41 @@ def hll_distinct_count(
     return float(est)
 
 
+def _group_gkey(group_col: str):
+    """Partition-key extractor for the group_* family: hash64 for string
+    groups, raw int64 otherwise (keyed_hash_agg mixes it)."""
+
+    def gkey(b: pa.Table) -> np.ndarray:
+        c = b.column(group_col)
+        if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
+            return hash64(c)
+        return c.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    return gkey
+
+
+def _group_int_hist(group_col: str, col: str):
+    """Per-batch sparse (group, value, count) int64 histogram — the shared
+    combiner of the group_* quantile family (exchange O(distinct pairs),
+    never O(rows))."""
+
+    def hist(batch: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                group_col: batch.column(group_col).to_pandas(),
+                "v": batch.column(col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = pdf.groupby([group_col, "v"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return hist
+
+
 def group_int_quantiles(
     ds,
     *,
@@ -320,25 +355,9 @@ def group_int_quantiles(
     ceil(q·N) rank rule as int_quantiles."""
     from abwcf_ray.functions.hashing import hash64
 
-    def hist(batch: pa.Table) -> pa.Table:
-        pdf = pd.DataFrame(
-            {
-                group_col: batch.column(group_col).to_pandas(),
-                "v": batch.column(col)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64),
-            }
-        )
-        g = pdf.groupby([group_col, "v"], as_index=False, sort=False).size()
-        g = g.rename(columns={"size": "n"})
-        g["n"] = g["n"].astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+    hist = _group_int_hist(group_col, col)
 
-    def gkey(b: pa.Table) -> np.ndarray:
-        c = b.column(group_col)
-        if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
-            return hash64(c)
-        return c.to_numpy(zero_copy_only=False).astype(np.int64)
+    gkey = _group_gkey(group_col)
 
     def quant(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -390,25 +409,9 @@ def group_trimmed_mean(
     int64s (hash-matches SQL bit-for-bit)."""
     from abwcf_ray.functions.hashing import hash64
 
-    def hist(batch: pa.Table) -> pa.Table:
-        pdf = pd.DataFrame(
-            {
-                group_col: batch.column(group_col).to_pandas(),
-                "v": batch.column(col)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64),
-            }
-        )
-        g = pdf.groupby([group_col, "v"], as_index=False, sort=False).size()
-        g = g.rename(columns={"size": "n"})
-        g["n"] = g["n"].astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+    hist = _group_int_hist(group_col, col)
 
-    def gkey(b: pa.Table) -> np.ndarray:
-        c = b.column(group_col)
-        if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
-            return hash64(c)
-        return c.to_numpy(zero_copy_only=False).astype(np.int64)
+    gkey = _group_gkey(group_col)
 
     def trim(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -466,25 +469,9 @@ def group_mad(
     Returns (group_col, med:int64, mad:int64)."""
     from abwcf_ray.functions.hashing import hash64
 
-    def hist(batch: pa.Table) -> pa.Table:
-        pdf = pd.DataFrame(
-            {
-                group_col: batch.column(group_col).to_pandas(),
-                "v": batch.column(col)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64),
-            }
-        )
-        g = pdf.groupby([group_col, "v"], as_index=False, sort=False).size()
-        g = g.rename(columns={"size": "n"})
-        g["n"] = g["n"].astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+    hist = _group_int_hist(group_col, col)
 
-    def gkey(b: pa.Table) -> np.ndarray:
-        c = b.column(group_col)
-        if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
-            return hash64(c)
-        return c.to_numpy(zero_copy_only=False).astype(np.int64)
+    gkey = _group_gkey(group_col)
 
     def _disc_median(vals: np.ndarray, cnt: np.ndarray) -> int:
         cum = np.cumsum(cnt)
@@ -562,11 +549,7 @@ def group_weighted_median(
         g["w"] = g["w"].astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def gkey(b: pa.Table) -> np.ndarray:
-        c = b.column(group_col)
-        if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
-            return hash64(c)
-        return c.to_numpy(zero_copy_only=False).astype(np.int64)
+    gkey = _group_gkey(group_col)
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -616,25 +599,9 @@ def group_median_cont(
     Returns (group_col, n:int64, med_cont:float64)."""
     from abwcf_ray.functions.hashing import hash64
 
-    def hist(batch: pa.Table) -> pa.Table:
-        pdf = pd.DataFrame(
-            {
-                group_col: batch.column(group_col).to_pandas(),
-                "v": batch.column(col)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64),
-            }
-        )
-        g = pdf.groupby([group_col, "v"], as_index=False, sort=False).size()
-        g = g.rename(columns={"size": "n"})
-        g["n"] = g["n"].astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+    hist = _group_int_hist(group_col, col)
 
-    def gkey(b: pa.Table) -> np.ndarray:
-        c = b.column(group_col)
-        if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
-            return hash64(c)
-        return c.to_numpy(zero_copy_only=False).astype(np.int64)
+    gkey = _group_gkey(group_col)
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -694,25 +661,9 @@ def group_iqr_outliers(
     """
     from abwcf_ray.functions.hashing import hash64
 
-    def hist(batch: pa.Table) -> pa.Table:
-        pdf = pd.DataFrame(
-            {
-                group_col: batch.column(group_col).to_pandas(),
-                "v": batch.column(col)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64),
-            }
-        )
-        g = pdf.groupby([group_col, "v"], as_index=False, sort=False).size()
-        g = g.rename(columns={"size": "n"})
-        g["n"] = g["n"].astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+    hist = _group_int_hist(group_col, col)
 
-    def gkey(b: pa.Table) -> np.ndarray:
-        c = b.column(group_col)
-        if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
-            return hash64(c)
-        return c.to_numpy(zero_copy_only=False).astype(np.int64)
+    gkey = _group_gkey(group_col)
 
     def _qcont(vals, cum, n, q):
         pos = q * (n - 1)  # exact: q dyadic, n-1 < 2^52
@@ -797,11 +748,7 @@ def group_float_quantiles(
         g["n"] = g["n"].astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def gkey(b: pa.Table) -> np.ndarray:
-        c = b.column(group_col)
-        if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
-            return hash64(c)
-        return c.to_numpy(zero_copy_only=False).astype(np.int64)
+    gkey = _group_gkey(group_col)
 
     def quant(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
