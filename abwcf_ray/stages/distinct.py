@@ -29,6 +29,18 @@ from abwcf_ray.functions.hashing import hash64
 from abwcf_ray.stages.dedup import keyed_hash_agg
 
 
+def _arrow_type_of(col) -> pa.DataType:
+    t = col.type
+    return pa.string() if pa.types.is_large_string(t) else t
+
+
+def _drop_null_items(pdf: pd.DataFrame, item_col: str) -> pd.DataFrame:
+    """SQL COUNT(DISTINCT) excludes NULLs — drop them before hashing
+    (a numeric NaN would astype to an undefined int64 sentinel and a
+    string None would collide with the literal 'None')."""
+    return pdf[pdf[item_col].notna()]
+
+
 def _col_u64(s: pd.Series) -> np.ndarray:
     if s.dtype == object or pd.api.types.is_string_dtype(s):
         return hash64(s.astype(str).tolist()) if len(s) else np.zeros(0, np.uint64)
@@ -44,9 +56,24 @@ def group_distinct_count(ds, *, group_col: str, item_col: str,
     dataset. Returns a Dataset (group_col, distinct:int64)."""
 
     def pairs(t: pa.Table) -> pa.Table:
-        pdf = t.select([group_col, item_col]).to_pandas()
+        pdf = _drop_null_items(
+            t.select([group_col, item_col]).to_pandas(), item_col
+        )
+        if not len(pdf):
+            # explicitly typed empty: from_pandas would infer null-typed
+            # group column and break schema unification downstream
+            return pa.table(
+                {
+                    group_col: pa.array(
+                        [], _arrow_type_of(t.column(group_col))
+                    ),
+                    "_ih": pa.array([], pa.int64()),
+                }
+            )
         ih = pd.Series(_col_u64(pdf[item_col]).astype(np.int64), name="_ih")
-        sub = pd.DataFrame({group_col: pdf[group_col], "_ih": ih})
+        sub = pd.DataFrame(
+            {group_col: pdf[group_col].reset_index(drop=True), "_ih": ih.reset_index(drop=True)}
+        )
         sub = sub.drop_duplicates()
         return pa.Table.from_pandas(sub, preserve_index=False)
 
@@ -113,7 +140,18 @@ def group_distinct_hll(ds, *, group_col: str, item_col: str, p: int = 12,
     m = 1 << p
 
     def registers(t: pa.Table) -> pa.Table:
-        pdf = t.select([group_col, item_col]).to_pandas()
+        pdf = _drop_null_items(
+            t.select([group_col, item_col]).to_pandas(), item_col
+        )
+        if not len(pdf):
+            return pa.table(
+                {
+                    group_col: pa.array(
+                        [], _arrow_type_of(t.column(group_col))
+                    ),
+                    "reg": pa.array([], pa.binary()),
+                }
+            )
         h = _col_u64(pdf[item_col])
         idx, rank = _hll_ranks(h, p) if len(h) else (None, None)
         groups, regs = [], []

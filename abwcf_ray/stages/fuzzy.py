@@ -58,17 +58,23 @@ def _inv_u64(p: int) -> np.uint64:
 _PINV = _inv_u64(int(_P))
 
 
-def _flat_utf8(col) -> tuple[np.ndarray, np.ndarray]:
-    """(uint8 flat data, int64 offsets) of an arrow string column —
-    zero-copy views of the arrow buffers."""
+def _flat_codepoints(col) -> tuple[np.ndarray, np.ndarray]:
+    """(uint32 flat CODEPOINT data, int64 offsets) of an arrow string
+    column. Codepoints, not UTF-8 bytes: byte-level edit distance counts
+    a one-character accent/CJK substitution as 2+ edits and can't even
+    band it (single-byte deletions), silently diverging from the
+    character-level contract and the DuckDB levenshtein() oracle.
+    Callers must drop NULL strings first (SQL: NULL matches nothing)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
         arr = arr.cast(pa.string())
-    bufs = arr.buffers()
-    off = np.frombuffer(bufs[1], np.int32)[
-        arr.offset : arr.offset + len(arr) + 1
-    ].astype(np.int64)
-    data = np.frombuffer(bufs[2], np.uint8)
+    import pyarrow.compute as pc
+
+    lens = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    joined = "".join(arr.to_pylist())
+    data = np.frombuffer(joined.encode("utf-32-le"), np.uint32)
+    off = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
     return data, off
 
 
@@ -149,7 +155,8 @@ def segment_pair_indices(
 
 
 def ed_le1_mask(A: list, B: list) -> np.ndarray:
-    """Exact vectorized Levenshtein<=1 over pairs of uint8 sequences.
+    """Exact vectorized Levenshtein<=1 over pairs of uint32 codepoint
+    sequences (plain int lists also work).
     Equal lengths: at most one mismatching position. Lengths off by one:
     removing the first-mismatch position from the longer side must yield
     the shorter. No per-pair Python DP."""
@@ -164,10 +171,10 @@ def ed_le1_mask(A: list, B: list) -> np.ndarray:
     lv = np.where(swap, la, lb)
     diff = lu - lv
     w = max(int(lu.max()), 1)
-    U = np.zeros((n, w), np.uint8)
-    V = np.zeros((n, w), np.uint8)
-    flat_a = np.concatenate([np.asarray(x, np.uint8) for x in A] or [[]])
-    flat_b = np.concatenate([np.asarray(x, np.uint8) for x in B] or [[]])
+    U = np.zeros((n, w), np.uint32)
+    V = np.zeros((n, w), np.uint32)
+    flat_a = np.concatenate([np.asarray(x, np.uint32) for x in A] or [[]])
+    flat_b = np.concatenate([np.asarray(x, np.uint32) for x in B] or [[]])
     rows_a = np.repeat(np.arange(n), la)
     cols_a = np.arange(int(la.sum())) - np.repeat(np.cumsum(la) - la, la)
     rows_b = np.repeat(np.arange(n), lb)
@@ -211,9 +218,16 @@ def fuzzy_join_ed1(
     """Self-join ``ds`` on ``str_col`` at Levenshtein distance <= 1.
     Returns a Dataset of verified (src, dst) id pairs with src < dst.
     ``max_bucket`` caps a band bucket's occupancy (FastSS pathological-
-    input guard); buckets above it are dropped."""
+    input guard); buckets above it are dropped WITH a warning in the
+    processing task's log (a recall trade, never silent). NULL strings
+    match nothing (SQL levenshtein semantics)."""
 
     def emit(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # SQL semantics: NULL strings match nothing — drop them up front
+        # (they would otherwise band as empty strings and cross-match)
+        batch = batch.filter(pc.is_valid(batch.column(str_col)))
         if batch.num_rows == 0:
             return pa.table(
                 {
@@ -221,7 +235,7 @@ def fuzzy_join_ed1(
                     "id": pa.array([], pa.int64()),
                 }
             )
-        data, off = _flat_utf8(batch.column(str_col))
+        data, off = _flat_codepoints(batch.column(str_col))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         bands, sidx = _band_hashes(data, off)
         return pa.table(
@@ -251,7 +265,16 @@ def fuzzy_join_ed1(
         new = np.r_[True, b[1:] != b[:-1]]
         seg_start = np.flatnonzero(new)
         seg_len = np.diff(np.r_[seg_start, len(b)])
-        seg_len = np.where(seg_len > max_bucket, 0, seg_len)
+        over = seg_len > max_bucket
+        if over.any():
+            # pathological band (FastSS guard): dropping is a recall
+            # trade — surface it in the task log, never silently
+            print(
+                f"fuzzy_join_ed1: dropping {int(over.sum())} band "
+                f"bucket(s) over max_bucket={max_bucket} "
+                f"(largest {int(seg_len.max())})"
+            )
+        seg_len = np.where(over, 0, seg_len)
         ai, bi = segment_pair_indices(seg_start, seg_len)
         if len(ai) == 0:
             return empty
@@ -271,10 +294,11 @@ def fuzzy_join_ed1(
     )
 
     def to_payload(batch: pa.Table) -> pa.Table:
-        data, off = _flat_utf8(batch.column(str_col))
-        values = pa.array(
-            data[off[0] : off[-1]].astype(np.uint64), pa.uint64()
-        )
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.is_valid(batch.column(str_col)))
+        data, off = _flat_codepoints(batch.column(str_col))
+        values = pa.array(data[off[0] : off[-1]], pa.uint32())
         payload = pa.ListArray.from_arrays(
             pa.array(off - off[0], pa.int32()).cast(pa.int32()), values
         )
@@ -290,7 +314,7 @@ def fuzzy_join_ed1(
         cands,
         payload,
         ed_le1_mask,
-        payload_type=pa.list_(pa.uint64()),
+        payload_type=pa.list_(pa.uint32()),
     )
 
 

@@ -211,16 +211,20 @@ def top_keywords(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     from abwcf_ray.functions.hashing import hash64
 
-    dfs = keyed_hash_agg(
+    dfs_ds = keyed_hash_agg(
         ds.map_batches(df_partial, batch_format="pyarrow"),
         lambda b: hash64(b.column("word")),
         lambda g: g.groupby("word", as_index=False).agg(n=("n", "sum")),
-    ).to_pandas()
-    if len(dfs) > max_vocab_broadcast:
+    ).materialize()
+    # gate BEFORE pulling the vocabulary to the driver — checking after
+    # .to_pandas() cannot prevent the OOM the bound exists for
+    n_vocab = dfs_ds.count()
+    if n_vocab > max_vocab_broadcast:
         raise ValueError(
-            f"{len(dfs)} distinct words exceed max_vocab_broadcast; raise the"
+            f"{n_vocab} distinct words exceed max_vocab_broadcast; raise the"
             " bound or pre-truncate the vocabulary (build_vocab)"
         )
+    dfs = dfs_ds.to_pandas()
     wh = hash64(dfs["word"].tolist()) if len(dfs) else np.zeros(0, np.uint64)
     order = np.argsort(wh, kind="stable")
     payload = (wh[order], dfs["n"].to_numpy(np.int64)[order])

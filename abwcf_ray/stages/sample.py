@@ -112,19 +112,16 @@ def stratified_sample(
     one shard and the driver never holds the partials."""
     from abwcf_ray.functions.hashing import hash64
 
+    # partials are materialized ONCE (object store, spillable) so the
+    # regime gate reads their ACTUAL row count: a quota-derived bound
+    # only caps the FINAL result, not (bound-per-block x n_blocks) — the
+    # volume the driver would really pull (the sparse_int_histogram
+    # regime-split pattern)
     partials = ds.map_batches(
         lambda b: _topq(b, quota, strata_col, id_col, keep_key=True),
         batch_format="pyarrow",
-    )
-
-    if isinstance(quota, dict):
-        bound = sum(int(v) for v in quota.values())
-    else:
-        bound = None  # unknown strata count; decide from the quota itself
-
-    small = (bound is not None and bound <= driver_merge_max_rows) or (
-        bound is None and int(quota) <= driver_merge_max_rows // 8
-    )
+    ).materialize()
+    small = partials.count() <= driver_merge_max_rows
     if small:
         import ray
         import ray.data as rd

@@ -11,7 +11,7 @@ import ray.data as rd
 
 from abwcf_ray.stages.fuzzy import (
     _band_hashes,
-    _flat_utf8,
+    _flat_codepoints,
     ed_le1_mask,
     fuzzy_join_ed1,
 )
@@ -68,7 +68,7 @@ def test_band_hashes_textual_equality():
     # equal strings/variants get equal hashes regardless of batch position
     s = ["hello", "hell", "xhello", "hello"]
     arr = pa.array(s, pa.string())
-    data, off = _flat_utf8(arr)
+    data, off = _flat_codepoints(arr)
     bands, sidx = _band_hashes(data, off)
     by = {}
     for b, i in zip(bands.tolist(), sidx.tolist()):
@@ -147,3 +147,20 @@ def test_fuzzy_clusters_matches_unionfind_both_cc_paths(ray_session):
             (out["cluster"].to_numpy() != out["id"].to_numpy())
             == out["is_dup"].to_numpy()
         ).all()
+
+
+def test_fuzzy_join_codepoint_level_and_nulls(ray_session):
+    """Levenshtein runs over CODEPOINTS (accented pair found at ed 1,
+    matching DuckDB levenshtein) and NULL strings match nothing."""
+    df = pd.DataFrame(
+        {
+            "id": np.arange(5, dtype=np.int64),
+            "s": ["caf\u00e9", "cafe", None, None, "x"],
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(2)
+    out = fuzzy_join_ed1(ds, id_col="id", str_col="s", partitions=4)
+    got = set(map(tuple, out.to_pandas()[["src", "dst"]].to_numpy().tolist()))
+    assert (0, 1) in got  # café ~ cafe: 1 substitution in codepoints
+    for a, b in got:  # no null-derived pairs
+        assert a not in (2, 3) and b not in (2, 3)
