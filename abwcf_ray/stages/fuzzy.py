@@ -70,11 +70,44 @@ def _flat_codepoints(col) -> tuple[np.ndarray, np.ndarray]:
         arr = arr.cast(pa.string())
     import pyarrow.compute as pc
 
+    if arr.null_count:
+        raise ValueError("_flat_codepoints: drop NULL strings first")
     lens = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
-    joined = "".join(arr.to_pylist())
-    data = np.frombuffer(joined.encode("utf-32-le"), np.uint32)
     off = np.zeros(len(lens) + 1, np.int64)
     np.cumsum(lens, out=off[1:])
+    total = int(off[-1])
+    if total == 0:
+        return np.zeros(0, np.uint32), off
+    # Vectorized UTF-8 -> codepoint decode straight off the Arrow buffers:
+    # lead bytes (not 0b10xxxxxx) mark codepoint starts; each codepoint
+    # folds its <=3 continuation bytes with shifted masks. No per-string
+    # Python round trip (the previous to_pylist + ''.join + utf-32 encode
+    # was an O(total chars) object detour on the fuzzy-join hot path).
+    boffs = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    raw = np.frombuffer(arr.buffers()[2], np.uint8)[boffs[0] : boffs[-1]]
+    idx = np.flatnonzero((raw & 0xC0) != 0x80)
+    b0 = raw[idx].astype(np.uint32)
+    pad = np.zeros(len(raw) + 3, np.uint32)
+    pad[: len(raw)] = raw
+    b1 = pad[idx + 1] & 0x3F
+    b2 = pad[idx + 2] & 0x3F
+    b3 = pad[idx + 3] & 0x3F
+    data = np.where(
+        b0 < 0x80,
+        b0,
+        np.where(
+            b0 < 0xE0,
+            ((b0 & 0x1F) << 6) | b1,
+            np.where(
+                b0 < 0xF0,
+                ((b0 & 0x0F) << 12) | (b1 << 6) | b2,
+                ((b0 & 0x07) << 18) | (b1 << 12) | (b2 << 6) | b3,
+            ),
+        ),
+    ).astype(np.uint32)
+    assert len(data) == total, "utf8 decode drift vs pc.utf8_length"
     return data, off
 
 

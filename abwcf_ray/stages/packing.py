@@ -142,12 +142,36 @@ def pack_bins(
         )
 
     rows = ds.map_batches(counts, batch_format="pyarrow").materialize()
+    if rows.count() == 0:
+        sch = rows.schema()
+        id_type = (
+            dict(zip(sch.names, sch.types))[id_col]
+            if sch is not None
+            else pa.int64()
+        )
+        empty = pa.schema(
+            [
+                ("bin_id", pa.int64()),
+                (id_col, id_type),
+                ("n_in_bin", pa.int64()),
+            ]
+        ).empty_table()
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
     lo = int(rows.min(id_col))
     hi = int(rows.max(id_col))
-    width = max(1, (hi - lo + buckets) // buckets)
+    # exact-Python-int span: full-range int64 ids give span up to 2^64-1,
+    # which overflows signed arithmetic — do the offset math in uint64,
+    # where (ids - lo) mod 2^64 IS the true non-negative offset.
+    span = hi - lo  # unbounded Python int
+    width = max(1, (span + buckets) // buckets)
+    lo_u = np.uint64(lo & 0xFFFFFFFFFFFFFFFF)
+    width_u = np.uint64(width)
 
     def bucket_of(ids: np.ndarray) -> np.ndarray:
-        return (ids.astype(np.int64) - lo) // width
+        off = ids.astype(np.int64).view(np.uint64) - lo_u
+        return (off // width_u).astype(np.int64)
 
     # pass 2: per-bucket token totals -> driver exclusive prefix
     def bucket_sums(batch: pa.Table) -> pa.Table:

@@ -119,6 +119,11 @@ def group_jaccard_matrix(
             g = grp.to_numpy()
             h = hash64(col.tolist()) if len(col) else np.zeros(0, np.uint64)
         df = pd.DataFrame({"g": g, "h": h.astype(np.int64)}).drop_duplicates()
+        # NULL groups are excluded (SQL GROUP BY NULL semantics); this also
+        # keeps the g-isna tag free to mark pair-partials downstream — a
+        # null-group row here would misroute its vocab rows into the pairs
+        # bucket in pairs_of().
+        df = df[df["g"].notna()]
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def pairs_of(part: pd.DataFrame) -> pd.DataFrame:

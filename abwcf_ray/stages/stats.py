@@ -182,9 +182,16 @@ def group_welch_t(
     def partial(t: pa.Table) -> pa.Table:
         x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
         cols = {c: t.column(c).to_pandas() for c in group_cols}
-        cols["cohort"] = (
+        coh = (
             t.column(cohort_col).to_numpy(zero_copy_only=False).astype(np.int64)
         )
+        bad = (coh != 0) & (coh != 1)
+        if bad.any():
+            raise ValueError(
+                f"group_welch_t: cohort_col {cohort_col!r} must be 0/1; "
+                f"found {np.unique(coh[bad])[:5].tolist()}"
+            )
+        cols["cohort"] = coh
         cols.update(n=np.ones(t.num_rows, np.int64), sx=x, sxx=x * x)
         g = (
             pd.DataFrame(cols)

@@ -605,6 +605,69 @@ def test_pack_bins_doc_spanning_many_bins(ray_session):
     assert 3 not in set(out["doc_id"])
 
 
+def test_pack_bins_full_range_int64_ids(ray_session):
+    """Full-int64-span doc ids (hash64(url)-style, negative lows) must
+    bucket without signed overflow — ADVICE r4 high: the old int64
+    offset arithmetic wrapped negative past a 2^63 span and wrap-indexed
+    the base array, corrupting bin assignments."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from abwcf_ray.stages.packing import pack_bins
+
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        n = 40
+        ids = rng.integers(
+            np.iinfo(np.int64).min, np.iinfo(np.int64).max, n, dtype=np.int64
+        )
+        ids = np.unique(ids)
+        # pin the extremes so the span genuinely exceeds 2^63
+        ids[0] = np.iinfo(np.int64).min + 1
+        ids[-1] = np.iinfo(np.int64).max - 1
+        texts = [
+            " ".join("w" for _ in range(int(rng.integers(0, 20))))
+            for _ in range(len(ids))
+        ]
+        df = pd.DataFrame({"doc_id": ids, "text": texts})
+        out = (
+            pack_bins(
+                rd.from_pandas(df).repartition(5),
+                window=16,
+                buckets=8,
+                merge_partitions=3,
+            )
+            .to_pandas()
+            .sort_values(["bin_id", "doc_id"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            _pack_brute(df, 16)
+            .sort_values(["bin_id", "doc_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, exp)
+
+
+def test_pack_bins_empty_input(ray_session):
+    """ADVICE r4 low: empty dataset (quality gate removed everything)
+    must yield an empty typed result, not int(None) TypeError."""
+    import pandas as pd
+    import ray.data as rd
+
+    from abwcf_ray.stages.packing import pack_bins
+
+    df = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                       "text": pd.Series([], dtype="string")})
+    out = pack_bins(rd.from_pandas(df), window=8).to_pandas()
+    assert len(out) == 0
+    # Ray drops the schema of zero-row datasets on to_pandas; when columns
+    # do survive they must be the contract triple
+    if len(out.columns):
+        assert list(out.columns) == ["bin_id", "doc_id", "n_in_bin"]
+
+
 def test_pack_bins_hypothesis_differential(ray_session):
     """Randomized differential vs the sequential reference: adversarial
     windows (1, 3, 64), empty docs, sparse/shuffled ids, skewed token

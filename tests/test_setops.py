@@ -180,3 +180,27 @@ def test_group_jaccard_nontokenized(ray_session):
     assert out.to_records(index=False).tolist() == [
         ("a", "b", 2, 2, 3, 2 / 3)
     ]
+
+
+def test_group_jaccard_null_group_excluded(ray_session):
+    """ADVICE r4 low: a NULL group must be dropped (SQL GROUP BY NULL
+    semantics), not misrouted into the pairs bucket — before the fix a
+    null-group row corrupted every group's vocab in its frame."""
+    import pandas as pd
+    import ray.data as rd
+
+    from abwcf_ray.stages.setops import group_jaccard_matrix
+
+    df = pd.DataFrame(
+        {
+            "src": ["a", "a", None, "b", "b", None],
+            "text": ["k1", "k2", "k2", "k2", "k1", "k9"],
+        }
+    )
+    out = group_jaccard_matrix(
+        rd.from_pandas(df).repartition(2), group_col="src", tokenize=False
+    )
+    # identical to the no-null-rows input: a={k1,k2}, b={k1,k2}
+    assert out.to_records(index=False).tolist() == [
+        ("a", "b", 2, 2, 2, 1.0)
+    ]

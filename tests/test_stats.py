@@ -551,3 +551,25 @@ def test_group_welch_degenerate_cohorts(ray_session):
     assert np.isnan(out.loc["b", "t"])  # both cohorts singletons
     assert np.isfinite(out.loc["c", "t"])  # 2 vs 2: defined
     assert out.loc["a", "n1"] == 0 and out.loc["a", "sx1"] == 0
+
+
+def test_group_welch_t_rejects_bad_cohort(ray_session):
+    """ADVICE r4 low: a cohort value outside {0, 1} must raise, not be
+    silently dropped by the 0/1 pivot."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from abwcf_ray.stages.stats import group_welch_t
+
+    df = pd.DataFrame(
+        {"g": ["x", "x", "x"], "cohort": [0, 1, 2], "v": [1, 2, 3]}
+    )
+    with pytest.raises(Exception) as ei:
+        group_welch_t(
+            rd.from_pandas(df),
+            group_cols=["g"],
+            cohort_col="cohort",
+            value_col="v",
+        ).to_pandas()
+    assert "cohort" in str(ei.value)
