@@ -60,6 +60,42 @@ _BUILT_PARA_SQL = """
             )"""
 
 
+def _substr_kept_sql(k: int, sfx: str) -> str:
+    """CTE chain computing per-doc n_kept for ExactSubstr at gram size
+    ``k`` (window=1 exact mode), names suffixed ``sfx`` so two k's can
+    coexist in one query (the substr_dedup_winnow sandwich oracle).
+    Expects sibling CTEs ``toks`` (doc_id, ws) and ``tok`` (exploded
+    doc_id, tok, tp) to exist."""
+    return f"""
+            grams{sfx} AS (
+                SELECT doc_id, ws,
+                       unnest(range(CAST(len(ws) AS BIGINT) - {k} + 1)) AS pos
+                FROM toks WHERE len(ws) >= {k}
+            ),
+            g2{sfx} AS (
+                SELECT doc_id, pos,
+                       array_to_string(ws[pos+1 : pos+{k}], chr(31)) AS gram,
+                       doc_id * 1048576 + pos AS okey
+                FROM grams{sfx}
+            ),
+            firsts{sfx} AS (
+                SELECT gram, MIN(okey) AS first_key
+                FROM g2{sfx} GROUP BY gram HAVING COUNT(*) > 1
+            ),
+            droppos{sfx} AS (
+                SELECT DISTINCT g.doc_id, g.pos + u.range AS tp
+                FROM g2{sfx} g JOIN firsts{sfx} f USING (gram), range({k}) u
+                WHERE g.okey <> f.first_key
+            ),
+            kept{sfx} AS (
+                SELECT t.doc_id,
+                       CAST(COUNT(*) FILTER (WHERE p.tp IS NULL) AS BIGINT)
+                           AS n_kept
+                FROM tok t LEFT JOIN droppos{sfx} p USING (doc_id, tp)
+                GROUP BY t.doc_id
+            )"""
+
+
 def _quiet():
     from ray.data import DataContext
 
@@ -1424,15 +1460,36 @@ def _q_substr_dedup(sf_dir: str):
 def _q_substr_dedup_winnow(sf_dir: str):
     """The scale lever on ExactSubstr: robust winnowing (Schleimer et al.
     2003) with window=4 shrinks the occurrence exchange ~4x; recall is
-    exact only for runs >= k + w - 1, so this is approximate by design
-    (rows-only check). tests/test_substr.py proves its drops are a subset
-    of exact mode's and that long runs are still caught."""
+    exact only for runs >= k + w - 1, so winnow drop POSITIONS are
+    approximate by design. What IS exact — and what this query now
+    value-checks against SQL — is the winnowing contract sandwich, per
+    doc: (a) winnow never over-drops (its drops are a subset of exact
+    k=16 mode's, so n_kept_winnow >= n_kept at k=16 — ``floor_ok``), and
+    (b) every doc that exact mode at k' = k + w - 1 = 19 touches is also
+    touched by winnow (``caught_ok`` — the Schleimer guarantee that
+    shared runs >= k+w-1 select a common fingerprint). The oracle
+    recomputes the two exact sides in SQL and pins both flags to 1;
+    the position-level subset claim is additionally brute-force-tested
+    in tests/test_substr.py."""
     from abwcf_ray.stages.substr import exact_substring_dedup
 
     _quiet()
-    out = exact_substring_dedup(
-        _built_paragraph_corpus(sf_dir), k=16, window=4
-    ).to_pandas()
+    corp = _built_paragraph_corpus(sf_dir)
+
+    def slim(k: int, window: int, names: dict[str, str]):
+        df = exact_substring_dedup(corp, k=k, window=window).to_pandas()
+        return df[["doc_id", *names]].rename(columns=names)
+
+    win = slim(16, 4, {"n_kept": "n_kept_win", "n_tokens": "n_tokens"})
+    ex16 = slim(16, 1, {"n_kept": "n_kept16"})
+    ex19 = slim(19, 1, {"n_kept": "n_kept19"})
+    m = win.merge(ex16, on="doc_id").merge(ex19, on="doc_id")
+    m["floor_ok"] = (m["n_kept_win"] >= m["n_kept16"]).astype(np.int64)
+    m["caught_ok"] = (
+        (m["n_kept19"] == m["n_tokens"]) | (m["n_kept_win"] < m["n_tokens"])
+    ).astype(np.int64)
+    out = m[["doc_id", "n_tokens", "n_kept16", "n_kept19",
+             "floor_ok", "caught_ok"]]
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1647,29 +1704,49 @@ def _q_crawl_cuckoo(sf_dir: str):
 
 
 def _q_anchor_labels(sf_dir: str):
-    """Labeled link graph from the crawl corpus: (src, dst, anchor-text)
-    edges via the regex anchor lexer (functions/htmlx.anchor_texts, the
-    href-absolutization fast path shared with the link extractor), then
-    the modal anchor per TARGET page — the classic web-ranking page-label
-    asset — through ONE hash(dst) exchange (stages/stats.group_mode).
-    rows-only (the fixture corpus html is not a SQL-registered table);
-    the kernel is differential-tested against html.parser and the mode
-    machinery carries its own SQL oracle (group_mode)."""
-    import ray.data as rd
-
+    """Labeled link graph: (dst, anchor-text) edges via the regex anchor
+    lexer (functions/htmlx.anchor_texts, the href-absolutization fast
+    path shared with the link extractor), then the modal anchor per
+    TARGET page — the classic web-ranking page-label asset — through ONE
+    hash(dst) exchange (stages/stats.group_mode). The HTML is CONSTRUCTED
+    from the documents table by doc_id arithmetic (the
+    _built_paragraph_corpus pattern), exercising absolute, root-relative
+    and relative hrefs, nested inner markup, whitespace collapsing and
+    empty-anchor drops — so the SQL oracle replays the same edge algebra
+    without parsing HTML, and the value hash pins the lexer +
+    urljoin-absolutization + group_mode end-to-end. The lexer is also
+    differential-tested against html.parser over the fixture crawl
+    corpus (tests/test_htmlx.py)."""
     from abwcf_ray.functions.htmlx import anchor_texts
     from abwcf_ray.stages.stats import group_mode
 
     _quiet()
-    corpus = _crawl_corpus_for(sf_dir)
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
 
-    def edges(t: pa.Table) -> pa.Table:
-        urls = t.column("url").to_pylist()
-        htmls = t.column("html").to_pylist()
-        src, dst, anch = [], [], []
-        for u, h in zip(urls, htmls):
-            for href, text in anchor_texts(h, u):
-                src.append(u)
+    def build_and_extract(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dst, anch = [], []
+        for i in ids:
+            i = int(i)
+            src = f"https://h{i % 97}.example/p{i}"
+            parts = [f'<html><body><a href="/skip{i}"></a>']
+            for j in range(i % 3 + 1):
+                tgt = (i * 7 + j * 13 + 1) % n_docs
+                lab = f"label {(i + tgt) % 5}"
+                if j == 0:
+                    parts.append(
+                        f'<a href="https://h{tgt % 97}.example/p{tgt}">'
+                        f"<b>{lab}</b></a>"
+                    )
+                elif j == 1:
+                    sloppy = lab.replace(" ", " \t ")
+                    parts.append(
+                        f'<a class="m" href="/p{tgt}">{sloppy}</a>'
+                    )
+                else:
+                    parts.append(f'<a href="p{tgt}"> {lab} </a>')
+            parts.append("</body></html>")
+            for href, text in anchor_texts("".join(parts), src):
                 dst.append(href)
                 anch.append(text)
         return pa.table(
@@ -1679,14 +1756,11 @@ def _q_anchor_labels(sf_dir: str):
             }
         )
 
-    ed = rd.read_parquet(corpus.pages_dir, columns=["url", "html"]).map_batches(
-        edges, batch_format="pyarrow"
+    ed = _docs(sf_dir, ["doc_id"]).map_batches(
+        build_and_extract, batch_format="pyarrow"
     )
-    out = group_mode(
-        ed, group_cols=["dst"], value_col="anchor"
-    ).to_pandas()
-    out = out.sort_values(["n", "dst"], ascending=[False, True]).head(200)
-    return out.reset_index(drop=True)
+    out = group_mode(ed, group_cols=["dst"], value_col="anchor").to_pandas()
+    return out.sort_values("dst").reset_index(drop=True)
 
 
 def _q_llm_corpus(sf_dir: str):
@@ -5700,95 +5774,119 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # --- curated correctness panel: the driver oracle-checks the
+        # FIRST 50 entries (CORRECTNESS gate cap), so they are ordered
+        # to span every SURVEY §2 family and every LLM-pipeline family
+        # (round-4 verdict #1): e2e crawl, scheduling, url ops, the
+        # dedup family, fuzzy/sim joins, decontam/DSIR, text analysis,
+        # sampling/packing/mixture, BPE, KNN/kmeans, graph, sketches,
+        # windows, temporal + relational joins, window functions, rollup.
+        "crawl_wave": _q_crawl,
+        "crawl_wave_cuckoo": _q_crawl_cuckoo,
         "frontier_topk": _q_frontier_topk,
         "restore_topk": _q_restore_topk,
         "host_histogram": _q_host_histogram,
         "scope_filter": _q_scope_filter,
         "normalize_urls": _q_normalize_urls,
+        "anchor_labels": _q_anchor_labels,
         "exact_dedup": _q_exact_dedup,
+        "minhash_dedup_exact": _q_minhash_dedup_exact,
+        "ngram_dedup": _q_ngram_dedup,
+        "embedding_dedup_exact": _q_embedding_dedup_exact,
+        "semdedup_exact": _q_semdedup_exact,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "substr_dedup": _q_substr_dedup,
+        "substr_dedup_winnow": _q_substr_dedup_winnow,
+        "fuzzy_clusters": _q_fuzzy_clusters,
+        "simjoin_pairs": _q_simjoin_pairs,
+        "snm_pairs": _q_snm_pairs,
+        "decontaminate": _q_decontaminate,
+        "dsir_counts": _q_dsir_counts,
         "token_counts": _q_token_counts,
         "quality_by_lang": _q_quality_by_lang,
+        "lang_id": _q_lang_id,
+        "gopher_rules": _q_gopher_rules,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_signals": _q_repetition_signals,
+        "lm_rarity": _q_lm_rarity,
+        "stratified_sample": _q_stratified_sample,
+        "host_cap": _q_host_cap,
+        "pack_bins": _q_pack_bins,
+        "chunk_docs": _q_chunk_docs,
+        "mixture_epochs": _q_mixture_epochs,
+        "bpe_encode_fixed": _q_bpe_encode_fixed,
+        "knn_top5": _q_knn_top5,
+        "knn_ivf_exact": _q_knn_ivf_exact,
+        "kmeans_step": _q_kmeans_step,
+        "pagerank": _q_pagerank,
+        "triangles": _q_triangles,
+        "heavy_hitters": _q_heavy_hitters,
+        "kll_quantiles_exact": _q_kll_quantiles_exact,
+        "host_distinct_terms": _q_host_distinct_terms,
         "events_window": _q_events_window,
         "session_windows": _q_session_windows,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "orders_join": _q_orders_join,
+        "orders_semi": _q_orders_semi,
+        "user_running": _q_user_running,
+        "lang_source_rollup": _q_lang_source_rollup,
+        # --- end of driver-checked panel; remainder in family groups ---
+        "curation_full": _q_curation_full,
+        "llm_corpus": _q_llm_corpus,
+        "source_similarity": _q_source_similarity,
+        "bigram_intersect": _q_bigram_intersect,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "ipc_roundtrip": _q_ipc_roundtrip,
+        "funnel": _q_funnel,
+        "skyline": _q_skyline,
+        "snapshot_diff": _q_snapshot_diff,
         "sliding_windows": _q_sliding_windows,
         "lineitem_pricing": _q_lineitem_pricing,
-        "knn_top5": _q_knn_top5,
         "knn_ivf": _q_knn_ivf,
         "minhash_dedup": _q_minhash_dedup,
-        "minhash_dedup_exact": _q_minhash_dedup_exact,
         "simhash_dedup": _q_simhash_dedup,
-        "ngram_dedup": _q_ngram_dedup,
         "curation": _q_curation,
         "embedding_dedup": _q_embedding_dedup,
-        "embedding_dedup_exact": _q_embedding_dedup_exact,
         "langid_fingerprint": _q_langid_fingerprint,
-        "lang_id": _q_lang_id,
-        "knn_ivf_exact": _q_knn_ivf_exact,
-        "stratified_sample": _q_stratified_sample,
         "sample_rate": _q_sample_rate,
-        "host_cap": _q_host_cap,
         "top_per_host": _q_top_per_host,
         "term_postings": _q_term_postings,
-        "orders_join": _q_orders_join,
         "orders_join_bucketed": _q_orders_join_bucketed,
         "orders_left_join": _q_orders_left_join,
         "orders_left_join_bucketed": _q_orders_left_join_bucketed,
         "orders_full_join": _q_orders_full_join,
         "orders_revenue_top": _q_orders_revenue_top,
         "big_orders": _q_big_orders,
-        "user_running": _q_user_running,
         "user_rank_tiles": _q_user_rank_tiles,
-        "funnel": _q_funnel,
         "doc_rank": _q_doc_rank,
-        "lang_source_rollup": _q_lang_source_rollup,
         "lang_source_cube": _q_lang_source_cube,
         "lang_source_stats": _q_lang_source_stats,
-        "bigram_intersect": _q_bigram_intersect,
         "bigram_except": _q_bigram_except,
-        "host_distinct_terms": _q_host_distinct_terms,
         "host_distinct_hll": _q_host_distinct_hll,
-        "orders_semi": _q_orders_semi,
         "orders_anti": _q_orders_anti,
         "orders_semi_bloom": _q_orders_semi_bloom,
         "orders_anti_bloom": _q_orders_anti_bloom,
-        "repetition_signals": _q_repetition_signals,
-        "pii_scrub": _q_pii_scrub,
-        "decontaminate": _q_decontaminate,
-        "curation_full": _q_curation_full,
         "novel_content": _q_novel_content,
-        "mixture_epochs": _q_mixture_epochs,
-        "chunk_docs": _q_chunk_docs,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "substr_dedup": _q_substr_dedup,
-        "substr_dedup_winnow": _q_substr_dedup_winnow,
         "boilerplate": _q_boilerplate,
-        "lm_rarity": _q_lm_rarity,
         "semdedup": _q_semdedup,
-        "semdedup_exact": _q_semdedup_exact,
-        "gopher_rules": _q_gopher_rules,
-        "asof_join": _q_asof_join,
         "asof_join_bucketed": _q_asof_join_bucketed,
         "asof_join_forward": _q_asof_join_forward,
-        "heavy_hitters": _q_heavy_hitters,
         "cms_topwords": _q_cms_topwords,
-        "pack_bins": _q_pack_bins,
         "distinct_words": _q_distinct_words,
         "compression_signal": _q_compression_signal,
         "hll_distinct": _q_hll_distinct,
         "token_quantiles": _q_token_quantiles,
-        "kll_quantiles_exact": _q_kll_quantiles_exact,
         "host_quantiles": _q_host_quantiles,
         "user_event_pivot": _q_user_event_pivot,
         "event_unpivot": _q_event_unpivot,
         "kll_quantiles": _q_kll_quantiles,
         "top_keywords": _q_top_keywords,
-        "range_join": _q_range_join,
         "range_pairs": _q_range_pairs,
         "range_join_bucketed": _q_range_join_bucketed,
-        "dsir_counts": _q_dsir_counts,
         "dsir": _q_dsir,
         "graph_degrees": _q_graph_degrees,
-        "pagerank": _q_pagerank,
         "hits": _q_hits,
         "kcore": _q_kcore,
         "pagerank_distributed": _q_pagerank_distributed,
@@ -5798,22 +5896,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops_distributed": _q_bfs_hops_distributed,
         "sssp": _q_sssp,
         "sssp_distributed": _q_sssp_distributed,
-        "skyline": _q_skyline,
         "resample_ffill": _q_resample_ffill,
         "resample_interp": _q_resample_interp,
         "event_transitions": _q_event_transitions,
         "fuzzy_names": _q_fuzzy_names,
-        "fuzzy_clusters": _q_fuzzy_clusters,
         "group_covariance": _q_group_covariance,
         "group_corr": _q_group_corr,
         "char_pairs": _q_char_pairs,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
-        "bpe_encode_fixed": _q_bpe_encode_fixed,
         "group_zscore": _q_group_zscore,
         "group_welch": _q_group_welch,
         "group_regression": _q_group_regression,
-        "snapshot_diff": _q_snapshot_diff,
         "host_mad": _q_host_mad,
         "price_wmedian": _q_price_wmedian,
         "group_mode": _q_group_mode,
@@ -5839,7 +5933,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rate_window": _q_user_rate_window,
         "active_days": _q_active_days,
         "link_reciprocity": _q_link_reciprocity,
-        "simjoin_pairs": _q_simjoin_pairs,
         "interval_overlaps": _q_interval_join,
         "user_concurrency": _q_user_concurrency,
         "top_types_per_user": _q_top_types_per_user,
@@ -5850,7 +5943,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_max": _q_user_running_max,
         "orders_recon": _q_orders_recon,
         "conversion_latency": _q_conversion_latency,
-        "snm_pairs": _q_snm_pairs,
         "label_dim_medians": _q_label_dim_medians,
         "vocab_growth": _q_vocab_growth,
         "order_size_hist": _q_order_size_hist,
@@ -5860,7 +5952,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_trigrams": _q_event_trigrams,
         "node_clustering": _q_node_clustering,
         "centroid_dots": _q_centroid_dots,
-        "kmeans_step": _q_kmeans_step,
         "knn_loo": _q_knn_loo,
         "events_audit": _q_events_audit,
         "type_value_quantiles": _q_type_value_quantiles,
@@ -5872,15 +5963,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_avg_orders": _q_above_avg_orders,
         "cooccurrence": _q_cooccurrence,
         "cooccur_lift": _q_cooccur_lift,
-        "triangles": _q_triangles,
-        "jsonl_roundtrip": _q_jsonl_roundtrip,
-        "csv_roundtrip": _q_csv_roundtrip,
-        "ipc_roundtrip": _q_ipc_roundtrip,
-        "source_similarity": _q_source_similarity,
-        "llm_corpus": _q_llm_corpus,
-        "anchor_labels": _q_anchor_labels,
-        "crawl_wave": _q_crawl,
-        "crawl_wave_cuckoo": _q_crawl_cuckoo,
     }
 
 
@@ -6927,6 +7009,59 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(r.n_kept, 0) AS n_kept,
                    COALESCE(r.text_clean, '') AS text_clean
             FROM toks d LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "substr_dedup_winnow": f"""
+            WITH {_BUILT_PARA_SQL},
+            toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+                FROM built
+            ),
+            tok AS (
+                SELECT doc_id,
+                       unnest(ws) AS tok,
+                       unnest(range(CAST(len(ws) AS BIGINT))) AS tp
+                FROM toks
+            ),
+            {_substr_kept_sql(16, '16')},
+            {_substr_kept_sql(19, '19')}
+            SELECT t.doc_id,
+                   CAST(len(t.ws) AS BIGINT) AS n_tokens,
+                   COALESCE(k16.n_kept, 0) AS n_kept16,
+                   COALESCE(k19.n_kept, 0) AS n_kept19,
+                   CAST(1 AS BIGINT) AS floor_ok,
+                   CAST(1 AS BIGINT) AS caught_ok
+            FROM toks t
+            LEFT JOIN kept16 k16 USING (doc_id)
+            LEFT JOIN kept19 k19 USING (doc_id)
+        """,
+        "anchor_labels": """
+            WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+            e AS (
+                SELECT d.doc_id AS i, g.j AS j,
+                       (d.doc_id * 7 + g.j * 13 + 1) % nn.n AS t
+                FROM documents d, nn, generate_series(0, 2) AS g(j)
+                WHERE g.j <= d.doc_id % 3
+            ),
+            edges AS (
+                SELECT CASE WHEN j = 0
+                         THEN 'https://h' || (t % 97) || '.example/p' || t
+                         ELSE 'https://h' || (i % 97) || '.example/p' || t
+                       END AS dst,
+                       'label ' || ((i + t) % 5) AS anchor
+                FROM e
+            ),
+            hist AS (
+                SELECT dst, anchor, CAST(COUNT(*) AS BIGINT) AS n
+                FROM edges GROUP BY dst, anchor
+            ),
+            ranked AS (
+                SELECT dst, anchor, n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY dst ORDER BY n DESC, anchor ASC
+                       ) AS r
+                FROM hist
+            )
+            SELECT dst, anchor AS mode_value, n FROM ranked WHERE r = 1
         """,
         "boilerplate": f"""
             WITH {_BUILT_PARA_SQL},
