@@ -126,11 +126,21 @@ def select_wave(
         partial_topk, batch_format="pyarrow"
     )
 
-    # small waves: the extra shuffle round costs more than it saves — merge
-    # the (tiny) partials on the driver. The threshold is a latency knob
-    # only; both paths compute the identical exact per-host top-k
+    # small-to-medium waves: the extra exchange round costs more than it
+    # saves — merge the partials on the driver (vectorized topk over rows
+    # bounded by n_eligible and by the per-block politeness budgets; at
+    # 600k eligible the partials measured 300k rows / ~30 MB, driver merge
+    # 0.75 s flat vs ~1.4 s for the 16-partition sort exchange). The
+    # threshold is a latency knob only; both paths compute the identical
+    # exact per-host top-k
     # (tests/test_schedule_seen.py::test_select_wave_merge_paths_agree).
-    if not as_dataset and n_eligible_hint is not None and n_eligible_hint <= 50_000:
+    # Past it (or with as_dataset, the huge-wave caller contract) the
+    # merge stays fully distributed.
+    if (
+        not as_dataset
+        and n_eligible_hint is not None
+        and n_eligible_hint <= 1_000_000
+    ):
         out = topk_per_host(partials.to_pandas(), ray.get(sched_ref))
         return out.reset_index(drop=True)
 

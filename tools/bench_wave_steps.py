@@ -2,7 +2,7 @@
 frontier politeness wave and print the manifest step_times — the
 decomposition of the per-wave fixed cost F (round-4 verdict #2).
 
-Usage: RAY_GRAFT_CPUS=32 python tools/bench_wave_steps.py [n_pages]
+Usage: RAY_GRAFT_CPUS=32 python tools/bench_wave_steps.py [n_pages] [waves]
 """
 
 from __future__ import annotations
@@ -23,6 +23,7 @@ def main() -> None:
     os.environ.setdefault("POLARS_MAX_THREADS", "1")
     os.environ.setdefault("RAYON_NUM_THREADS", "1")
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
+    n_waves = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 
     import ray
 
@@ -43,7 +44,7 @@ def main() -> None:
         n_pages=n_pages, seed=42, num_buckets=128, profile="heavy",
     )
     cfg = CrawlConfig(
-        max_waves=1, wave_duration_s=600.0, seen_shards=16,
+        max_waves=n_waves, wave_duration_s=600.0, seen_shards=16,
         corpus_buckets=corpus.num_buckets, max_crawl_depth=16,
     )
     out_dir = Path(f"/tmp/abwcf_wavesteps_{NUM_CPUS}")
