@@ -153,6 +153,23 @@ class CrawlConfig:
     total_bandwidth_budget_bps: int | None = None
     min_bandwidth_per_fetcher_bps: int = 200_000
 
+    # A2 fetch transport (Fetcher.scala:74-188 factored behind
+    # stages/transport.FetchTransport — round-4 verdict #3): None (default)
+    # = the corpus-sim fast paths (fused pruned tee / broadcast scan). A
+    # zero-arg CALLABLE returning a FetchTransport makes the wave fetch
+    # its selected urls through map_batches(TransportFetchStage(factory),
+    # concurrency=...) — an actor pool, transport built once per actor —
+    # e.g. ``lambda: HTTPTransport(bytes_per_sec=200_000)`` for a real
+    # crawl, or ``lambda: CorpusTransport(dir)`` (parity-tested against
+    # the fused path). Redirect/cap/failure-class semantics live in the
+    # transport; the wave machinery is transport-agnostic.
+    fetch_transport: object = None
+    # actor-pool shape for the transport stage: (min, max) actors and rows
+    # per fetch batch (a NETWORK transport wants small batches — politeness
+    # interleaving — while the corpus transport prefers big ones)
+    fetch_transport_concurrency: tuple = (2, 16)
+    fetch_transport_batch_size: int = 256
+
     # Priority function: "breadth_first_hash" (deterministic default),
     # "breadth_first", "depth_first", "random" (seeded) — or a CALLABLE
     # ``batch(pa.Table[url, host, depth]) -> int64 ndarray`` (the rebuild of

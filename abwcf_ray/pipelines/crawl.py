@@ -936,7 +936,50 @@ def run_crawl(
                 // max(1, int(cfg.min_bandwidth_per_fetcher_bps)),
             )
             metrics["max_fetchers"] = max_fetchers
-        if use_pruned:
+        if cfg.fetch_transport is not None:
+            # injectable transport (H/A2, stages/transport.py): actor-pool
+            # fetch over the selected (url, depth) rows — the deployment
+            # shape for a REAL network crawl. Two-phase like the scan
+            # fallback: a network response has no stable item identity for
+            # the retry-safe tee, so the processed checkpoint is a normal
+            # write_parquet and the link columns re-read from it.
+            from abwcf_ray.stages.transport import TransportFetchStage
+
+            sel_rows = pa.table(
+                {
+                    "url": pa.array(sel_df["url"], pa.string()),
+                    "depth": pa.array(
+                        sel_df["depth"].to_numpy().astype(np.int32),
+                        pa.int32(),
+                    ),
+                }
+            )
+            lo_c, hi_c = cfg.fetch_transport_concurrency
+            n_blocks = max(
+                int(lo_c), min(64, sel_rows.num_rows // max(1, cfg.fetch_transport_batch_size) + 1)
+            )
+            fetched = rd.from_arrow(sel_rows).repartition(n_blocks).map_batches(
+                TransportFetchStage,
+                fn_constructor_args=(cfg.fetch_transport,),
+                batch_format="pyarrow",
+                concurrency=(int(lo_c), int(max_fetchers or hi_c)),
+                batch_size=cfg.fetch_transport_batch_size,
+            )
+            fetched.map_batches(
+                process_fetched, batch_format="pyarrow"
+            ).write_parquet(str(wdir / "processed"), compression="zstd")
+            if not any((wdir / "processed").glob("*.parquet")):
+                # every fetch failed/missed: keep the checkpoint readable
+                from abwcf_ray.stages.fetch import empty_fetched_table
+
+                pq.write_table(
+                    process_fetched(empty_fetched_table()),
+                    wdir / "processed" / "part-empty.parquet",
+                )
+            links_ds = rd.read_parquet(
+                str(wdir / "processed"), columns=["links", "child_depth"]
+            )
+        elif use_pruned:
             from abwcf_ray.stages.fetch import make_fetch_process_tee
 
             items = plan_pruned_fetch(hashed_dir, sel_sorted)

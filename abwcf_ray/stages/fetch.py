@@ -237,7 +237,7 @@ def _hashed_index(hashed_dir: str):
 
 
 def plan_pruned_fetch(
-    hashed_dir: str, sel_hashes_sorted: np.ndarray, rgs_per_task: int = 8
+    hashed_dir: str, sel_hashes_sorted: np.ndarray, rgs_per_task: int = 2
 ) -> list[dict]:
     """Work items [(path, row-group indices)] covering exactly the row
     groups whose hash range contains >= 1 selected hash. The planner is

@@ -1,0 +1,298 @@
+"""FetchTransport interface (stages/transport.py, round-4 verdict #3):
+the corpus-sim transport must match the wave's pruned fetch path
+byte-for-byte, and the HTTP transport skeleton must reproduce the
+reference fetcher's semantics (no redirect following, body-cap abort,
+failure classes, throttle) against a localhost fixture server."""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from abwcf_ray.functions.hashing import hash64
+from abwcf_ray.sources.corpus import generate_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, tmp_path_factory):
+    return generate_corpus(tmp_path_factory.mktemp("tc"), n_pages=5_000, seed=7)
+
+
+def _selected_urls(corpus, n=400):
+    import pyarrow.dataset as pads
+
+    urls = (
+        pads.dataset(corpus.pages_dir)
+        .to_table(columns=["url"])
+        .column("url")
+        .to_pylist()
+    )
+    step = max(1, len(urls) // n)
+    return urls[::step][:n] + ["https://nowhere.example/missing0"]
+
+
+def _canon(t: pa.Table):
+    import pandas as pd
+
+    df = t.to_pandas().sort_values("url").reset_index(drop=True)
+    df["html"] = df["html"].map(lambda b: None if b is None else bytes(b))
+    return df
+
+
+def test_corpus_transport_matches_pruned_reader(corpus):
+    """CorpusTransport.fetch == the wave's pruned-read kernel output for
+    the same selection (present + absent urls, body cap on)."""
+    import pandas as pd
+    import ray
+
+    from abwcf_ray.stages.fetch import (
+        make_pruned_fetch_reader,
+        plan_pruned_fetch,
+    )
+    from abwcf_ray.stages.transport import CorpusTransport
+
+    urls = _selected_urls(corpus)
+    depths = np.arange(len(urls), dtype=np.int32)
+    cap = 6000
+
+    tr = CorpusTransport(corpus.hashed_dir, max_content_length=cap)
+    got = _canon(tr.fetch(urls, depths))
+
+    h = hash64(urls)
+    order = np.argsort(h)
+    sel_ref = ray.put((h[order], depths[order]))
+    items = plan_pruned_fetch(corpus.hashed_dir, h[order])
+    reader = make_pruned_fetch_reader(sel_ref, max_content_length=cap)
+    exp = _canon(
+        reader(
+            pa.table(
+                {
+                    "path": pa.array([i["path"] for i in items]),
+                    "rgs": pa.array([i["rgs"] for i in items]),
+                }
+            )
+        )
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # the absent url matched nothing (404-by-absence)
+    assert "https://nowhere.example/missing0" not in set(got["url"])
+    assert len(got) >= len(urls) // 2
+
+
+def test_transport_stage_actor_pool(corpus, ray_session):
+    """TransportFetchStage drives a transport as an actor-pool
+    map_batches over (url, depth) rows; rows come back complete."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.transport import (
+        CorpusTransport,
+        TransportFetchStage,
+    )
+
+    urls = _selected_urls(corpus)[:-1]  # only present urls
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "depth": pa.array(
+                    np.zeros(len(urls), dtype=np.int32), pa.int32()
+                ),
+            }
+        )
+    )
+    hashed = corpus.hashed_dir
+    out = ds.map_batches(
+        TransportFetchStage,
+        fn_constructor_args=(lambda: CorpusTransport(hashed),),
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=64,
+    ).to_pandas()
+    assert sorted(out["url"]) == sorted(urls)
+    assert out["html"].notna().any()
+
+
+# ---------------------------------------------------------------- HTTP
+
+
+class _FixtureHandler:
+    """Tiny WSGI-less handler set for the localhost fixture server."""
+
+
+@pytest.fixture(scope="module")
+def http_server():
+    import http.server
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/ok":
+                body = b"<html><a href='/x'>x</a></html>"
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("X-Robots-Tag", "nofollow")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/redir":
+                self.send_response(301)
+                self.send_header("Location", "/ok")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+            elif self.path == "/big":
+                body = b"x" * 300_000
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                try:
+                    self.wfile.write(body)
+                except BrokenPipeError:
+                    pass  # client aborted at the cap — expected
+            else:
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_http_transport_semantics(http_server):
+    from abwcf_ray.stages.transport import (
+        STATUS_TRANSPORT_ERROR,
+        HTTPTransport,
+    )
+
+    tr = HTTPTransport(max_content_length=100_000, timeout_s=5.0)
+    urls = [
+        f"{http_server}/ok",
+        f"{http_server}/redir",
+        f"{http_server}/big",
+        f"{http_server}/nope",
+        "http://127.0.0.1:1/refused",  # nothing listens on port 1
+    ]
+    out = tr.fetch(urls, np.zeros(len(urls), dtype=np.int32)).to_pandas()
+    row = out.set_index("url")
+
+    ok = row.loc[f"{http_server}/ok"]
+    assert ok["status"] == 200
+    assert ok["x_robots_tag"] == "nofollow"
+    assert b"href" in bytes(ok["html"])
+    assert not ok["length_exceeded"]
+
+    redir = row.loc[f"{http_server}/redir"]
+    # contract #1: 3xx NOT followed; Location reported for the chain
+    assert redir["status"] == 301
+    assert redir["location"] == "/ok"
+
+    big = row.loc[f"{http_server}/big"]
+    # contract #2: cap aborts the download and drops the body
+    assert big["length_exceeded"]
+    assert big["html"] is None
+
+    assert row.loc[f"{http_server}/nope"]["status"] == 404
+    # contract #3: refused connection -> synthetic failure row, no raise
+    assert (
+        row.loc["http://127.0.0.1:1/refused"]["status"]
+        == STATUS_TRANSPORT_ERROR
+    )
+    # schema contract
+    assert list(out.columns) == [
+        "url", "depth", "status", "content_type", "location",
+        "x_robots_tag", "html", "length_exceeded",
+    ]
+
+
+def test_http_transport_throttle(http_server):
+    """contract #4: the token bucket paces reads — fetching ~93 KB at
+    64 KB/s must take >= ~0.4 s (first ~64 KB ride the burst)."""
+    from abwcf_ray.stages.transport import HTTPTransport
+
+    tr = HTTPTransport(max_content_length=None, bytes_per_sec=65536.0)
+    t0 = time.perf_counter()
+    out = tr.fetch(
+        [f"{http_server}/big"] , np.zeros(1, dtype=np.int32)
+    ).to_pandas()
+    dt = time.perf_counter() - t0
+    assert len(bytes(out["html"][0])) == 300_000
+    # 300 KB at 64 KB/s with a 64 KB burst -> >= (300-64)/64 = 3.7 s of
+    # pacing; assert a loose lower bound to stay timing-robust
+    assert dt >= 1.5
+
+
+def test_http_transport_actor_pool(http_server, ray_session):
+    """The HTTP transport composes with the actor-pool stage (transport
+    built once per actor, connections pooled)."""
+    import ray.data as rd
+
+    from abwcf_ray.stages.transport import HTTPTransport, TransportFetchStage
+
+    urls = [f"{http_server}/ok" for _ in range(20)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "depth": pa.array(np.zeros(20, dtype=np.int32), pa.int32()),
+            }
+        )
+    )
+    out = ds.map_batches(
+        TransportFetchStage,
+        fn_constructor_args=(lambda: HTTPTransport(timeout_s=5.0),),
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=8,
+    ).to_pandas()
+    assert len(out) == 20
+    assert (out["status"] == 200).all()
+
+
+def test_crawl_with_corpus_transport_matches_fused_path(
+    corpus, ray_session, tmp_path
+):
+    """e2e parity: a wave crawl with the injectable CorpusTransport
+    (cfg.fetch_transport) produces the same final frontier as the
+    default fused pruned-tee path — the 'sim transport passes all
+    existing goldens unchanged' gate."""
+    import pandas as pd
+
+    from abwcf_ray.config import CrawlConfig
+    from abwcf_ray.pipelines.crawl import frontier_dataset, run_crawl
+    from abwcf_ray.stages.transport import CorpusTransport
+
+    hashed = corpus.hashed_dir
+    cap = CrawlConfig().max_content_length
+
+    def run(out, transport):
+        cfg = CrawlConfig(
+            max_waves=2,
+            wave_duration_s=10.0,
+            seen_shards=4,
+            corpus_buckets=corpus.num_buckets,
+            max_crawl_depth=8,
+            fetch_transport=transport,
+        )
+        s = run_crawl(cfg, corpus, out, log=lambda *_: None)
+        return (
+            frontier_dataset(s.last_wave_dir)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+
+    base = run(tmp_path / "fused", None)
+    via_transport = run(
+        tmp_path / "transport",
+        lambda: CorpusTransport(hashed, max_content_length=cap),
+    )
+    pd.testing.assert_frame_equal(via_transport, base)
