@@ -35,9 +35,13 @@ import json
 import numpy as np
 
 _FP_MIX = np.uint64(0x5BD1E9955BD1E995)  # odd multiplier for fp -> bucket-offset
+_INDEX_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio remix for the home bucket
 _SLOTS = 4
 _MAX_KICKS = 500
 _STASH_MAX = 128
+# bump when _derive's bucket/fingerprint layout changes: a checkpoint from
+# another layout would silently mis-probe if restored
+_LAYOUT = 2
 
 
 def _next_pow2(n: int) -> int:
@@ -68,11 +72,23 @@ class CuckooFilter:
 
     # -- derivation ---------------------------------------------------------
     def _derive(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        h = np.ascontiguousarray(h, dtype=np.uint64)
-        fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
-        fp[fp == 0] = 1  # 0 marks an empty slot
-        i1 = (h & self._mask).astype(np.int64)
-        i2 = self._alt(i1, fp)
+        # Home bucket from a MULTIPLICATIVE remix of the hash, not its raw
+        # low bits: the sharded pool routes keys by ``h % num_shards``, so
+        # every key a shard receives SHARES its low bits — raw low-bit
+        # indexing collapsed home buckets to nbuckets/num_shards and blew
+        # the eviction stash at ~0.37 design load (found by
+        # tools/bench_cuckoo.py at 10^8 urls / 256 shards). The Fibonacci
+        # product's HIGH bits are uniform regardless of fixed low input
+        # bits, decorrelating the bucket index from both the routing bits
+        # (low) and the fingerprint bits (48-63).
+        with np.errstate(over="ignore"):
+            h = np.ascontiguousarray(h, dtype=np.uint64)
+            fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+            fp[fp == 0] = 1  # 0 marks an empty slot
+            i1 = (((h * _INDEX_MIX) >> np.uint64(32)) & self._mask).astype(
+                np.int64
+            )
+            i2 = self._alt(i1, fp)
         return fp, i1, i2
 
     def _alt(self, b: np.ndarray, fp: np.ndarray) -> np.ndarray:
@@ -195,6 +211,7 @@ class CuckooFilter:
                 "nbuckets": self.nbuckets,
                 "count": self.count,
                 "stash": sorted(self._stash),
+                "layout": _LAYOUT,
             }
         )
         return self.table.reshape(-1), meta
@@ -202,6 +219,13 @@ class CuckooFilter:
     @classmethod
     def from_state(cls, flat: np.ndarray, meta_json: str) -> "CuckooFilter":
         meta = json.loads(meta_json)
+        if meta.get("layout", 1) != _LAYOUT:
+            raise RuntimeError(
+                f"cuckoo checkpoint layout {meta.get('layout', 1)} != "
+                f"{_LAYOUT} — the bucket/fingerprint derivation changed; "
+                "membership against this table would silently mis-probe. "
+                "Re-fold from the exact checkpoint or re-crawl."
+            )
         self = cls(meta["capacity"])
         if self.nbuckets != meta["nbuckets"]:  # pragma: no cover - defensive
             raise RuntimeError("cuckoo checkpoint nbuckets mismatch")

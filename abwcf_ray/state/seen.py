@@ -50,6 +50,17 @@ class _ExactSeenShard:
     the candidate stream."""
 
     def __init__(self) -> None:
+        # single-purpose actor: pin arrow's pools to 1 thread. At 256-shard
+        # pools the DEFAULT per-process pools (os.cpu_count() threads each)
+        # exhausted the box's thread budget during a parallel checkpoint
+        # restore (boost 'thread: Resource temporarily unavailable' aborts —
+        # found by tools/bench_cuckoo.py at 10^8 urls / 256 shards); a
+        # membership shard's parquet IO is one small file either way.
+        try:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+        except Exception:  # pragma: no cover - arrow without the setters
+            pass
         # membership store: SORTED uint64 hashes + aligned wave-added. The
         # shard is the crawl's hottest serialized path, so probes must be
         # numpy-rate (searchsorted), not Python-dict loops; recent adds land
@@ -193,6 +204,12 @@ class _ExactSeenShard:
     def size(self) -> int:
         return len(self._h) + len(self._pend)  # pend keys are never in _h
 
+    def mem_bytes(self) -> int:
+        """Resident bytes of the membership store (compacted first so the
+        figure is the steady-state footprint, not the pend dict's)."""
+        self._compact()
+        return int(self._h.nbytes + self._hw.nbytes)
+
     def checkpoint(self, path: str) -> int:
         self._compact()  # sorted store -> deterministic checkpoint bytes
         pq.write_table(
@@ -332,6 +349,13 @@ class _CuckooSeenShard(_ExactSeenShard):
 
     def size(self) -> int:
         return self._filter.count + len(self._pend)
+
+    def mem_bytes(self) -> int:
+        """Filter table bytes; the (bounded, current-wave) pend dict is
+        folded first so the figure is the steady-state footprint."""
+        if self._pend:
+            self._fold(max(self._pend.values()) + 1)
+        return int(self._filter.nbytes)
 
     def checkpoint(self, path: str) -> int:
         # checkpoints happen at wave completion (pipelines/crawl.py:1031) —
@@ -603,6 +627,9 @@ class SeenSet:
 
     def size(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def mem_bytes(self) -> int:
+        return sum(ray.get([s.mem_bytes.remote() for s in self.shards]))
 
     # -- checkpoint / resume ---------------------------------------------
     @staticmethod

@@ -427,25 +427,50 @@ def run_steady() -> dict:
 
     corpus = _corpus()
     n_waves = int(os.environ.get("GRAFT_STEADY_WAVES", "30"))
-    cfg = CrawlConfig(
-        max_waves=n_waves,
-        # k_h = 1 per politeness window: every host contributes one page
-        # per wave, so each host's ~50-page queue (600k pages / 12k hosts)
-        # sustains politeness-SATURATED comparable waves for the whole run
-        # — the flatness measurement needs waves of equal politeness load,
-        # not a draining frontier
-        wave_duration_s=float(os.environ.get("GRAFT_STEADY_WAVE_S", "1.0")),
-        seen_shards=16,
-        corpus_buckets=corpus.num_buckets,
-        max_crawl_depth=64,
-    )
+    wave_s = float(os.environ.get("GRAFT_STEADY_WAVE_S", "1.0"))
     all_urls = (
         pads.dataset(corpus.pages_dir).to_table(columns=["url"]).column("url").to_pylist()
     )
-    # growing frontier: a 1/16 seed slice, discoveries multiply the
-    # frontier severalfold over the run (the overhead-vs-frontier claim
-    # needs real growth to test against)
-    seeds = all_urls[:: int(os.environ.get("GRAFT_STEADY_SEED_STRIDE", "16"))]
+    # GRAFT_STEADY_SATURATED=1 (round-4 verdict #6): the default growing-
+    # frontier run mostly measured overhead once the power-law small hosts
+    # drained (STEADY_r04: selection 14k -> 1.2k/wave, saturated_waves=1).
+    # Saturated mode confines the crawl to hosts DEEP enough to sustain
+    # full k_h for the whole run (count >= worst-case k_h x (waves+5),
+    # worst-case k_h = wave_s / 0.5s min delay) via the B5 scope filter,
+    # and seeds all their pages — every wave then selects the identical
+    # politeness budget and the flatness numbers measure the engine, not
+    # the frontier's decay.
+    saturated_mode = os.environ.get("GRAFT_STEADY_SATURATED") == "1"
+    must_match = (".*",)
+    if saturated_mode:
+        import re as _re
+
+        import pandas as _pd
+
+        hseries = _pd.Series(all_urls).str.extract(r"https://([^/]+)/")[0]
+        vc = hseries.value_counts()
+        need = int(wave_s / 0.5) * (n_waves + 5)
+        deep = vc[vc >= need]
+        deep_set = set(deep.index)
+        seeds = [u for u, h in zip(all_urls, hseries) if h in deep_set]
+        host_alt = "|".join(_re.escape(h) for h in deep.index)
+        must_match = (f"https://(?:{host_alt})/.*",)
+    else:
+        # growing frontier: a 1/16 seed slice, discoveries multiply the
+        # frontier severalfold over the run (the overhead-vs-frontier
+        # claim needs real growth to test against)
+        seeds = all_urls[:: int(os.environ.get("GRAFT_STEADY_SEED_STRIDE", "16"))]
+    cfg = CrawlConfig(
+        max_waves=n_waves,
+        # k_h = 1 per politeness window at the 1 s default: every host
+        # contributes one page per wave; saturated mode raises wave_s so
+        # k_h is a real per-host budget
+        wave_duration_s=wave_s,
+        seen_shards=16,
+        corpus_buckets=corpus.num_buckets,
+        max_crawl_depth=64,
+        must_match=must_match,
+    )
     out_dir = Path(f"/tmp/abwcf_bench_steady_{NUM_CPUS}")
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
@@ -516,8 +541,12 @@ def run_steady() -> dict:
                 }
             )
     result = {
-        "metric": f"steady-state crawl: {len(waves)} waves, growing frontier "
-        f"(corpus n_pages={corpus.n_pages}, seeds={len(seeds)})",
+        "metric": (
+            f"steady-state crawl: {len(waves)} waves, "
+            + ("SATURATED deep-host scope " if saturated_mode else "growing frontier ")
+            + f"(corpus n_pages={corpus.n_pages}, seeds={len(seeds)})"
+        ),
+        "saturated_mode": saturated_mode,
         "value": round(wall, 3),
         "unit": "sec",
         "num_cpus": NUM_CPUS,

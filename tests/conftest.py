@@ -28,3 +28,10 @@ def ray_session():
     ctx.enable_progress_bars = False
     yield
     ray.shutdown()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "skew: unified keyed-exchange skew tournament (run with -m skew)",
+    )

@@ -5,7 +5,7 @@ box when the box itself can 4x a computation — `bench.py --hw-probe N`
 measures that ceiling directly (pure-multiprocessing parse kernel, no Ray).
 This watcher loops: probe the window's 4->16 ceiling; when it reads at or
 above ``--ceiling`` (default 0.82), run a full ``bench.py --scaling`` and
-save it as the next ``SCALING_r04_I{N}.json``; otherwise sleep and retry.
+save it as the next ``SCALING_r05_I{N}.json``; otherwise sleep and retry.
 
 Coordination: skips a cycle while ``/tmp/abwcf_busy`` exists (another
 process of ours is using the box); holds ``/tmp/abwcf_scaling_running``
@@ -45,10 +45,10 @@ def probe(n: int) -> float | None:
 def next_artifact() -> Path:
     taken = [
         int(m.group(1))
-        for p in REPO.glob("SCALING_r04_I*.json")
-        if (m := re.match(r"SCALING_r04_I(\d+)\.json", p.name))
+        for p in REPO.glob("SCALING_r05_I*.json")
+        if (m := re.match(r"SCALING_r05_I(\d+)\.json", p.name))
     ]
-    return REPO / f"SCALING_r04_I{max(taken, default=0) + 1}.json"
+    return REPO / f"SCALING_r05_I{max(taken, default=0) + 1}.json"
 
 
 def main() -> int:
