@@ -141,8 +141,26 @@ def select_wave(
         and n_eligible_hint is not None
         and n_eligible_hint <= 1_000_000
     ):
-        out = topk_per_host(partials.to_pandas(), ray.get(sched_ref))
-        return out.reset_index(drop=True)
+        # materialize() BEFORE to_arrow_refs: pulling refs off the lazy
+        # dataset left the streaming execution non-finalized, and its
+        # cancelled trailing tasks wedged the reject-sink actors'
+        # per-caller sequence numbers (reproducible 30 s seq_no timeouts
+        # in the multi-wave steady bench; materialize drains the
+        # execution completely and the refs are stable block handles)
+        tables = [
+            t
+            for t in ray.get(partials.materialize().to_arrow_refs())
+            if t.num_rows
+        ]
+        if not tables:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=object) for c in _SELECT_COLS}
+            )
+        merged = topk_per_host_arrow(
+            pa.concat_tables(tables, promote_options="default").combine_chunks(),
+            ray.get(sched_ref),
+        )
+        return merged.to_pandas().reset_index(drop=True)
 
     def add_pkey(t: pa.Table) -> pa.Table:
         pkey = (hash64(t.column("host")) % np.uint64(merge_partitions)).astype(

@@ -449,7 +449,10 @@ def run_steady() -> dict:
 
         hseries = _pd.Series(all_urls).str.extract(r"https://([^/]+)/")[0]
         vc = hseries.value_counts()
-        need = int(wave_s / 0.5) * (n_waves + 5)
+        # worst-case per-host budget assumes the fixture's SMALLEST crawl
+        # delay (100 ms — measured: a 500 ms floor left hosts draining by
+        # wave 8), so a qualifying host outlives the run at any delay
+        need = int(wave_s / 0.1) * (n_waves + 5)
         deep = vc[vc >= need]
         deep_set = set(deep.index)
         seeds = [u for u, h in zip(all_urls, hseries) if h in deep_set]
@@ -509,9 +512,19 @@ def run_steady() -> dict:
             }
         )
 
-    sel_max = max((w["n_selected"] for w in waves), default=0)
     noncompact = [w for w in waves if w["compact_s"] == 0.0]
-    saturated = [w for w in noncompact if sel_max and w["n_selected"] >= 0.8 * sel_max]
+    # saturation anchor: the steady politeness budget = median selection
+    # over the RUN'S SECOND HALF — anchoring on max() instead counted the
+    # first wave's pre-robots burst (budgets computed before crawl-delays
+    # are known) as the bar and marked the genuinely k_h-saturated tail
+    # unsaturated (STEADY_r04's 'saturated_waves: 1')
+    tail = sorted(w["n_selected"] for w in noncompact[len(noncompact) // 2 :])
+    steady_sel = tail[len(tail) // 2] if tail else 0
+    saturated = [
+        w
+        for w in noncompact
+        if steady_sel and abs(w["n_selected"] - steady_sel) <= 0.2 * steady_sel
+    ]
     durs = sorted(w["duration_s"] for w in saturated)
     median = durs[len(durs) // 2] if durs else None
     flatness = round(max(durs) / median, 3) if durs and median else None
