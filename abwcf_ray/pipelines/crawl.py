@@ -1298,6 +1298,15 @@ def main() -> None:  # pragma: no cover — CLI entry
     parser.add_argument("--max-depth", type=int, default=2**31 - 1)
     parser.add_argument("--wave-duration", type=float, default=10.0)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument(
+        "--transport",
+        choices=["fused", "corpus", "http"],
+        default="fused",
+        help="fetch path: 'fused' (default pruned tee), 'corpus' (the "
+        "injectable CorpusTransport actor pool — same results, exercises "
+        "the FetchTransport seam), 'http' (real network via HTTPTransport; "
+        "urls must be reachable)",
+    )
     args = parser.parse_args()
 
     if not ray.is_initialized():
@@ -1318,6 +1327,19 @@ def main() -> None:  # pragma: no cover — CLI entry
             max_crawl_depth=args.max_depth,
             wave_duration_s=args.wave_duration,
         )
+    if args.transport != "fused":
+        from dataclasses import replace as _dc_replace
+
+        from abwcf_ray.stages.transport import CorpusTransport, HTTPTransport
+
+        if args.transport == "corpus":
+            hashed = corpus.hashed_dir
+            cap = cfg.max_content_length
+            factory = lambda: CorpusTransport(hashed, max_content_length=cap)  # noqa: E731
+        else:
+            cap = cfg.max_content_length
+            factory = lambda: HTTPTransport(max_content_length=cap)  # noqa: E731
+        cfg = _dc_replace(cfg, fetch_transport=factory)
     summary = run_crawl(cfg, corpus, args.out, resume=args.resume)
     print(
         json.dumps(
