@@ -1034,6 +1034,7 @@ def run_crawl(
                 str(wdir / "processed"), columns=["links", "child_depth"]
             )
 
+        _mark("fetch_prep")  # sel hashing + broadcast puts + pruned plan
         # ---- candidate pipeline (B1 -> B4 -> B5 -> C1 -> F1 -> B7) ------
         # Wave-dedup + seen-filter run as a TWO-PHASE shard-actor protocol
         # instead of a groupby(url) all-to-all: the materialize() barrier
