@@ -822,7 +822,10 @@ def run_crawl(
             allowed, sched_ref, n_eligible_hint=n_eligible, as_dataset=as_ds
         )
         rank_distributed = False
-        if as_ds:
+        if not isinstance(selected_raw, pd.DataFrame):
+            # the distributed-merge venue was taken (partials over the
+            # driver cap): decide the rank venue on the actual selected
+            # count the same way
             selected_raw = selected_raw.materialize()
             if selected_raw.count() > cfg.rank_distributed_min:
                 rank_distributed = True

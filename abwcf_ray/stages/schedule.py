@@ -102,56 +102,50 @@ def select_wave(
     merge_partitions: int = 16,
     n_eligible_hint: int | None = None,
     as_dataset: bool = False,
+    driver_partials_max: int = 2_000_000,
 ):
     """eligible frontier rows (url, host, depth, priority, ...) -> the wave's
-    fetch set (pandas) with exact per-host top-k under the politeness budget.
+    fetch set with exact per-host top-k under the politeness budget.
     ``sched_ref`` is a ``HostsState.sched_payload`` object ref (sorted host
-    hashes + precomputed budgets, zero-copy numpy).
+    hashes + precomputed budgets, zero-copy numpy). Returns a pandas frame,
+    or a Dataset when the merge ran distributed AND ``as_dataset`` (the
+    huge-wave caller contract) — callers must handle both.
 
-    Two levels, both distributed: (1) per-block partial top-k (superset of
-    each block's contribution), then (2) an EXACT per-host merge sharded by
-    ``hash(host) % merge_partitions`` — every host lands wholly in one
-    partition, and each partition runs ONE vectorized pandas top-k over all
-    its hosts (the coarse-partition key keeps the group count at
-    ``merge_partitions``, not #hosts — per-group Python callables at #hosts
-    granularity cost ~1 ms each and would dominate). The driver receives
-    only the exact selected set, bounded by the politeness budget Σ_h k_h —
-    never the partials (which grow with block count)."""
+    Two levels: (1) per-block partial top-k (superset of each block's
+    contribution), materialized ONCE and counted; then (2) the exact
+    per-host merge, whose venue is chosen on the MEASURED partials size —
+    at or under ``driver_partials_max`` rows the driver runs one
+    vectorized arrow topk over the collected partials (politeness-bounded,
+    ~96 B/row; measured 0.75 s flat at 300k rows vs ~1.4 s for the
+    16-partition sort exchange, and ~1.5 s at 940k vs ~4.3 s — the
+    n_eligible proxy previously forced a 2.4M-eligible wave through the
+    exchange although its partials fit easily). Past the cap the merge is
+    a keyed exchange sharded by ``hash(host) % merge_partitions`` — every
+    host lands wholly in one partition, one vectorized topk per partition
+    (the coarse key keeps group count at ``merge_partitions``, not
+    #hosts). The driver never pulls more than the cap; the partials'
+    materialization is shared by both venues, so the choice costs
+    nothing extra.
+    Both venues compute the identical exact per-host top-k
+    (tests/test_schedule_seen.py::test_select_wave_merge_paths_agree)."""
     from abwcf_ray.functions.hashing import hash64
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         return topk_per_host_arrow(batch.select(_SELECT_COLS), ray.get(sched_ref))
 
-    partials = eligible.select_columns(_SELECT_COLS).map_batches(
-        partial_topk, batch_format="pyarrow"
+    # materialize() is load-bearing beyond reuse: pulling refs off the
+    # lazy dataset left the streaming execution non-finalized, and its
+    # cancelled trailing tasks wedged the reject-sink actors' per-caller
+    # sequence numbers (reproducible 30 s seq_no timeouts in the
+    # multi-wave steady bench)
+    partials = (
+        eligible.select_columns(_SELECT_COLS)
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .materialize()
     )
 
-    # small-to-medium waves: the extra exchange round costs more than it
-    # saves — merge the partials on the driver (vectorized topk over rows
-    # bounded by n_eligible and by the per-block politeness budgets; at
-    # 600k eligible the partials measured 300k rows / ~30 MB, driver merge
-    # 0.75 s flat vs ~1.4 s for the 16-partition sort exchange). The
-    # threshold is a latency knob only; both paths compute the identical
-    # exact per-host top-k
-    # (tests/test_schedule_seen.py::test_select_wave_merge_paths_agree).
-    # Past it (or with as_dataset, the huge-wave caller contract) the
-    # merge stays fully distributed.
-    if (
-        not as_dataset
-        and n_eligible_hint is not None
-        and n_eligible_hint <= 1_000_000
-    ):
-        # materialize() BEFORE to_arrow_refs: pulling refs off the lazy
-        # dataset left the streaming execution non-finalized, and its
-        # cancelled trailing tasks wedged the reject-sink actors'
-        # per-caller sequence numbers (reproducible 30 s seq_no timeouts
-        # in the multi-wave steady bench; materialize drains the
-        # execution completely and the refs are stable block handles)
-        tables = [
-            t
-            for t in ray.get(partials.materialize().to_arrow_refs())
-            if t.num_rows
-        ]
+    if partials.count() <= driver_partials_max:
+        tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
         if not tables:
             return pd.DataFrame(
                 {c: pd.Series([], dtype=object) for c in _SELECT_COLS}

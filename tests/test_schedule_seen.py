@@ -80,7 +80,13 @@ def test_select_wave_merge_paths_agree(ray_session):
     ds = rd.from_arrow(t).repartition(6)
     key = ["priority", "url"]
     dist = (
-        select_wave(ds, ray.put(sched_payload_from_delays(delays, cfg.wave_duration_s)))
+        select_wave(
+            ds,
+            ray.put(sched_payload_from_delays(delays, cfg.wave_duration_s)),
+            # the merge venue is now chosen on the measured partials size;
+            # a zero cap forces the distributed exchange for the parity
+            driver_partials_max=0,
+        )
         .sort_values(key, ascending=[False, True])
         .reset_index(drop=True)
     )
