@@ -164,6 +164,13 @@ class CrawlConfig:
     # the fused path). Redirect/cap/failure-class semantics live in the
     # transport; the wave machinery is transport-agnostic.
     fetch_transport: object = None
+    # A3 robots transport (RobotsFetcher.scala:56-138 behind the same
+    # seam): None = corpus sim; a zero-arg CALLABLE returning a batch
+    # stage with RobotsFetchSim's contract (host+now_s rows -> parsed
+    # host rows) — e.g. ``lambda: HTTPRobotsFetcher(cfg)`` for a real
+    # crawl. Classification is SHARED (state/hosts.robots_rows_from_records),
+    # so outcome semantics cannot drift between transports.
+    robots_transport: object = None
     # actor-pool shape for the transport stage: (min, max) actors and rows
     # per fetch batch (a NETWORK transport wants small batches — politeness
     # interleaving — while the corpus transport prefers big ones)

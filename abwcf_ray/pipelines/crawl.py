@@ -452,7 +452,11 @@ def _host_prep(
     if len(need) <= _DRIVER_ROBOTS_THRESHOLD:
         sim = getattr(hosts_state, "_sim", None)
         if sim is None:
-            sim = hosts_state._sim = RobotsFetchSim(robots_path, cfg)
+            sim = hosts_state._sim = (
+                cfg.robots_transport()
+                if cfg.robots_transport is not None
+                else RobotsFetchSim(robots_path, cfg)
+            )
         batch = pa.table(
             {
                 "host": pa.array(need, pa.string()),
@@ -462,9 +466,22 @@ def _host_prep(
         hosts_state.merge_fetched(sim(batch))
     else:
         ds = rd.from_items([{"host": h, "now_s": now_s} for h in need])
+        if cfg.robots_transport is not None:
+            factory = cfg.robots_transport
+
+            class _RobotsStage:
+                def __init__(self):
+                    self._inner = factory()
+
+                def __call__(self, b: pa.Table) -> pa.Table:
+                    return self._inner(b)
+
+            stage_cls, ctor_args = _RobotsStage, ()
+        else:
+            stage_cls, ctor_args = RobotsFetchSim, (robots_path, cfg)
         fetched = ds.map_batches(
-            RobotsFetchSim,
-            fn_constructor_args=(robots_path, cfg),
+            stage_cls,
+            fn_constructor_args=ctor_args,
             batch_format="pyarrow",
             batch_size=256,
             # the reference's gate of 5 concurrent robots fetches is PER NODE

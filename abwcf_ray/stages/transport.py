@@ -260,6 +260,53 @@ class HTTPTransport(FetchTransport):
         )
 
 
+class HTTPRobotsFetcher:
+    """A3 over a real network (``RobotsFetcher.scala:56-138``): GET
+    ``<host>/robots.txt``, FOLLOW up to ``cfg.robots_max_redirects``
+    redirects (robots fetching follows them, unlike page fetching —
+    contract #1's exception), truncate the body at
+    ``cfg.robots_max_bytes`` (500 KiB default; the reference truncates
+    rather than discarding), and report ``(status, hops, body,
+    content_type)`` into the SHARED classifier
+    (``state/hosts.robots_rows_from_records``) — so the text/plain gate,
+    redirect-budget check, status classes and TTLs are byte-identical to
+    the corpus sim's. Usable directly as the host-prep ``map_batches``
+    stage (same batch contract as ``RobotsFetchSim``)."""
+
+    def __init__(self, cfg, timeout_s: float = 30.0):
+        self.cfg = cfg
+        self.http = HTTPTransport(max_content_length=None, timeout_s=timeout_s)
+
+    def _record(self, host: str):
+        from urllib.parse import urljoin
+
+        url = host.rstrip("/") + "/robots.txt"
+        hops = 0
+        while True:
+            status, ctype, location, _, body, _ = self.http._fetch_one(url)
+            if status == STATUS_TRANSPORT_ERROR:
+                return (None, hops, None, None)  # unreachable class
+            if status in (301, 302, 303, 307, 308):
+                hops += 1
+                if hops > self.cfg.robots_max_redirects or not location:
+                    # over the redirect budget (or a 3xx without a target):
+                    # report the hop count; the classifier marks unavailable
+                    return (status, hops, None, ctype)
+                url = urljoin(url, location)
+                continue
+            if body is not None and len(body) > self.cfg.robots_max_bytes:
+                body = body[: self.cfg.robots_max_bytes]
+            # strip any content-type parameters ("text/plain; charset=..")
+            if ctype is not None:
+                ctype = ctype.split(";", 1)[0].strip()
+            return (status, hops, body, ctype)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from abwcf_ray.state.hosts import robots_rows_from_records
+
+        return robots_rows_from_records(self._record, batch, self.cfg)
+
+
 class TransportFetchStage:
     """Actor-pool stage: ``map_batches(TransportFetchStage(factory),
     concurrency=(lo, hi), batch_size=B)`` over the wave's selected

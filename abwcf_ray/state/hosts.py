@@ -186,43 +186,57 @@ class RobotsFetchSim:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        now_s = batch.column("now_s")[0].as_py() if batch.num_rows else 0.0
-        hosts, modes, rules_s, delays, valids, outcomes = [], [], [], [], [], []
-        for host in batch.column("host").to_pylist():
-            rec = self._by_host.get(host)
-            if rec is None:
-                status, hops, body, ctype = 404, 0, None, None
-            else:
-                status, hops, body, ctype = rec
-            entry = classify_robots_fetch(
-                status, hops, body, self._cfg, now_s, None, content_type=ctype
-            )
-            non_plain_2xx = (
-                status is not None and 200 <= status < 300
-                and ctype is not None and ctype != "text/plain"
-            )
-            if status is not None and hops > self._cfg.robots_max_redirects:
-                outcome = "unavailable"
-            elif status is None or status >= 500 or non_plain_2xx:
-                outcome = "unreachable"
-            else:
-                outcome = "ok" if 200 <= status < 300 and body is not None else "unavailable"
-            hosts.append(host)
-            modes.append(entry.rules.mode)
-            rules_s.append(entry.rules.serialize_rules())
-            delays.append(entry.rules.crawl_delay_ms)
-            valids.append(entry.valid_until_s)
-            outcomes.append(outcome)
-        return pa.table(
-            {
-                "host": pa.array(hosts, pa.string()),
-                "rule_mode": pa.array(modes, pa.string()),
-                "robot_rules": pa.array(rules_s, pa.string()),
-                "crawl_delay_ms": pa.array(delays, pa.int64()),
-                "valid_until_s": pa.array(valids, pa.float64()),
-                "outcome": pa.array(outcomes, pa.string()),
-            }
+        return robots_rows_from_records(
+            self._by_host.get, batch, self._cfg
         )
+
+
+def robots_rows_from_records(fetch_record, batch: pa.Table, cfg) -> pa.Table:
+    """The A3 classification shared by every robots transport: per host,
+    a raw fetch record ``(status, redirect_hops, body, content_type)``
+    (``fetch_record(host)`` returning None = host serves nothing → 404)
+    maps to a parsed host row via :func:`classify_robots_fetch` —
+    text/plain gate, redirect-budget check, status classes, TTLs. The
+    corpus sim (:class:`RobotsFetchSim`) and the network fetcher
+    (``stages/transport.HTTPRobotsFetcher``) both delegate here, so
+    their outcome semantics cannot drift."""
+    now_s = batch.column("now_s")[0].as_py() if batch.num_rows else 0.0
+    hosts, modes, rules_s, delays, valids, outcomes = [], [], [], [], [], []
+    for host in batch.column("host").to_pylist():
+        rec = fetch_record(host)
+        if rec is None:
+            status, hops, body, ctype = 404, 0, None, None
+        else:
+            status, hops, body, ctype = rec
+        entry = classify_robots_fetch(
+            status, hops, body, cfg, now_s, None, content_type=ctype
+        )
+        non_plain_2xx = (
+            status is not None and 200 <= status < 300
+            and ctype is not None and ctype != "text/plain"
+        )
+        if status is not None and hops > cfg.robots_max_redirects:
+            outcome = "unavailable"
+        elif status is None or status >= 500 or non_plain_2xx:
+            outcome = "unreachable"
+        else:
+            outcome = "ok" if 200 <= status < 300 and body is not None else "unavailable"
+        hosts.append(host)
+        modes.append(entry.rules.mode)
+        rules_s.append(entry.rules.serialize_rules())
+        delays.append(entry.rules.crawl_delay_ms)
+        valids.append(entry.valid_until_s)
+        outcomes.append(outcome)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "rule_mode": pa.array(modes, pa.string()),
+            "robot_rules": pa.array(rules_s, pa.string()),
+            "crawl_delay_ms": pa.array(delays, pa.int64()),
+            "valid_until_s": pa.array(valids, pa.float64()),
+            "outcome": pa.array(outcomes, pa.string()),
+        }
+    )
 
 
 # Mode codes for the columnar table / payloads (string modes cross the

@@ -296,3 +296,109 @@ def test_crawl_with_corpus_transport_matches_fused_path(
         lambda: CorpusTransport(hashed, max_content_length=cap),
     )
     pd.testing.assert_frame_equal(via_transport, base)
+
+
+@pytest.fixture(scope="module")
+def robots_http_server():
+    import http.server
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _send(self, status, body=b"", ctype="text/plain", loc=None):
+            self.send_response(status)
+            if loc:
+                self.send_header("Location", loc)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            p = self.path
+            if p == "/robots.txt":
+                self._send(200, b"User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n")
+            elif p.startswith("/hop"):
+                n = int(p[4:-11])  # /hop{n}/robots.txt
+                self._send(301, loc=f"/hop{n-1}/robots.txt" if n > 1 else "/robots.txt")
+            elif p == "/loop/robots.txt":
+                self._send(301, loc="/loop/robots.txt")
+            elif p == "/html/robots.txt":
+                self._send(200, b"<html>not robots</html>", ctype="text/html; charset=utf-8")
+            elif p == "/err/robots.txt":
+                self._send(503)
+            elif p == "/big/robots.txt":
+                self._send(200, b"User-agent: *\n" + b"Disallow: /x\n" * 60_000)
+            else:
+                self._send(404)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_http_robots_fetcher_semantics(robots_http_server):
+    """A3 over HTTP through the SHARED classifier: plain 2xx -> parsed
+    SOME rules + crawl delay; <=max redirects followed; a loop past the
+    budget -> unavailable; non-text/plain 2xx -> unreachable; 5xx ->
+    unreachable; 404 -> unavailable (ALLOW_ALL); oversize truncated."""
+    import pyarrow as pa
+
+    from abwcf_ray.config import CrawlConfig
+    from abwcf_ray.stages.transport import HTTPRobotsFetcher
+
+    cfg = CrawlConfig()
+    fr = HTTPRobotsFetcher(cfg, timeout_s=5.0)
+    # route each "host" to a distinct path prefix on the fixture server
+    base = robots_http_server
+    hosts = [base, f"{base}/hop3", f"{base}/loop", f"{base}/html",
+             f"{base}/err", f"{base}/nothing", f"{base}/big"]
+    batch = pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "now_s": pa.array([0.0] * len(hosts), pa.float64()),
+        }
+    )
+    out = fr(batch).to_pandas().set_index("host")
+
+    ok = out.loc[base]
+    assert ok["outcome"] == "ok"
+    assert ok["rule_mode"] == "ALLOW_SOME"
+    assert ok["crawl_delay_ms"] == 2000
+    assert "/private/" in ok["robot_rules"]
+
+    hop = out.loc[f"{base}/hop3"]  # 3 redirects then plain robots
+    assert hop["outcome"] == "ok" and hop["rule_mode"] == "ALLOW_SOME"
+
+    assert out.loc[f"{base}/loop"]["outcome"] == "unavailable"
+    assert out.loc[f"{base}/html"]["outcome"] == "unreachable"
+    assert out.loc[f"{base}/err"]["outcome"] == "unreachable"
+    assert out.loc[f"{base}/nothing"]["outcome"] == "unavailable"
+    big = out.loc[f"{base}/big"]
+    assert big["outcome"] == "ok"  # truncated, still parsed
+
+
+def test_crawl_sim_delegates_to_shared_classifier(corpus, ray_session):
+    """RobotsFetchSim routes through robots_rows_from_records — outcome
+    parity is structural; spot-check the sim still parses its corpus."""
+    import pyarrow as pa
+
+    from abwcf_ray.config import CrawlConfig
+    from abwcf_ray.state.hosts import RobotsFetchSim
+
+    sim = RobotsFetchSim(corpus.robots_path, CrawlConfig())
+    import pyarrow.parquet as pq
+
+    some_hosts = pq.read_table(corpus.robots_path).column("host").to_pylist()[:20]
+    batch = pa.table(
+        {
+            "host": pa.array(some_hosts, pa.string()),
+            "now_s": pa.array([0.0] * len(some_hosts), pa.float64()),
+        }
+    )
+    out = sim(batch).to_pandas()
+    assert len(out) == 20
+    assert set(out["outcome"]) <= {"ok", "unavailable", "unreachable"}
